@@ -1,0 +1,22 @@
+"""Test harness config: run JAX on CPU with 8 virtual devices.
+
+Multi-chip hardware is not available in CI; sharding tests use
+`xla_force_host_platform_device_count=8` per SURVEY.md §4 item 4.
+Must run before the first `import jax` anywhere in the test session.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,122 @@
+"""Golden-oracle tests for the windowed-sinc design path, freqz, and the
+reference-compatible facade (SURVEY.md §4 item 1).
+
+The oracle is a direct scipy-based replica of the reference's
+`filter_methods.py` math (the reference itself can't be imported — it pulls in
+sounddevice/tkinter at module scope).
+"""
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from afp_tpu.design import create_fir_filter, design_windowed_sinc, freqz
+
+
+def oracle_design(cutoff, numtaps, window, filter_type, samplerate):
+    """scipy replica of /root/reference/filter_methods.py:19-75."""
+    n = np.arange(numtaps)
+    t = n - (numtaps - 1) / 2
+    t[t == 0] = 1e-20
+    cutoff = np.asarray(cutoff, dtype=float)
+    nyq = samplerate / 2
+    cutoff_n = cutoff / nyq
+    if window == "kaiser":
+        window_vals = sps.get_window(("kaiser", 8.6), numtaps)
+    else:
+        window_vals = sps.get_window(window, numtaps)
+    if filter_type == "lowpass":
+        h = cutoff_n * np.sinc(cutoff_n * t)
+    elif filter_type == "highpass":
+        h = np.sinc(t) - cutoff_n * np.sinc(cutoff_n * t)
+    elif filter_type == "bandpass":
+        h = cutoff_n[1] * np.sinc(cutoff_n[1] * t) - cutoff_n[0] * np.sinc(cutoff_n[0] * t)
+    else:
+        h = np.sinc(t) - (
+            cutoff_n[1] * np.sinc(cutoff_n[1] * t) - cutoff_n[0] * np.sinc(cutoff_n[0] * t)
+        )
+    h = h * window_vals
+    if filter_type == "lowpass":
+        h /= np.sum(h)
+    elif filter_type == "highpass":
+        h /= np.sum(h * np.cos(2 * np.pi * 0.5 * t))
+    elif filter_type == "bandpass":
+        w, H = sps.freqz(h, worN=8000, fs=samplerate)
+        center = np.sqrt(cutoff[0] * cutoff[1])
+        h /= np.abs(H[np.argmin(np.abs(w - center))])
+    else:
+        w, H = sps.freqz(h, worN=8000, fs=samplerate)
+        i1 = np.argmin(np.abs(w - cutoff[0]))
+        i2 = np.argmin(np.abs(w - cutoff[1]))
+        h /= (np.abs(H[i1]) + np.abs(H[i2])) / 2
+    return h
+
+
+def error_db(a, b):
+    num = np.max(np.abs(a - b))
+    den = np.max(np.abs(b)) + 1e-300
+    return 20 * np.log10(num / den + 1e-300)
+
+
+WINDOWS = ["hamming", "hann", "blackman", "kaiser", "nuttall", "boxcar", "flattop"]
+TAPS = [51, 101, 129, 301, 1001]
+
+
+@pytest.mark.parametrize("window", WINDOWS)
+@pytest.mark.parametrize("numtaps", TAPS)
+def test_lowpass_matches_oracle(window, numtaps):
+    args = dict(cutoff=11000, numtaps=numtaps, filter_type="lowpass", samplerate=176400)
+    ours = design_windowed_sinc(window=window, **args)
+    gold = oracle_design(window=window, **args)
+    assert error_db(ours, gold) < -120
+
+
+@pytest.mark.parametrize("filter_type,cutoff", [
+    ("highpass", 2000.0),
+    ("bandpass", [500.0, 5000.0]),
+    ("bandstop", [500.0, 5000.0]),
+])
+@pytest.mark.parametrize("numtaps", [101, 301, 1001])
+def test_other_types_match_oracle(filter_type, cutoff, numtaps):
+    args = dict(cutoff=cutoff, numtaps=numtaps, filter_type=filter_type, samplerate=44100)
+    ours = design_windowed_sinc(window="hamming", **args)
+    gold = oracle_design(window="hamming", **args)
+    assert error_db(ours, gold) < -120
+
+
+@pytest.mark.parametrize("numtaps", [64, 100, 128])
+def test_even_numtaps(numtaps):
+    # GUI clamps allow even numtaps in [16, 2048]; design must still work
+    args = dict(cutoff=8000.0, numtaps=numtaps, filter_type="lowpass", samplerate=44100)
+    ours = design_windowed_sinc(window="hann", **args)
+    gold = oracle_design(window="hann", **args)
+    assert error_db(ours, gold) < -120
+
+
+def test_create_fir_filter_facade():
+    ours = create_fir_filter(
+        method="window", cutoff=11000, numtaps=301,
+        window_type="hamming", filter_type="lowpass", samplerate=176400,
+    )
+    gold = oracle_design(11000, 301, "hamming", "lowpass", 176400)
+    assert error_db(ours, gold) < -120
+
+
+def test_create_fir_filter_rejects_bad_window():
+    with pytest.raises(ValueError):
+        create_fir_filter(window_type="bogus")
+
+
+@pytest.mark.parametrize("numtaps", [51, 301, 1001])
+def test_freqz_matches_scipy(numtaps):
+    h = oracle_design(11000, numtaps, "hamming", "lowpass", 176400)
+    w_ours, H_ours = freqz(h, worN=8000, fs=176400)
+    w_gold, H_gold = sps.freqz(h, worN=8000, fs=176400)
+    np.testing.assert_allclose(w_ours, w_gold, rtol=1e-12)
+    np.testing.assert_allclose(H_ours, H_gold, rtol=1e-9, atol=1e-12)
+
+
+def test_freqz_long_filter_direct_path():
+    h = np.random.default_rng(1).normal(size=20000)
+    w_ours, H_ours = freqz(h, worN=8000, fs=2.0)
+    w_gold, H_gold = sps.freqz(h, worN=8000, fs=2.0)
+    np.testing.assert_allclose(H_ours, H_gold, rtol=1e-7, atol=1e-7)
