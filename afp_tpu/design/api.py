@@ -84,10 +84,23 @@ def design_fir_filter(
             bands = [0, low_cut, cutoff, samplerate / 2]
             desired = [0, 1]
         elif filter_type == "bandpass":
-            bands = [0, cutoff[0], cutoff[1], samplerate / 2]
+            # the reference's band table (`filter_methods.py:90-92`) is
+            # malformed (2 band pairs vs 3 desired values — scipy.signal.remez
+            # rejects it); build a well-formed table with the same
+            # transition-width heuristic
+            lo, hi = cutoff[0], cutoff[1]
+            tw = min(1000, lo / 2, (samplerate / 2 - hi) / 2)
+            if tw <= 0:
+                raise ValueError("bandpass edges too close to 0 or Nyquist")
+            bands = [0, lo - tw, lo, hi, hi + tw, samplerate / 2]
             desired = [0, 1, 0]
         elif filter_type == "bandstop":
-            bands = [0, cutoff[0], cutoff[1], samplerate / 2]
+            # same fix for the malformed table at `filter_methods.py:93-95`
+            lo, hi = cutoff[0], cutoff[1]
+            tw = min(1000, lo / 2, (samplerate / 2 - hi) / 2)
+            if tw <= 0:
+                raise ValueError("bandstop edges too close to 0 or Nyquist")
+            bands = [0, lo - tw, lo, hi, hi + tw, samplerate / 2]
             desired = [1, 0, 1]
         else:
             raise ValueError("Invalid filter type")

@@ -237,12 +237,15 @@ def remez(numtaps: int, bands, desired, weight=None, fs: float = 1.0,
 
     Avals = interp_A(xt)
 
-    # inverse cosine series: A(f) = sum_{k=0}^{M-1} alpha_k cos(2*pi*k*f),
-    # sampled at f_m = m/cn ⇒ alpha_k = (1/cn)·[A(0) + 2·Σ_{m≥1} A_m cos(2πkm/cn)]
+    # inverse cosine series: A(f) = sum_{k=0}^{M-1} alpha_k cos(2*pi*k*f).
+    # With s_k = A(0) + 2·Σ_{m=1}^{M-1} A_m cos(2πkm/cn):
+    #   alpha_0 = s_0/cn,  alpha_k = 2·s_k/cn (k ≥ 1)
     m = np.arange(nfcns)
     k = np.arange(nfcns)
     cosmat = np.cos(2 * np.pi * np.outer(k, m) / cn)
-    alpha = (2.0 / cn) * (cosmat @ Avals) - Avals[0] / cn
+    s = 2.0 * (cosmat @ Avals) - Avals[0]
+    alpha = 2.0 * s / cn
+    alpha[0] = s[0] / cn
 
     h = np.zeros(numtaps)
     if nodd:
