@@ -1,0 +1,61 @@
+"""Engine-state checkpoint / resume (SURVEY.md §5.4).
+
+The reference persists nothing beyond in-memory presets; this module adds the
+promised upgrade: a full snapshot of a streaming job — config, device
+parameter bank, and carried stream state (resampler histories, overlap tails,
+AGC gain, RNG key) — so a batched streaming job can stop and resume
+mid-stream bit-exactly.
+
+Format: a single ``.npz`` (flattened pytree leaves) + embedded JSON config.
+No orbax dependency — state here is a handful of small arrays, not sharded
+model weights; np.savez keeps restore trivially portable.
+"""
+from __future__ import annotations
+
+import json
+from typing import Tuple
+
+import jax
+import numpy as np
+
+from .config import StreamConfig
+from .engine import StreamEngine
+
+__all__ = ["save_checkpoint", "load_checkpoint"]
+
+_FORMAT_VERSION = 1
+
+
+def save_checkpoint(path: str, engine: StreamEngine) -> None:
+    """Snapshot a StreamEngine to `path` (.npz)."""
+    state_leaves, state_tree = jax.tree_util.tree_flatten(engine.state)
+    param_leaves, param_tree = jax.tree_util.tree_flatten(engine.params)
+    meta = {
+        "version": _FORMAT_VERSION,
+        "config": engine.cfg.to_dict(),
+        "seed": engine._seed,
+        "n_state_leaves": len(state_leaves),
+        "n_param_leaves": len(param_leaves),
+    }
+    arrays = {f"state_{i}": np.asarray(l) for i, l in enumerate(state_leaves)}
+    arrays.update({f"param_{i}": np.asarray(l) for i, l in enumerate(param_leaves)})
+    arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str) -> StreamEngine:
+    """Restore a StreamEngine (config re-validated, pipeline re-jitted,
+    streaming state restored bit-exactly)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta_json"]).decode())
+        if meta["version"] != _FORMAT_VERSION:
+            raise ValueError(f"unsupported checkpoint version {meta['version']}")
+        cfg = StreamConfig.from_dict(meta["config"])
+        engine = StreamEngine(cfg, seed=meta["seed"])
+        state_leaves = [z[f"state_{i}"] for i in range(meta["n_state_leaves"])]
+        param_leaves = [z[f"param_{i}"] for i in range(meta["n_param_leaves"])]
+    _, state_tree = jax.tree_util.tree_flatten(engine.state)
+    _, param_tree = jax.tree_util.tree_flatten(engine.params)
+    engine.state = jax.tree_util.tree_unflatten(state_tree, state_leaves)
+    engine.params = jax.tree_util.tree_unflatten(param_tree, param_leaves)
+    return engine

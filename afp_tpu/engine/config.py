@@ -1,0 +1,238 @@
+"""Typed, validated pipeline configuration (SURVEY.md §5.6).
+
+Carries the reference's three config generations forward into one dataclass:
+module constants (`/root/reference/stream_process.py:19-30`), the GUI's
+`applied_config` (`stream_process_EQ_GUI.py:182-195`), and the validated
+Presets generation (`stream_process_GUI_Presets.py:358-398`) whose clamping
+rules are enforced by :func:`StreamConfig.validate`:
+
+* blocksize → next power of two, clamped to [256, 8192],
+* numtaps clamped to [16, 2048],
+* samplerate clamped to [8000, 192000],
+* upsample factor clamped to [1, 4],
+* cutoffs clamped to [20, samplerate/2].
+
+Fields are split into **static** (shape-affecting → jit recompile when
+changed: blocksize, upsample_factor, numtaps, batch, AGC window) and
+**dynamic** (runtime arrays → glitch-free live update: EQ gains, kernels,
+AGC target/alphas).  `derive_params()` builds the dynamic parameter bank.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..design import create_fir_filter, to_minimum_phase
+
+__all__ = ["EQBand", "StreamConfig", "DEFAULT_EQ_BANDS", "PipelineParams"]
+
+#: The reference GUI's 9-band EQ table (`stream_process_EQ_GUI.py:161-171`).
+DEFAULT_EQ_BANDS: Tuple[Tuple[str, Tuple[float, float]], ...] = (
+    ("Low Bass", (20.0, 60.0)),
+    ("Mid Bass", (60.0, 120.0)),
+    ("High Bass", (120.0, 250.0)),
+    ("Low Midrange", (250.0, 500.0)),
+    ("Middle Midrange", (500.0, 1000.0)),
+    ("High Midrange", (1000.0, 2000.0)),
+    ("Low Treble", (2000.0, 4000.0)),
+    ("Middle Treble", (4000.0, 8000.0)),
+    ("High Treble", (8000.0, 16000.0)),
+)
+
+
+@dataclass(frozen=True)
+class EQBand:
+    name: str
+    low: float
+    high: float
+    gain: float = 1.0
+
+
+def _pow2_clamp(n: int, lo: int, hi: int) -> int:
+    n = max(lo, min(hi, int(n)))
+    return 1 << (n - 1).bit_length()
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """Full pipeline configuration.
+
+    Defaults follow the GUI generation (`stream_process_EQ_GUI.py:182-191`):
+    44.1 kHz, 2× upsample, block 2048, 129-tap hamming lowpass at 14 kHz.
+    """
+
+    # --- static (shape-affecting) ---
+    samplerate: int = 44100
+    blocksize: int = 2048
+    upsample_factor: int = 2
+    numtaps: int = 129
+    batch: int = 1  # concurrent streams (the TPU scaling axis)
+    agc_window_size: int = 512
+
+    # --- design / dynamic ---
+    filter_type: str = "lowpass"
+    cutoff: float | Tuple[float, float] = 14000.0
+    window_type: str = "hamming"
+    design_method: str = "window"  # 'window' | 'remez'
+    min_phase: bool = False
+    eq_bands: Tuple[EQBand, ...] = tuple(
+        EQBand(name, lo, hi) for name, (lo, hi) in DEFAULT_EQ_BANDS
+    )
+    eq_enabled: bool = True
+
+    # AGC (`stream_process_AGC.py:132-144`)
+    agc_enabled: bool = False
+    agc_target_level: float = 0.1
+    agc_max_gain: float = 10.0
+    agc_attack: float = 0.01
+    agc_release: float = 0.1
+
+    # ASRC (`stream_process_AGC.py:126-129`)
+    source_samplerate: Optional[int] = None
+
+    # output stage
+    downsample_mode: str = "resample"  # 'resample' (soxr path) | 'decimate' (C5)
+    dither_kind: str = "tpdf"  # 'tpdf' | 'rpdf' (reference math) | 'off'
+    dither_bits: int = 24
+    output_clip: Optional[float] = 0.99  # AGC engine clips ±0.99; None = off
+
+    @property
+    def upsampled_rate(self) -> int:
+        return self.samplerate * self.upsample_factor
+
+    @property
+    def upsampled_block(self) -> int:
+        return self.blocksize * self.upsample_factor
+
+    def validate(self) -> "StreamConfig":
+        """Clamp to the Presets-generation valid ranges
+        (`stream_process_GUI_Presets.py:358-398`). Returns a new config."""
+        samplerate = max(8000, min(192000, int(self.samplerate)))
+        blocksize = _pow2_clamp(self.blocksize, 256, 8192)
+        upf = max(1, min(4, int(self.upsample_factor)))
+        numtaps = max(16, min(2048, int(self.numtaps)))
+        nyq = samplerate / 2
+        if self.filter_type in ("bandpass", "bandstop"):
+            c = self.cutoff if isinstance(self.cutoff, (tuple, list)) else (500.0, 15000.0)
+            cutoff = (
+                max(20.0, min(float(c[0]), nyq)),
+                max(20.0, min(float(c[1]), nyq)),
+            )
+        else:
+            c = self.cutoff if not isinstance(self.cutoff, (tuple, list)) else self.cutoff[0]
+            cutoff = max(20.0, min(float(c), nyq))
+        if self.filter_type not in ("lowpass", "highpass", "bandpass", "bandstop"):
+            raise ValueError(f"invalid filter_type {self.filter_type!r}")
+        if self.design_method not in ("window", "remez"):
+            raise ValueError(f"invalid design_method {self.design_method!r}")
+        if self.downsample_mode not in ("resample", "decimate"):
+            raise ValueError(f"invalid downsample_mode {self.downsample_mode!r}")
+        if self.dither_kind not in ("tpdf", "rpdf", "off"):
+            raise ValueError(f"invalid dither_kind {self.dither_kind!r}")
+        agc_window = max(1, min(int(self.agc_window_size), blocksize // 2))
+        return dataclasses.replace(
+            self,
+            samplerate=samplerate,
+            blocksize=blocksize,
+            upsample_factor=upf,
+            numtaps=numtaps,
+            cutoff=cutoff,
+            agc_window_size=agc_window,
+            batch=max(1, int(self.batch)),
+        )
+
+    # --- static/dynamic split: the jit cache key ---
+    def static_key(self) -> tuple:
+        """Everything that forces a recompile when changed."""
+        return (
+            self.blocksize,
+            self.upsample_factor,
+            self.numtaps,
+            self.batch,
+            self.agc_window_size,
+            self.min_phase,
+            len(self.eq_bands),
+            self.eq_enabled,
+            self.agc_enabled,
+            self.source_samplerate,
+            self.samplerate if self.source_samplerate else None,
+            self.downsample_mode,
+            self.dither_kind,
+            self.output_clip is not None,
+        )
+
+    # --- (de)serialization for presets/checkpoints ---
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["eq_bands"] = [dataclasses.asdict(b) for b in self.eq_bands]
+        d["cutoff"] = list(self.cutoff) if isinstance(self.cutoff, tuple) else self.cutoff
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "StreamConfig":
+        d = dict(d)
+        d["eq_bands"] = tuple(EQBand(**b) for b in d.get("eq_bands", ()))
+        if isinstance(d.get("cutoff"), list):
+            d["cutoff"] = tuple(d["cutoff"])
+        return cls(**d)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "StreamConfig":
+        return cls.from_dict(json.loads(s))
+
+
+@dataclass
+class PipelineParams:
+    """Dynamic (runtime-array) parameter bank derived from a StreamConfig.
+
+    Kernel coefficient changes and gain changes swap these arrays without
+    recompiling — the TPU expression of the reference's double-buffered
+    `filter_lock` swap (`stream_process_EQ_GUI.py:50-55, 380-385`).
+    """
+
+    main_taps: np.ndarray  # [numtaps'] main FIR (post-min-phase length)
+    eq_taps: np.ndarray  # [n_bands, numtaps'] band kernels
+    eq_gains: np.ndarray  # [n_bands]
+
+    @classmethod
+    def design(cls, cfg: StreamConfig) -> "PipelineParams":
+        """Cold-path filter design, mirroring `update_fir_filter` +
+        `precompute_eq_filters` (`stream_process_EQ_GUI.py:204-221, 364-388`)."""
+        fs = cfg.upsampled_rate
+        main = create_fir_filter(
+            method=cfg.design_method,
+            cutoff=cfg.cutoff,
+            numtaps=cfg.numtaps,
+            window_type=cfg.window_type,
+            filter_type=cfg.filter_type,
+            samplerate=fs,
+        )
+        if cfg.min_phase:
+            main = to_minimum_phase(main, fs)
+        eq_list = []
+        for band in cfg.eq_bands:
+            coeffs = create_fir_filter(
+                method="window",
+                cutoff=(band.low, band.high),
+                numtaps=cfg.numtaps,
+                window_type="hamming",  # reference pins hamming for EQ bands
+                filter_type="bandpass",
+                samplerate=fs,
+            )
+            if cfg.min_phase:
+                coeffs = to_minimum_phase(coeffs, fs)
+            eq_list.append(coeffs)
+        eq = np.stack(eq_list) if eq_list else np.zeros((0, len(main)))
+        gains = np.array([b.gain for b in cfg.eq_bands], dtype=np.float32)
+        return cls(
+            main_taps=np.asarray(main, dtype=np.float32),
+            eq_taps=np.asarray(eq, dtype=np.float32),
+            eq_gains=gains,
+        )

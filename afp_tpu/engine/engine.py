@@ -1,0 +1,175 @@
+"""StreamEngine — host-side orchestration of the device pipeline.
+
+The L3 runtime: owns a compiled :class:`~afp_tpu.engine.pipeline.Pipeline`,
+its parameter bank and streaming state, and implements the reference's two
+operational disciplines on top:
+
+* **Glitch-free live reconfiguration** (`/root/reference/
+  stream_process_EQ_GUI.py:280-306, 364-388`): `apply_config()` re-designs
+  kernels on the host (cold path) and swaps the device parameter arrays
+  between blocks — audio never stops, no recompilation, mirroring the
+  `filter_lock` double-buffer swap.  Only *shape* changes (blocksize, upf,
+  numtaps, batch…) rebuild the compiled pipeline.
+
+* **Degradation ladder** (SURVEY.md §5.3, `stream_process.py:115-120`,
+  `stream_process_AGC.py:493-496`): on a processing error the engine replays
+  the last good block (deque of 4) or emits silence; on a design error it
+  substitutes the reference's moving-average fallback kernel
+  (``ones(128)/128``); underruns blend ``0.8·last + 0.2·silence``
+  (`stream_process_EQ_GUI.py:476-480`).  Every event is counted in
+  :class:`~afp_tpu.engine.metrics.EngineMetrics`.
+"""
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .config import PipelineParams, StreamConfig
+from .metrics import EngineMetrics
+from .pipeline import DeviceParams, Pipeline, StreamState
+
+__all__ = ["StreamEngine"]
+
+#: last-good-block history depth (`stream_process.py:50`).
+LAST_GOOD_DEPTH = 4
+
+
+def _fallback_params(cfg: StreamConfig, n_kernel: int, n_bands: int) -> PipelineParams:
+    """The reference's design-failure fallback: a 128-tap moving average
+    (`stream_process_AGC.py:493-496`), zero-padded to the static kernel
+    length; EQ bands become pass-through (zeros with unity center gain
+    handled by gains=0)."""
+    k = min(128, n_kernel)
+    main = np.zeros(n_kernel, dtype=np.float32)
+    main[:k] = 1.0 / k
+    eq = np.zeros((n_bands, n_kernel), dtype=np.float32)
+    if n_bands:
+        eq[:, 0] = 1.0  # identity per band; gains select contribution
+    return PipelineParams(
+        main_taps=main, eq_taps=eq, eq_gains=np.zeros(n_bands, dtype=np.float32)
+    )
+
+
+class StreamEngine:
+    """Single-slice streaming engine over `cfg.batch` concurrent streams."""
+
+    def __init__(self, cfg: StreamConfig, seed: int = 0):
+        self.cfg = cfg.validate()
+        self.metrics = EngineMetrics(streams=self.cfg.batch)
+        self._seed = seed
+        self._build(self.cfg)
+
+    # ---------------- construction / reconfig ----------------
+
+    def _build(self, cfg: StreamConfig) -> None:
+        self.pipeline = Pipeline(cfg)
+        self.cfg = self.pipeline.cfg
+        try:
+            design = PipelineParams.design(self.cfg)
+        except Exception as e:  # design-failure rung of the ladder
+            print(f"Filter design failed ({e}); using moving-average fallback")
+            self.metrics.design_fallbacks += 1
+            design = _fallback_params(
+                self.cfg, self.pipeline.n_kernel, len(self.cfg.eq_bands)
+            )
+        self.params: DeviceParams = self.pipeline.device_params(design)
+        self.state: StreamState = self.pipeline.init_state(seed=self._seed)
+        self._last_good: deque = deque(maxlen=LAST_GOOD_DEPTH)
+        self._block_seconds = self.cfg.blocksize / self.cfg.samplerate
+
+    def apply_config(self, new_cfg: StreamConfig) -> bool:
+        """Apply a new configuration.  Returns True if the swap was
+        glitch-free (dynamic-only), False if shapes changed and the pipeline
+        was rebuilt (stream state resets, like the reference's re-init)."""
+        new_cfg = new_cfg.validate()
+        if new_cfg.static_key() == self.cfg.static_key():
+            try:
+                design = PipelineParams.design(new_cfg)
+                params = self.pipeline.device_params(design)
+            except Exception as e:
+                print(f"Filter design failed ({e}); keeping previous parameters")
+                self.metrics.design_fallbacks += 1
+                return True
+            # atomic swap between blocks — the filter_lock analog
+            self.params = params
+            self.cfg = new_cfg
+            self.pipeline.cfg = new_cfg
+            return True
+        self.cfg = new_cfg
+        self._build(new_cfg)
+        return False
+
+    def set_eq_gains(self, gains) -> None:
+        """Live gain update — runtime data only (no redesign, no recompile)."""
+        import jax.numpy as jnp
+
+        g = jnp.asarray(np.asarray(gains, dtype=np.float32))
+        if g.shape != self.params.eq_gains.shape:
+            raise ValueError("gain vector length must match the EQ band count")
+        self.params = self.params._replace(eq_gains=g)
+
+    # ---------------- block processing with the ladder ----------------
+
+    def process_block(self, block: np.ndarray) -> np.ndarray:
+        """One [batch, blocksize] block in → [batch, blocksize] out.
+
+        Never raises: on failure, degrades per the reference ladder.
+        """
+        expected = (self.cfg.batch, self.cfg.blocksize)
+        block = np.asarray(block, dtype=np.float32)
+        if block.ndim == 1:
+            block = block[None, :]
+        if block.shape != expected:
+            # pad/trim rung (`stream_process_EQ.py:110-117`)
+            fixed = np.zeros(expected, dtype=np.float32)
+            b = min(block.shape[0], expected[0])
+            t = min(block.shape[1], expected[1])
+            fixed[:b, :t] = block[:b, :t]
+            block = fixed
+        t0 = time.monotonic()
+        try:
+            state, out = self.pipeline.step(self.params, self.state, block)
+            out_np = np.asarray(jax.block_until_ready(out))
+            if not np.all(np.isfinite(out_np)):
+                raise FloatingPointError("non-finite output")
+            self.state = state
+            self._last_good.append(out_np)
+            busy = time.monotonic() - t0
+            self.metrics.record_block(self.cfg.blocksize, busy, self._block_seconds)
+            return out_np
+        except Exception as e:  # replay / silence rungs
+            print(f"Processing error: {e}")
+            self.metrics.underruns += 1
+            if self._last_good:
+                self.metrics.fallback_replays += 1
+                return self._last_good[-1]
+            self.metrics.fallback_silence += 1
+            return np.zeros(expected, dtype=np.float32)
+
+    def underrun_block(self) -> np.ndarray:
+        """Output to emit when no processed block is ready: the reference's
+        0.8·last + 0.2·silence blend (`stream_process_EQ_GUI.py:476-480`)."""
+        self.metrics.underruns += 1
+        expected = (self.cfg.batch, self.cfg.blocksize)
+        if self._last_good:
+            return (0.8 * self._last_good[-1]).astype(np.float32)
+        self.metrics.fallback_silence += 1
+        return np.zeros(expected, dtype=np.float32)
+
+    def process_signal(self, signal: np.ndarray) -> np.ndarray:
+        """Whole-signal convenience: [batch, T] → [batch, T'] via lax.scan."""
+        signal = np.asarray(signal, dtype=np.float32)
+        if signal.ndim == 1:
+            signal = signal[None, :]
+        t0 = time.monotonic()
+        state, out = self.pipeline.process_signal(self.params, self.state, signal)
+        out = np.asarray(jax.block_until_ready(out))
+        self.state = state
+        busy = time.monotonic() - t0
+        n = out.shape[-1]
+        self.metrics.record_block(n, busy, n / self.cfg.samplerate)
+        return out

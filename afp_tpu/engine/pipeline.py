@@ -1,0 +1,252 @@
+"""The fused streaming pipeline (device hot path).
+
+Re-creates the reference block chain — ASRC → AGC → upsample → multiband EQ →
+main FIR → downsample → clip → dither (`/root/reference/stream_process_AGC.py
+:91-201`, `stream_process.py:79-120`) — as one jitted step over HBM-resident
+``[batch, block]`` arrays, with all streaming state carried functionally so
+the whole run can be a single ``lax.scan``.
+
+TPU-native fusion beyond the reference's combined-EQ-kernel trick
+(`stream_process_EQ_GUI.py:87-90`): the EQ bank *and* the main filter are
+folded into ONE frequency response,
+
+    H_comb = (Σ_i gain_i · H_band_i) · H_main
+
+so the entire filtering stage is a single rfft → complex multiply → irfft
+overlap-save pass.  Gain changes are a [1, n_bands] × [n_bands, F] product —
+runtime data, never a recompile (the glitch-free reconfig property,
+SURVEY.md §2.4).
+
+Latency semantics: one block in → one block out, zero-primed state — the
+same contract as the reference's sounddevice callback.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.agc import AGCParams, desired_gain, moving_rms, smooth_gain_scan
+from ..ops.convolve import next_pow2
+from ..ops.dither import dither
+from ..ops.resample import PolyResampler, decimate
+from .config import PipelineParams, StreamConfig
+
+__all__ = ["DeviceParams", "StreamState", "Pipeline"]
+
+
+class DeviceParams(NamedTuple):
+    """Runtime (dynamic) parameter bank living in HBM.
+
+    Swapping these arrays is the TPU expression of the reference's
+    double-buffered `filter_lock` parameter swap
+    (`stream_process_EQ_GUI.py:50-55, 380-385`): same shapes → no recompile.
+    """
+
+    H_bands: jnp.ndarray  # [n_bands, F] band kernel spectra (may be [0, F])
+    H_main: jnp.ndarray  # [F] main kernel spectrum
+    eq_gains: jnp.ndarray  # [n_bands]
+    agc_target: jnp.ndarray  # [] scalar
+    agc_max_gain: jnp.ndarray  # []
+    agc_a_att: jnp.ndarray  # []
+    agc_a_rel: jnp.ndarray  # []
+
+    def combined_response(self, eq_enabled: bool) -> jnp.ndarray:
+        if eq_enabled and self.H_bands.shape[0] > 0:
+            H_eq = jnp.tensordot(self.eq_gains, self.H_bands, axes=1)
+            return H_eq * self.H_main
+        return self.H_main
+
+
+class StreamState(NamedTuple):
+    """Carried streaming state (pytree; all shapes static)."""
+
+    asrc: Optional[PolyResampler]
+    up: Optional[PolyResampler]
+    conv_tail: jnp.ndarray  # [B, N_f - 1] overlap-save input history
+    down: Optional[PolyResampler]
+    agc_gain: Optional[jnp.ndarray]  # [B] carried smoothed gain
+    key: jax.Array
+
+
+class Pipeline:
+    """Compiled streaming pipeline for a fixed (static) StreamConfig.
+
+    Usage::
+
+        pipe = Pipeline(cfg)
+        params = pipe.device_params(PipelineParams.design(cfg))
+        state = pipe.init_state(seed=0)
+        state, out = pipe.step(params, state, block)      # jitted
+        state, outs = pipe.run(params, state, blocks)     # lax.scan over time
+    """
+
+    def __init__(self, cfg: StreamConfig):
+        cfg = cfg.validate()
+        self.cfg = cfg
+        self.batch = cfg.batch
+        self.block = cfg.blocksize
+        self.upf = cfg.upsample_factor
+        self.up_block = cfg.blocksize * cfg.upsample_factor
+
+        # fused kernel length: EQ band (numtaps') ⊛ main (numtaps')
+        n_design = cfg.numtaps // 2 + cfg.numtaps % 2 if cfg.min_phase else cfg.numtaps
+        self.n_kernel = n_design
+        self.n_fused = (
+            2 * n_design - 1 if (cfg.eq_enabled and len(cfg.eq_bands) > 0) else n_design
+        )
+        self.nfft = next_pow2(self.up_block + self.n_fused - 1)
+        self.agc = AGCParams(
+            target_level=cfg.agc_target_level,
+            window_size=cfg.agc_window_size,
+            max_gain=cfg.agc_max_gain,
+            attack=cfg.agc_attack,
+            release=cfg.agc_release,
+        )
+        self._step = jax.jit(self._step_impl, donate_argnums=(1,))
+        self._run = jax.jit(self._run_impl, donate_argnums=(1,))
+
+    # ---------------- parameter bank ----------------
+
+    def device_params(self, p: PipelineParams) -> DeviceParams:
+        """Upload a designed parameter bank; pad kernels to the fused length
+        so swaps never change shapes."""
+        n_b = p.eq_taps.shape[0]
+        H_bands = jnp.fft.rfft(
+            jnp.asarray(p.eq_taps, dtype=jnp.float32), n=self.nfft, axis=-1
+        ) if n_b else jnp.zeros((0, self.nfft // 2 + 1), dtype=jnp.complex64)
+        H_main = jnp.fft.rfft(jnp.asarray(p.main_taps, dtype=jnp.float32), n=self.nfft)
+        return DeviceParams(
+            H_bands=H_bands,
+            H_main=H_main,
+            eq_gains=jnp.asarray(p.eq_gains, dtype=jnp.float32),
+            agc_target=jnp.float32(self.cfg.agc_target_level),
+            agc_max_gain=jnp.float32(self.cfg.agc_max_gain),
+            agc_a_att=jnp.float32(self.agc.a_att),
+            agc_a_rel=jnp.float32(self.agc.a_rel),
+        )
+
+    # ---------------- state ----------------
+
+    def init_state(self, seed: int = 0) -> StreamState:
+        cfg = self.cfg
+        B = (self.batch,)
+        asrc = None
+        if cfg.source_samplerate and cfg.source_samplerate != cfg.samplerate:
+            asrc = PolyResampler.init(
+                cfg.samplerate, cfg.source_samplerate, block=self.block, batch_shape=B
+            )
+        up = None
+        if self.upf > 1:
+            up = PolyResampler.init(self.upf, 1, block=self.block, batch_shape=B)
+        down = None
+        if self.upf > 1 and cfg.downsample_mode == "resample":
+            down = PolyResampler.init(1, self.upf, block=self.up_block, batch_shape=B)
+        conv_tail = jnp.zeros((self.batch, self.n_fused - 1), dtype=jnp.float32)
+        agc_gain = jnp.ones((self.batch,), dtype=jnp.float32) if cfg.agc_enabled else None
+        return StreamState(
+            asrc=asrc,
+            up=up,
+            conv_tail=conv_tail,
+            down=down,
+            agc_gain=agc_gain,
+            key=jax.random.PRNGKey(seed),
+        )
+
+    # ---------------- the hot step ----------------
+
+    def _step_impl(self, params: DeviceParams, state: StreamState,
+                   block: jnp.ndarray):
+        cfg = self.cfg
+        x = jnp.asarray(block, dtype=jnp.float32)  # [B, L_in]
+
+        # 1. ASRC: source rate → engine rate, padded/trimmed to blocksize
+        #    (reference compat, `stream_process_AGC.py:126-129`)
+        asrc = state.asrc
+        if asrc is not None:
+            asrc, x = asrc.process(x)
+            n = x.shape[-1]
+            if n < self.block:
+                x = jnp.pad(x, ((0, 0), (0, self.block - n)))
+            else:
+                x = x[..., : self.block]
+
+        # 2. AGC (pre-upsample; `stream_process_AGC.py:132-144`) + clip ±0.99
+        agc_gain = state.agc_gain
+        if agc_gain is not None:
+            rms = moving_rms(x, self.agc.window_size)
+            d = desired_gain(rms, params.agc_target, params.agc_max_gain)
+            g = smooth_gain_scan(d, params.agc_a_att, params.agc_a_rel, init=agc_gain)
+            g = jnp.clip(g, 0.1, params.agc_max_gain)
+            x = jnp.clip(x * g, -0.99, 0.99)
+            agc_gain = g[..., -1]
+
+        # 3. polyphase upsample 1–4×
+        up = state.up
+        if up is not None:
+            up, x = up.process(x)  # [B, L*upf]
+
+        # 4. fused EQ+main FIR: one overlap-save FFT pass
+        H = params.combined_response(cfg.eq_enabled)
+        ext = jnp.concatenate([state.conv_tail, x], axis=-1)  # [B, N_f-1+L']
+        Y = jnp.fft.rfft(ext, n=self.nfft) * H
+        y = jnp.fft.irfft(Y, n=self.nfft)
+        y = jax.lax.slice_in_dim(
+            y, self.n_fused - 1, self.n_fused - 1 + self.up_block, axis=-1
+        )
+        conv_tail = jax.lax.slice_in_dim(
+            ext, ext.shape[-1] - (self.n_fused - 1), ext.shape[-1], axis=-1
+        )
+
+        # 5. downsample back to engine rate
+        down = state.down
+        if self.upf > 1:
+            if cfg.downsample_mode == "decimate":
+                y = decimate(y, self.upf)  # anti-alias provided by main filter
+            else:
+                down, y = down.process(y)
+
+        # 6. output clip (AGC engine clamps ±0.99, `stream_process_AGC.py:180`)
+        if cfg.output_clip is not None:
+            y = jnp.clip(y, -cfg.output_clip, cfg.output_clip)
+
+        # 7. keyed dither
+        key = state.key
+        if cfg.dither_kind != "off":
+            key, sub = jax.random.split(key)
+            y = dither(sub, y, cfg.dither_bits, cfg.dither_kind)
+
+        new_state = StreamState(
+            asrc=asrc, up=up, conv_tail=conv_tail, down=down,
+            agc_gain=agc_gain, key=key,
+        )
+        return new_state, y
+
+    def step(self, params: DeviceParams, state: StreamState, block: jnp.ndarray):
+        """One block: [B, L] → ([B, L] out, state). Jitted, state donated."""
+        return self._step(params, state, block)
+
+    # ---------------- scan over many blocks ----------------
+
+    def _run_impl(self, params: DeviceParams, state: StreamState,
+                  blocks: jnp.ndarray):
+        def body(carry, blk):
+            return self._step_impl(params, carry, blk)
+
+        return jax.lax.scan(body, state, blocks)
+
+    def run(self, params: DeviceParams, state: StreamState, blocks: jnp.ndarray):
+        """Scan the pipeline over [T_blocks, B, L] → ([T_blocks, B, L_out])."""
+        return self._run(params, state, blocks)
+
+    # convenience: process a whole [B, T] signal
+    def process_signal(self, params: DeviceParams, state: StreamState,
+                       signal: jnp.ndarray):
+        B, T = signal.shape
+        L = self.block
+        nblocks = T // L
+        blocks = signal[:, : nblocks * L].reshape(B, nblocks, L).swapaxes(0, 1)
+        state, outs = self.run(params, state, blocks)
+        return state, outs.swapaxes(0, 1).reshape(B, -1)

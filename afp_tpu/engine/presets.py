@@ -1,0 +1,82 @@
+"""Preset system (SURVEY.md §5.4).
+
+Re-creates the reference's preset capability
+(`/root/reference/stream_process_GUI_Presets.py:143-195, 239-240`): named
+snapshots of EQ gains + filter settings, explicitly *excluding* samplerate
+and blocksize (`:163-164` — those are deployment properties, not sound
+presets).  The reference keeps presets only in memory; here they also
+round-trip to JSON on disk, the promised upgrade.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional
+
+from .config import EQBand, StreamConfig
+
+__all__ = ["PresetStore"]
+
+#: config fields excluded from presets (reference `:163-164`), plus the other
+#: deployment-shape fields that arrived with the TPU build.
+EXCLUDED_FIELDS = ("samplerate", "blocksize", "batch", "source_samplerate")
+
+
+class PresetStore:
+    """Named preset snapshots with save/load/delete and JSON persistence."""
+
+    def __init__(self, path: Optional[str] = None):
+        self._presets: Dict[str, dict] = {}
+        self.path = path
+        if path and os.path.exists(path):
+            with open(path) as f:
+                self._presets = json.load(f)
+
+    # --- reference-compatible surface ---
+
+    def save_preset(self, name: str, cfg: StreamConfig) -> None:
+        if not name:
+            raise ValueError("Please enter a preset name")
+        settings = {
+            k: v for k, v in cfg.to_dict().items() if k not in EXCLUDED_FIELDS
+        }
+        gains = [b.gain for b in cfg.eq_bands]
+        self._presets[name] = {"gains": gains, "settings": settings}
+        self._flush()
+
+    def load_preset(self, name: str, base: StreamConfig) -> StreamConfig:
+        """Apply a preset onto `base`, keeping its excluded (deployment)
+        fields — mirrors `load_preset` → `apply_changes` (`:172-181`)."""
+        if name not in self._presets:
+            raise KeyError(f"unknown preset {name!r}")
+        p = self._presets[name]
+        settings = dict(p["settings"])
+        for k in EXCLUDED_FIELDS:
+            settings.pop(k, None)
+        bands = tuple(
+            dataclasses.replace(EQBand(**b) if isinstance(b, dict) else b, gain=g)
+            for b, g in zip(settings.pop("eq_bands", [dataclasses.asdict(x) for x in base.eq_bands]),
+                            p["gains"])
+        )
+        merged = {**base.to_dict(), **settings}
+        for k in EXCLUDED_FIELDS:
+            merged[k] = getattr(base, k)
+        merged["eq_bands"] = [dataclasses.asdict(b) for b in bands]
+        return StreamConfig.from_dict(merged).validate()
+
+    def delete_preset(self, name: str) -> None:
+        self._presets.pop(name, None)
+        self._flush()
+
+    @property
+    def names(self):
+        return list(self._presets.keys())
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._presets
+
+    def _flush(self) -> None:
+        if self.path:
+            with open(self.path, "w") as f:
+                json.dump(self._presets, f, indent=2)

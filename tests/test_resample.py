@@ -1,0 +1,112 @@
+"""Golden + streaming-equivalence tests for the polyphase resampler.
+
+Oracle: scipy.signal.resample_poly / upfirdn with the published kernel
+(SURVEY.md §7 "soxr-equivalence" resolution).
+"""
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from afp_tpu.ops import (
+    PolyResampler,
+    decimate,
+    design_resample_kernel,
+    resample_poly,
+    upfirdn,
+)
+
+
+def err_db(a, b):
+    return 20 * np.log10(np.max(np.abs(np.asarray(a) - b)) / (np.max(np.abs(b)) + 1e-300) + 1e-300)
+
+
+@pytest.mark.parametrize("up,down", [(2, 1), (4, 1), (3, 2), (1, 4), (160, 147)])
+def test_kernel_matches_scipy_recipe(up, down):
+    h = design_resample_kernel(up, down)
+    import math
+    g = math.gcd(up, down)
+    u, d = up // g, down // g
+    max_rate = max(u, d)
+    gold = sps.firwin(2 * 10 * max_rate + 1, 1.0 / max_rate, window=("kaiser", 5.0)) * u
+    np.testing.assert_allclose(h, gold, rtol=1e-12, atol=1e-15)
+
+
+@pytest.mark.parametrize("up,down", [(4, 1), (2, 1), (3, 2), (1, 2)])
+def test_upfirdn_matches_scipy(rng, up, down):
+    x = rng.normal(size=1000).astype(np.float32)
+    h = design_resample_kernel(up, down)
+    ours = np.asarray(upfirdn(h, x, up, down))
+    gold = sps.upfirdn(h, x.astype(np.float64), up, down)
+    assert ours.shape == gold.shape
+    assert err_db(ours, gold) < -90
+
+
+@pytest.mark.parametrize("up,down", [(4, 1), (2, 1), (1, 4), (3, 2), (160, 147)])
+def test_resample_poly_matches_scipy(rng, up, down):
+    x = rng.normal(size=4096).astype(np.float32)
+    ours = np.asarray(resample_poly(x, up, down))
+    gold = sps.resample_poly(x.astype(np.float64), up, down)
+    assert ours.shape == gold.shape
+    assert err_db(ours, gold) < -90
+
+
+def test_resample_poly_batched(rng):
+    x = rng.normal(size=(5, 2048)).astype(np.float32)
+    ours = np.asarray(resample_poly(x, 4, 1))
+    for i in range(5):
+        gold = sps.resample_poly(x[i].astype(np.float64), 4, 1)
+        assert err_db(ours[i], gold) < -90
+
+
+def test_resample_poly_identity():
+    x = np.linspace(-1, 1, 100).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(resample_poly(x, 3, 3)), x)
+
+
+@pytest.mark.parametrize("up,down,L", [(4, 1, 1024), (2, 1, 512), (3, 2, 1024), (1, 4, 1024)])
+def test_streaming_equals_oneshot(rng, up, down, L):
+    """Blocked PolyResampler output == full-signal upfirdn (causal), which is
+    resample_poly's centered output delayed by state.delay_outputs."""
+    nblocks = 6
+    sig = rng.normal(size=L * nblocks).astype(np.float32)
+    state = PolyResampler.init(up, down, block=L)
+    outs = []
+    for b in range(nblocks):
+        state, y = state.process(sig[b * L : (b + 1) * L])
+        outs.append(np.asarray(y))
+    streamed = np.concatenate(outs)
+    assert streamed.shape[-1] == len(sig) * state.up // state.down
+
+    gold_full = sps.upfirdn(np.asarray(state.h), sig.astype(np.float64), state.up, state.down)
+    n = len(streamed)
+    assert err_db(streamed, gold_full[:n]) < -85
+
+    # cross-check the delay relation vs resample_poly
+    centered = sps.resample_poly(sig.astype(np.float64), state.up, state.down,
+                                 window=("kaiser", 5.0))
+    d = state.delay_outputs
+    m = min(len(centered), n - d)
+    assert err_db(streamed[d : d + m], centered[:m]) < -85
+
+
+def test_streaming_block_size_invariance(rng):
+    """Output must not depend on the block partitioning."""
+    sig = rng.normal(size=4096).astype(np.float32)
+    outs = {}
+    for L in (512, 1024, 2048):
+        state = PolyResampler.init(4, 1, block=L)
+        parts = [np.asarray(state.process(sig[i : i + L])[1]) for i in range(0, 4096, L)]
+        # process() returns (state, out); rebuild properly with state threading
+        state = PolyResampler.init(4, 1, block=L)
+        parts = []
+        for i in range(0, 4096, L):
+            state, y = state.process(sig[i : i + L])
+            parts.append(np.asarray(y))
+        outs[L] = np.concatenate(parts)
+    np.testing.assert_allclose(outs[512], outs[1024], atol=1e-6)
+    np.testing.assert_allclose(outs[512], outs[2048], atol=1e-6)
+
+
+def test_decimate_stride():
+    x = np.arange(64, dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(decimate(x, 4)), x[::4])
