@@ -105,6 +105,16 @@ class Pipeline:
             attack=cfg.agc_attack,
             release=cfg.agc_release,
         )
+        # ASRC mode decided statically: streaming when the block divides the
+        # reduced decimation factor, else the reference's stateless per-block
+        # conversion (`stream_process_AGC.py:126-129`)
+        self._asrc_stateless = False
+        if cfg.source_samplerate and cfg.source_samplerate != cfg.samplerate:
+            import math as _math
+
+            g = _math.gcd(cfg.samplerate, cfg.source_samplerate)
+            self._asrc_stateless = bool(self.block % (cfg.source_samplerate // g))
+
         self._step = jax.jit(self._step_impl, donate_argnums=(1,))
         self._run = jax.jit(self._run_impl, donate_argnums=(1,))
 
@@ -134,9 +144,14 @@ class Pipeline:
         cfg = self.cfg
         B = (self.batch,)
         asrc = None
-        if cfg.source_samplerate and cfg.source_samplerate != cfg.samplerate:
+        if (
+            cfg.source_samplerate
+            and cfg.source_samplerate != cfg.samplerate
+            and not self._asrc_stateless
+        ):
             asrc = PolyResampler.init(
-                cfg.samplerate, cfg.source_samplerate, block=self.block, batch_shape=B
+                cfg.samplerate, cfg.source_samplerate, block=self.block,
+                batch_shape=B,
             )
         up = None
         if self.upf > 1:
@@ -167,6 +182,11 @@ class Pipeline:
         asrc = state.asrc
         if asrc is not None:
             asrc, x = asrc.process(x)
+        elif self._asrc_stateless:
+            from ..ops.resample import resample_poly
+
+            x = resample_poly(x, cfg.samplerate, cfg.source_samplerate)
+        if asrc is not None or self._asrc_stateless:
             n = x.shape[-1]
             if n < self.block:
                 x = jnp.pad(x, ((0, 0), (0, self.block - n)))

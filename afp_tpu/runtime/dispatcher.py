@@ -1,0 +1,179 @@
+"""Host block dispatcher + simulated-clock stream driver (SURVEY.md §2.4,
+§5.3).
+
+Re-creates the reference's 3-thread streaming architecture
+(`/root/reference/stream_process_EQ_GUI.py:47-48, 65-113, 462-484`) around
+the TPU engine:
+
+    source → [input ring] → DSP thread (engine.process_block, async XLA)
+           → [output ring] → paced consumer (the "audio callback")
+
+with the exact queue semantics: bounded rings (default 20, the reference's
+``Queue(maxsize=20)``), put_nowait + drop-on-full on the output side, timeout
+→ process-silence on the input side, underrun → 0.8·last + 0.2·silence blend,
+and output-queue priming with silence blocks
+(`stream_process_EQ_GUI.py:147-148`).
+
+The :class:`SimulatedStream` drives the consumer at the real block rate off
+the native monotonic pacer — the authoritative latency-semantics harness
+(SURVEY.md §7 "latency semantics") — with fault-injection hooks
+(drop / late / corrupt) for failure-path tests.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..engine.engine import StreamEngine
+from .host import BlockRing, Pacer
+
+__all__ = ["BlockDispatcher", "SimulatedStream", "FaultInjector"]
+
+#: reference queue depth (`stream_process_EQ_GUI.py:47-48`).
+DEFAULT_QUEUE_DEPTH = 20
+#: silence blocks pre-filled into the output queue (`:147-148`).
+PRIME_BLOCKS = 15
+
+
+@dataclass
+class FaultInjector:
+    """Deterministic fault injection for the simulated driver (§5.3)."""
+
+    drop_every: Optional[int] = None  # drop every Nth input block
+    late_every: Optional[int] = None  # delay every Nth block by `late_seconds`
+    late_seconds: float = 0.0
+    corrupt_every: Optional[int] = None  # NaN-poison every Nth block
+    _n: int = field(default=0, repr=False)
+
+    def apply(self, block: np.ndarray) -> Optional[np.ndarray]:
+        self._n += 1
+        if self.drop_every and self._n % self.drop_every == 0:
+            return None
+        if self.late_every and self._n % self.late_every == 0:
+            time.sleep(self.late_seconds)
+        if self.corrupt_every and self._n % self.corrupt_every == 0:
+            bad = block.copy()
+            bad.flat[0] = np.nan
+            return bad
+        return block
+
+
+class BlockDispatcher:
+    """Input ring → engine thread → output ring, with reference semantics."""
+
+    def __init__(self, engine: StreamEngine,
+                 queue_depth: int = DEFAULT_QUEUE_DEPTH,
+                 prime: int = PRIME_BLOCKS):
+        self.engine = engine
+        shape = (engine.cfg.batch, engine.cfg.blocksize)
+        self.in_ring = BlockRing(queue_depth, shape)
+        self.out_ring = BlockRing(queue_depth, shape)
+        self._shape = shape
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        # prime the output queue with silence so the consumer never starves
+        # at startup (`stream_process_EQ_GUI.py:147-148`)
+        for _ in range(min(prime, queue_depth)):
+            self.out_ring.push(np.zeros(shape, dtype=np.float32))
+        self._last_out = np.zeros(shape, dtype=np.float32)
+
+    # --- producer side (the "audio callback" input half) ---
+
+    def submit(self, block: np.ndarray) -> bool:
+        """Nowait enqueue of an input block; False = dropped (ring full)."""
+        return self.in_ring.push(block)
+
+    # --- worker ---
+
+    def _worker(self) -> None:
+        cfg = self.engine.cfg
+        while not self._stop.is_set():
+            blk = self.in_ring.pop(timeout=0.1)
+            if blk is None:
+                # input timeout → process silence
+                # (`stream_process_AGC.py:111-115`)
+                blk = np.zeros(self._shape, dtype=np.float32)
+            out = self.engine.process_block(blk)
+            # put_nowait; drop frame when full (`stream_process_AGC.py:198-199`)
+            if not self.out_ring.push(out, timeout=0.1):
+                self.engine.metrics.drops += 1
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name="afp-dsp-worker")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None
+
+    # --- consumer side (the "audio callback" output half) ---
+
+    def fetch(self) -> np.ndarray:
+        """Nowait dequeue; on underrun, the 0.8·last + 0.2·silence blend
+        (`stream_process_EQ_GUI.py:476-480`)."""
+        out = self.out_ring.pop()
+        if out is None:
+            self.engine.metrics.underruns += 1
+            out = (0.8 * self._last_out).astype(np.float32)
+        self._last_out = out
+        return out
+
+
+class SimulatedStream:
+    """Paced duplex stream without audio hardware: the `sd.Stream` analog.
+
+    Drives `callback(indata) -> None`-style consumption at exactly
+    blocksize/samplerate seconds per tick off the native monotonic pacer, so
+    one-block-in/one-block-out latency is enforced and measurable.
+    """
+
+    def __init__(self, engine: StreamEngine,
+                 source: Callable[[int], np.ndarray],
+                 sink: Optional[Callable[[np.ndarray], None]] = None,
+                 faults: Optional[FaultInjector] = None,
+                 realtime: bool = True):
+        self.engine = engine
+        self.dispatcher = BlockDispatcher(engine)
+        self.source = source
+        self.sink = sink
+        self.faults = faults
+        self.realtime = realtime
+        cfg = engine.cfg
+        self.block_seconds = cfg.blocksize / cfg.samplerate
+
+    def run(self, n_blocks: int) -> dict:
+        """Run the paced loop for `n_blocks`; returns a metrics snapshot."""
+        self.dispatcher.start()
+        pacer = Pacer(self.block_seconds) if self.realtime else None
+        try:
+            for i in range(n_blocks):
+                blk = self.source(i)
+                if self.faults is not None:
+                    blk = self.faults.apply(blk)
+                if blk is not None:
+                    self.dispatcher.submit(blk)
+                out = self.dispatcher.fetch()
+                if self.sink is not None:
+                    self.sink(out)
+                if pacer is not None:
+                    missed = pacer.wait()
+                    if missed:
+                        self.engine.metrics.overruns += missed
+        finally:
+            self.dispatcher.stop()
+        snap = self.engine.metrics.snapshot()
+        snap["in_ring"] = self.dispatcher.in_ring.stats
+        snap["out_ring"] = self.dispatcher.out_ring.stats
+        if pacer is not None:
+            snap["pacer_overruns"] = pacer.overruns
+        return snap

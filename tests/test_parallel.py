@@ -1,0 +1,99 @@
+"""Multi-chip-without-a-cluster tests (SURVEY.md §4 item 4): 8 virtual CPU
+devices; sharded output must match single-device bit-for-bit (within fp32
+scan-order tolerance)."""
+import numpy as np
+import pytest
+import jax
+
+from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+from afp_tpu.parallel import ShardedPipeline, halo_convolve, make_mesh
+
+
+def make_cfg(**kw):
+    base = dict(
+        samplerate=44100, blocksize=512, upsample_factor=2, numtaps=65,
+        batch=8, filter_type="lowpass", cutoff=11000.0,
+        eq_enabled=True, agc_enabled=False, downsample_mode="decimate",
+        dither_kind="off", output_clip=None,
+    )
+    base.update(kw)
+    return StreamConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual devices"
+    return make_mesh(8, axis_names=("streams",))
+
+
+def test_sharded_matches_single_device(rng, mesh):
+    cfg = make_cfg(batch=8)
+    # single-device reference
+    pipe = Pipeline(cfg)
+    design = PipelineParams.design(pipe.cfg)
+    params = pipe.device_params(design)
+    blocks = rng.normal(size=(8, cfg.blocksize)).astype(np.float32)
+    _, gold = pipe.step(params, pipe.init_state(), blocks)
+
+    sp = ShardedPipeline(cfg, mesh)
+    sparams = sp.device_params(design)
+    sstate = sp.init_state()
+    sstate, out = sp.step(sparams, sstate, blocks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold), atol=1e-6)
+
+
+def test_sharded_run_multi_block(rng, mesh):
+    cfg = make_cfg(batch=16)
+    pipe = Pipeline(cfg)
+    design = PipelineParams.design(pipe.cfg)
+    params = pipe.device_params(design)
+    blocks = rng.normal(size=(3, 16, cfg.blocksize)).astype(np.float32)
+    st = pipe.init_state()
+    _, gold = pipe.run(params, st, blocks)
+
+    sp = ShardedPipeline(cfg, mesh)
+    sstate = sp.init_state()
+    _, out = sp.run(sp.device_params(design), sstate, blocks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold), atol=1e-6)
+
+
+def test_sharded_dither_decorrelated(mesh):
+    """Dither keys fold in the mesh position: shards must not emit identical
+    noise."""
+    cfg = make_cfg(batch=8, dither_kind="tpdf", eq_enabled=False,
+                   upsample_factor=1)
+    sp = ShardedPipeline(cfg, mesh)
+    params = sp.device_params(PipelineParams.design(sp.cfg))
+    blocks = np.zeros((8, cfg.blocksize), dtype=np.float32)
+    _, out = sp.step(params, sp.init_state(), blocks)
+    out = np.asarray(out)
+    assert not np.allclose(out[0], out[1])
+
+
+def test_batch_must_divide(mesh):
+    with pytest.raises(ValueError):
+        ShardedPipeline(make_cfg(batch=9), mesh)
+
+
+def test_halo_convolve_matches_streaming(rng, mesh):
+    """Time-sharded halo-exchange convolution == zero-primed causal conv."""
+    tmesh = make_mesh(8, axis_names=("time",))
+    N, T = 129, 8 * 1024
+    h = rng.normal(size=N).astype(np.float32)
+    x = rng.normal(size=T).astype(np.float32)
+    out = np.asarray(halo_convolve(x, h, tmesh))
+    gold = np.convolve(np.concatenate([np.zeros(N - 1), x.astype(np.float64)]),
+                       h.astype(np.float64), mode="valid")
+    assert out.shape == gold.shape
+    assert np.max(np.abs(out - gold)) < 1e-4
+
+
+def test_halo_convolve_batched(rng):
+    tmesh = make_mesh(4, axis_names=("time",))
+    h = rng.normal(size=65).astype(np.float32)
+    x = rng.normal(size=(3, 4096)).astype(np.float32)
+    out = np.asarray(halo_convolve(x, h, tmesh))
+    for b in range(3):
+        gold = np.convolve(np.concatenate([np.zeros(64), x[b].astype(np.float64)]),
+                           h.astype(np.float64), mode="valid")
+        assert np.max(np.abs(out[b] - gold)) < 1e-4

@@ -1,0 +1,148 @@
+"""Golden-waveform integration tests: the fused device pipeline vs a
+numpy/scipy oracle replicating the reference chain semantics
+(SURVEY.md §4 item 2)."""
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+from afp_tpu.ops.resample import PolyResampler, design_resample_kernel
+
+
+def err_db(a, b):
+    return 20 * np.log10(np.max(np.abs(np.asarray(a) - b)) / (np.max(np.abs(b)) + 1e-300) + 1e-300)
+
+
+def make_cfg(**kw):
+    base = dict(
+        samplerate=44100, blocksize=1024, upsample_factor=4, numtaps=129,
+        batch=2, filter_type="lowpass", cutoff=11000.0, window_type="hamming",
+        eq_enabled=True, agc_enabled=False, downsample_mode="decimate",
+        dither_kind="off", output_clip=None,
+    )
+    base.update(kw)
+    return StreamConfig(**base)
+
+
+def oracle_chain(x, cfg, params):
+    """Full-signal float64 oracle of the causal streamed pipeline:
+    upsample (causal upfirdn) → fused EQ+main conv (zero-primed) → decimate."""
+    upf = cfg.upsample_factor
+    T = len(x)
+    if upf > 1:
+        st = PolyResampler.init(upf, 1, block=cfg.blocksize)
+        h_up = np.asarray(st.h, dtype=np.float64)
+        y = sps.upfirdn(h_up, x.astype(np.float64), upf, 1)[: T * upf]
+    else:
+        y = x.astype(np.float64)
+    h_eq = np.tensordot(params.eq_gains.astype(np.float64), params.eq_taps.astype(np.float64), 1)
+    h_fused = np.convolve(h_eq, params.main_taps.astype(np.float64))
+    y = np.convolve(y, h_fused)[: len(y)]
+    if upf > 1:
+        y = y[::upf]
+    return y
+
+
+@pytest.mark.parametrize("upf", [1, 2, 4])
+def test_pipeline_matches_oracle(rng, upf):
+    cfg = make_cfg(upsample_factor=upf)
+    pipe = Pipeline(cfg)
+    design = PipelineParams.design(pipe.cfg)
+    params = pipe.device_params(design)
+    state = pipe.init_state(seed=0)
+
+    T = cfg.blocksize * 6
+    sig = rng.normal(size=(cfg.batch, T)).astype(np.float32) * 0.3
+    state, out = pipe.process_signal(params, state, sig)
+    out = np.asarray(out)
+    assert out.shape == (cfg.batch, T)
+    for b in range(cfg.batch):
+        gold = oracle_chain(sig[b], pipe.cfg, design)
+        assert err_db(out[b], gold) < -90
+
+
+def test_pipeline_step_equals_run(rng):
+    cfg = make_cfg()
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    sig = rng.normal(size=(cfg.batch, cfg.blocksize * 4)).astype(np.float32)
+
+    st1 = pipe.init_state(seed=0)
+    outs = []
+    for i in range(4):
+        st1, y = pipe.step(params, st1, sig[:, i * cfg.blocksize : (i + 1) * cfg.blocksize])
+        outs.append(np.asarray(y))
+    stepped = np.concatenate(outs, axis=-1)
+
+    st2 = pipe.init_state(seed=0)
+    _, scanned = pipe.process_signal(params, st2, sig)
+    np.testing.assert_allclose(stepped, np.asarray(scanned), atol=1e-6)
+
+
+def test_eq_gain_change_no_recompile(rng):
+    """Gain updates are runtime data — the jit cache must not grow."""
+    cfg = make_cfg()
+    pipe = Pipeline(cfg)
+    design = PipelineParams.design(pipe.cfg)
+    params = pipe.device_params(design)
+    state = pipe.init_state()
+    block = rng.normal(size=(cfg.batch, cfg.blocksize)).astype(np.float32)
+    state, _ = pipe.step(params, state, block)
+    n0 = pipe._step._cache_size()
+    import jax.numpy as jnp
+
+    g = np.linspace(0.5, 2.0, len(cfg.eq_bands)).astype(np.float32)
+    params2 = params._replace(eq_gains=jnp.asarray(g))
+    state, _ = pipe.step(params2, state, block)
+    assert pipe._step._cache_size() == n0
+
+
+def test_eq_gains_affect_output(rng):
+    cfg = make_cfg(upsample_factor=1)
+    pipe = Pipeline(cfg)
+    design = PipelineParams.design(pipe.cfg)
+    params = pipe.device_params(design)
+    block = rng.normal(size=(cfg.batch, cfg.blocksize)).astype(np.float32)
+    _, y1 = pipe.step(params, pipe.init_state(), block)
+    params2 = params._replace(eq_gains=params.eq_gains * 2.0)
+    _, y2 = pipe.step(params2, pipe.init_state(), block)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_agc_pipeline_runs(rng):
+    cfg = make_cfg(agc_enabled=True, upsample_factor=2, output_clip=0.99,
+                   agc_window_size=256)
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    state = pipe.init_state()
+    sig = (rng.normal(size=(cfg.batch, cfg.blocksize * 3)) * 0.01).astype(np.float32)
+    state, out = pipe.process_signal(params, state, sig)
+    out = np.asarray(out)
+    assert np.all(np.isfinite(out))
+    assert np.max(np.abs(out)) <= 0.99 + 1e-6
+    # AGC should have amplified the quiet signal
+    assert np.std(out[:, cfg.blocksize :]) > np.std(sig) * 2
+
+
+def test_dither_pipeline(rng):
+    cfg = make_cfg(dither_kind="tpdf", upsample_factor=1, eq_enabled=False)
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    sig = np.zeros((cfg.batch, cfg.blocksize * 2), dtype=np.float32)
+    _, out = pipe.process_signal(params, pipe.init_state(seed=7), sig)
+    out = np.asarray(out)
+    lsb = 2 / 2**24
+    assert 0 < np.max(np.abs(out)) <= lsb
+    # deterministic under the same seed
+    _, out2 = pipe.process_signal(params, pipe.init_state(seed=7), sig)
+    np.testing.assert_array_equal(out, np.asarray(out2))
+
+
+def test_asrc_pipeline(rng):
+    cfg = make_cfg(source_samplerate=48000, upsample_factor=1, eq_enabled=False)
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    sig = rng.normal(size=(cfg.batch, cfg.blocksize * 2)).astype(np.float32)
+    _, out = pipe.process_signal(params, pipe.init_state(), sig)
+    assert np.asarray(out).shape == sig.shape  # pad/trim-to-blocksize compat
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -95,16 +95,14 @@ def test_streaming_block_size_invariance(rng):
     outs = {}
     for L in (512, 1024, 2048):
         state = PolyResampler.init(4, 1, block=L)
-        parts = [np.asarray(state.process(sig[i : i + L])[1]) for i in range(0, 4096, L)]
-        # process() returns (state, out); rebuild properly with state threading
-        state = PolyResampler.init(4, 1, block=L)
         parts = []
         for i in range(0, 4096, L):
             state, y = state.process(sig[i : i + L])
             parts.append(np.asarray(y))
         outs[L] = np.concatenate(parts)
-    np.testing.assert_allclose(outs[512], outs[1024], atol=1e-6)
-    np.testing.assert_allclose(outs[512], outs[2048], atol=1e-6)
+    # different block sizes use different FFT lengths → fp32 rounding differs
+    np.testing.assert_allclose(outs[512], outs[1024], atol=1e-5)
+    np.testing.assert_allclose(outs[512], outs[2048], atol=1e-5)
 
 
 def test_decimate_stride():
