@@ -100,6 +100,13 @@ class StreamConfig:
     dither_bits: int = 24
     output_clip: Optional[float] = 0.99  # AGC engine clips ±0.99; None = off
 
+    # TPU fast path: because the engine's output returns to the base rate,
+    # the linear chain upsample→EQ→FIR→downsample collapses algebraically to
+    # ONE single-rate FIR whose kernel is the phase-0 polyphase component of
+    # the full cascade (identical output, ~upf× less compute, still linear in
+    # the EQ gains).  Disable to run the literal multirate chain.
+    fuse_rate_conversion: bool = True
+
     @property
     def upsampled_rate(self) -> int:
         return self.samplerate * self.upsample_factor
@@ -163,6 +170,7 @@ class StreamConfig:
             self.downsample_mode,
             self.dither_kind,
             self.output_clip is not None,
+            self.fuse_rate_conversion,
         )
 
     # --- (de)serialization for presets/checkpoints ---

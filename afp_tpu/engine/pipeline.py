@@ -53,10 +53,20 @@ class DeviceParams(NamedTuple):
     agc_a_att: jnp.ndarray  # []
     agc_a_rel: jnp.ndarray  # []
 
-    def combined_response(self, eq_enabled: bool) -> jnp.ndarray:
+    def combined_response(self, eq_enabled: bool,
+                          premultiplied: bool = False) -> jnp.ndarray:
+        """The live frequency response.
+
+        `premultiplied=False`: H_bands are raw band spectra → multiply the
+        gain-combined EQ by H_main (the literal multirate chain).
+        `premultiplied=True` (fused single-rate path): H_bands are already
+        full per-band *cascade* spectra (upsampler ⊛ band ⊛ main ⊛
+        downsampler, phase-0 polyphase) → just gain-combine; H_main is the
+        no-EQ cascade.
+        """
         if eq_enabled and self.H_bands.shape[0] > 0:
             H_eq = jnp.tensordot(self.eq_gains, self.H_bands, axes=1)
-            return H_eq * self.H_main
+            return H_eq if premultiplied else H_eq * self.H_main
         return self.H_main
 
 
@@ -97,7 +107,29 @@ class Pipeline:
         self.n_fused = (
             2 * n_design - 1 if (cfg.eq_enabled and len(cfg.eq_bands) > 0) else n_design
         )
-        self.nfft = next_pow2(self.up_block + self.n_fused - 1)
+
+        # --- single-rate fusion (the TPU fast path) ---
+        # upsample(U) → filter → downsample(U) with base-rate output is
+        # algebraically y[n] = Σ_p cascade[U·(n−p)]·x[p]: ONE base-rate FIR
+        # with the phase-0 polyphase component of the full cascade.
+        self.fused = bool(cfg.fuse_rate_conversion) and self.upf > 1
+        if self.fused:
+            from ..ops.resample import streaming_kernel
+
+            self._h_up_np = streaming_kernel(self.upf, 1)
+            self._h_down_np = (
+                streaming_kernel(1, self.upf)
+                if cfg.downsample_mode == "resample"
+                else None
+            )
+            n_total = len(self._h_up_np) + self.n_fused - 1
+            if self._h_down_np is not None:
+                n_total += len(self._h_down_np) - 1
+            self.n_casc = -(-n_total // self.upf)  # ceil: decimated length
+            self.nfft = next_pow2(self.block + self.n_casc - 1)
+        else:
+            self.n_casc = None
+            self.nfft = next_pow2(self.up_block + self.n_fused - 1)
         self.agc = AGCParams(
             target_level=cfg.agc_target_level,
             window_size=cfg.agc_window_size,
@@ -121,13 +153,48 @@ class Pipeline:
     # ---------------- parameter bank ----------------
 
     def device_params(self, p: PipelineParams) -> DeviceParams:
-        """Upload a designed parameter bank; pad kernels to the fused length
-        so swaps never change shapes."""
+        """Upload a designed parameter bank (kernel spectra at the pipeline's
+        static FFT length, so swaps never change shapes).
+
+        On the fused path, per-band kernels become full *cascade* kernels —
+        float64 host convolution of upsampler ⊛ band ⊛ main [⊛ downsampler],
+        decimated to the phase-0 polyphase component — keeping the response
+        linear in the EQ gains (glitch-free live gain updates preserved).
+        """
         n_b = p.eq_taps.shape[0]
-        H_bands = jnp.fft.rfft(
-            jnp.asarray(p.eq_taps, dtype=jnp.float32), n=self.nfft, axis=-1
-        ) if n_b else jnp.zeros((0, self.nfft // 2 + 1), dtype=jnp.complex64)
-        H_main = jnp.fft.rfft(jnp.asarray(p.main_taps, dtype=jnp.float32), n=self.nfft)
+        if self.fused:
+            main64 = np.asarray(p.main_taps, dtype=np.float64)
+
+            def cascade(band: np.ndarray | None) -> np.ndarray:
+                k = np.convolve(self._h_up_np, main64)
+                if band is not None:
+                    k = np.convolve(k, band)
+                if self._h_down_np is not None:
+                    k = np.convolve(k, self._h_down_np)
+                k = k[:: self.upf]  # phase-0 polyphase component
+                out = np.zeros(self.n_casc)
+                out[: len(k)] = k
+                return out
+
+            if n_b and self.cfg.eq_enabled:
+                bands = np.stack(
+                    [cascade(np.asarray(b, dtype=np.float64)) for b in p.eq_taps]
+                )
+                H_bands = jnp.fft.rfft(
+                    jnp.asarray(bands, dtype=jnp.float32), n=self.nfft, axis=-1
+                )
+            else:
+                H_bands = jnp.zeros((0, self.nfft // 2 + 1), dtype=jnp.complex64)
+            H_main = jnp.fft.rfft(
+                jnp.asarray(cascade(None), dtype=jnp.float32), n=self.nfft
+            )
+        else:
+            H_bands = jnp.fft.rfft(
+                jnp.asarray(p.eq_taps, dtype=jnp.float32), n=self.nfft, axis=-1
+            ) if n_b else jnp.zeros((0, self.nfft // 2 + 1), dtype=jnp.complex64)
+            H_main = jnp.fft.rfft(
+                jnp.asarray(p.main_taps, dtype=jnp.float32), n=self.nfft
+            )
         return DeviceParams(
             H_bands=H_bands,
             H_main=H_main,
@@ -154,12 +221,13 @@ class Pipeline:
                 batch_shape=B,
             )
         up = None
-        if self.upf > 1:
+        if self.upf > 1 and not self.fused:
             up = PolyResampler.init(self.upf, 1, block=self.block, batch_shape=B)
         down = None
-        if self.upf > 1 and cfg.downsample_mode == "resample":
+        if self.upf > 1 and cfg.downsample_mode == "resample" and not self.fused:
             down = PolyResampler.init(1, self.upf, block=self.up_block, batch_shape=B)
-        conv_tail = jnp.zeros((self.batch, self.n_fused - 1), dtype=jnp.float32)
+        n_tail = (self.n_casc if self.fused else self.n_fused) - 1
+        conv_tail = jnp.zeros((self.batch, n_tail), dtype=jnp.float32)
         agc_gain = jnp.ones((self.batch,), dtype=jnp.float32) if cfg.agc_enabled else None
         return StreamState(
             asrc=asrc,
@@ -203,30 +271,39 @@ class Pipeline:
             x = jnp.clip(x * g, -0.99, 0.99)
             agc_gain = g[..., -1]
 
-        # 3. polyphase upsample 1–4×
+        # 3–5. the linear chain: upsample → EQ+main FIR → downsample.
+        # Fused path: one base-rate overlap-save pass with the phase-0
+        # polyphase cascade kernel (identical output, ~upf× less FFT work).
         up = state.up
-        if up is not None:
-            up, x = up.process(x)  # [B, L*upf]
-
-        # 4. fused EQ+main FIR: one overlap-save FFT pass
-        H = params.combined_response(cfg.eq_enabled)
-        ext = jnp.concatenate([state.conv_tail, x], axis=-1)  # [B, N_f-1+L']
-        Y = jnp.fft.rfft(ext, n=self.nfft) * H
-        y = jnp.fft.irfft(Y, n=self.nfft)
-        y = jax.lax.slice_in_dim(
-            y, self.n_fused - 1, self.n_fused - 1 + self.up_block, axis=-1
-        )
-        conv_tail = jax.lax.slice_in_dim(
-            ext, ext.shape[-1] - (self.n_fused - 1), ext.shape[-1], axis=-1
-        )
-
-        # 5. downsample back to engine rate
         down = state.down
-        if self.upf > 1:
-            if cfg.downsample_mode == "decimate":
-                y = decimate(y, self.upf)  # anti-alias provided by main filter
-            else:
-                down, y = down.process(y)
+        if self.fused:
+            n_conv = self.n_casc
+            H = params.combined_response(cfg.eq_enabled, premultiplied=True)
+            ext = jnp.concatenate([state.conv_tail, x], axis=-1)
+            Y = jnp.fft.rfft(ext, n=self.nfft) * H
+            y = jnp.fft.irfft(Y, n=self.nfft)
+            y = jax.lax.slice_in_dim(y, n_conv - 1, n_conv - 1 + self.block, axis=-1)
+            conv_tail = jax.lax.slice_in_dim(
+                ext, ext.shape[-1] - (n_conv - 1), ext.shape[-1], axis=-1
+            )
+        else:
+            if up is not None:
+                up, x = up.process(x)  # [B, L*upf]
+            H = params.combined_response(cfg.eq_enabled)
+            ext = jnp.concatenate([state.conv_tail, x], axis=-1)  # [B, N_f-1+L']
+            Y = jnp.fft.rfft(ext, n=self.nfft) * H
+            y = jnp.fft.irfft(Y, n=self.nfft)
+            y = jax.lax.slice_in_dim(
+                y, self.n_fused - 1, self.n_fused - 1 + self.up_block, axis=-1
+            )
+            conv_tail = jax.lax.slice_in_dim(
+                ext, ext.shape[-1] - (self.n_fused - 1), ext.shape[-1], axis=-1
+            )
+            if self.upf > 1:
+                if cfg.downsample_mode == "decimate":
+                    y = decimate(y, self.upf)  # anti-alias provided by main filter
+                else:
+                    down, y = down.process(y)
 
         # 6. output clip (AGC engine clamps ±0.99, `stream_process_AGC.py:180`)
         if cfg.output_clip is not None:

@@ -150,6 +150,24 @@ def resample_poly(x: jnp.ndarray, up: int, down: int,
     return y[..., n_pre_remove : n_pre_remove + n_out]
 
 
+def streaming_kernel(up: int, down: int, h: np.ndarray | None = None) -> np.ndarray:
+    """Host-side copy of the pre-padded kernel :class:`PolyResampler` uses —
+    the exact impulse response of the causal streaming resampler, for
+    building fused cascade kernels (float64 numpy)."""
+    up, down = int(up), int(down)
+    g = math.gcd(up, down)
+    up //= g
+    down //= g
+    if h is None:
+        h = design_resample_kernel(up, down)
+    h = np.asarray(h, dtype=np.float64)
+    if up == down == 1:
+        return h
+    half_len = (len(h) - 1) // 2
+    n_pre_pad = down - half_len % down
+    return np.concatenate([np.zeros(n_pre_pad), h])
+
+
 def decimate(x: jnp.ndarray, factor: int, offset: int = 0) -> jnp.ndarray:
     """Naive stride decimation (`stream_process.py:106`) — relies on a
     preceding lowpass as the anti-alias stage; free on TPU (a strided slice)."""

@@ -1,0 +1,167 @@
+"""Headless equalizer controller (L5, SURVEY.md §1).
+
+Mirrors the control surface of the reference's ``EqualizerGUI`` family
+(`/root/reference/stream_process_EQ_GUI.py:115-418`,
+`stream_process_GUI_Presets.py:130-240`) without tkinter: the control plane
+(pending-config edits → validated apply → glitch-free engine swap → response
+plot) separated from the data plane (the engine), per SURVEY.md §2.4.
+
+Surface parity:
+
+* ``apply_changes()``         — parse/clamp pending fields, re-design filters,
+  atomic parameter swap (`:280-306`), returns whether the swap was
+  glitch-free,
+* ``reset_to_defaults()``     — the GUI defaults (`:308-344`),
+* ``set_gain(i, g)`` / ``get_gains()`` — live EQ sliders (no redesign),
+* ``save/load/delete_preset`` — the Presets generation (`Presets.py:153-195`),
+* ``plot_response(path)``     — freqz plot with optional live-spectrum
+  overlay (`:390-418`),
+* ``waterfall(path)``         — 3-D spectrum history (`Waterfall.py:312-339`).
+
+A tkinter front-end can wrap this class; the engine never depends on it.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..engine import PresetStore, StreamConfig, StreamEngine
+from ..engine.config import EQBand
+
+__all__ = ["EqualizerController", "DEFAULT_CONFIG"]
+
+#: the reference GUI defaults (`stream_process_EQ_GUI.py:182-191, 308-334`).
+DEFAULT_CONFIG = StreamConfig(
+    samplerate=44100,
+    upsample_factor=2,
+    blocksize=2048,
+    cutoff=14000.0,
+    numtaps=129,
+    window_type="hamming",
+    filter_type="lowpass",
+    min_phase=False,
+)
+
+
+class EqualizerController:
+    """Control plane over a :class:`StreamEngine`."""
+
+    def __init__(self, engine: Optional[StreamEngine] = None,
+                 preset_path: Optional[str] = None):
+        self.engine = engine or StreamEngine(DEFAULT_CONFIG)
+        self.pending = self.engine.cfg  # edits accumulate here
+        self.presets = PresetStore(preset_path)
+        self.show_spectrum = False
+        self._last_spectrum: Optional[np.ndarray] = None
+
+    # ---------------- pending edits (the tk variables analog) ----------------
+
+    def set_field(self, **kwargs) -> None:
+        """Stage config edits (cutoff=..., numtaps=..., window_type=..., …)."""
+        if "cutoff_low" in kwargs or "cutoff_high" in kwargs:
+            lo = float(kwargs.pop("cutoff_low", self._cutoff_pair()[0]))
+            hi = float(kwargs.pop("cutoff_high", self._cutoff_pair()[1]))
+            kwargs["cutoff"] = (lo, hi)
+        self.pending = dataclasses.replace(self.pending, **kwargs)
+
+    def _cutoff_pair(self):
+        c = self.pending.cutoff
+        return c if isinstance(c, tuple) else (500.0, 15000.0)
+
+    # ---------------- gains (live, no redesign) ----------------
+
+    def get_gains(self) -> list:
+        return [float(g) for g in np.asarray(self.engine.params.eq_gains)]
+
+    def set_gain(self, index: int, gain: float) -> None:
+        gains = self.get_gains()
+        gains[index] = float(gain)
+        self.engine.set_eq_gains(gains)
+        bands = tuple(
+            dataclasses.replace(b, gain=g)
+            for b, g in zip(self.pending.eq_bands, gains)
+        )
+        self.pending = dataclasses.replace(self.pending, eq_bands=bands)
+
+    def set_gains(self, gains: Sequence[float]) -> None:
+        self.engine.set_eq_gains(list(gains))
+        bands = tuple(
+            dataclasses.replace(b, gain=float(g))
+            for b, g in zip(self.pending.eq_bands, gains)
+        )
+        self.pending = dataclasses.replace(self.pending, eq_bands=bands)
+
+    # ---------------- apply / reset ----------------
+
+    def apply_changes(self) -> bool:
+        """Validate + apply the pending config.  True = glitch-free swap."""
+        return self.engine.apply_config(self.pending)
+
+    def reset_to_defaults(self) -> bool:
+        """GUI reset (`stream_process_EQ_GUI.py:308-344`): unity gains +
+        default design, keeping the engine's batch/deployment fields."""
+        keep = dict(
+            batch=self.engine.cfg.batch,
+            source_samplerate=self.engine.cfg.source_samplerate,
+        )
+        self.pending = dataclasses.replace(DEFAULT_CONFIG, **keep)
+        return self.apply_changes()
+
+    @property
+    def upsampled_rate(self) -> int:
+        """The GUI's rate display (`:303-304`)."""
+        return self.engine.cfg.upsampled_rate
+
+    # ---------------- presets ----------------
+
+    def save_preset(self, name: str) -> None:
+        self.presets.save_preset(name, self.engine.cfg)
+
+    def load_preset(self, name: str) -> bool:
+        self.pending = self.presets.load_preset(name, self.engine.cfg)
+        ok = self.apply_changes()
+        self.set_gains([b.gain for b in self.pending.eq_bands])
+        return ok
+
+    def delete_preset(self, name: str) -> None:
+        self.presets.delete_preset(name)
+
+    @property
+    def preset_names(self):
+        return self.presets.names
+
+    # ---------------- observation ----------------
+
+    def update_spectrum(self, block: np.ndarray) -> None:
+        """Feed an output block for the live-spectrum overlay."""
+        from ..ops.spectrum import spectrum_db
+
+        if self.show_spectrum:
+            self._last_spectrum = np.asarray(spectrum_db(np.asarray(block)))
+
+    def plot_response(self, save_path: Optional[str] = None):
+        """The 3-panel response figure of the *current* main filter, at the
+        upsampled design rate (`:390-418`)."""
+        from ..engine.config import PipelineParams
+        from ..viz import plot_filter_response
+
+        design = PipelineParams.design(self.engine.cfg)
+        return plot_filter_response(
+            design.main_taps,
+            fs=self.engine.cfg.upsampled_rate,
+            filter_type=self.engine.cfg.filter_type,
+            save_path=save_path,
+        )
+
+    def waterfall(self, ring: np.ndarray, save_path: Optional[str] = None):
+        from ..ops.spectrum import spectrum_freqs
+        from ..viz import plot_waterfall
+
+        cfg = self.engine.cfg
+        freqs = spectrum_freqs(cfg.blocksize, cfg.samplerate)
+        return plot_waterfall(
+            ring, freqs, block_seconds=cfg.blocksize / cfg.samplerate,
+            save_path=save_path,
+        )

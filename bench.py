@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: aggregate real-time factor on the headline config.
+
+Headline metric (BASELINE.md north star): aggregate xRT — audio-seconds
+processed per wall-second per chip — for the reference's baseline chain
+(`/root/reference/stream_process.py:19-30` scaled up): 1001-tap lowpass FIR,
+4× polyphase upsample @ 44.1 kHz, blocksize 4096, TPDF dither, batched over
+concurrent streams on one chip.  The reference achieves xRT = 1.0 by
+construction (one real-time mono stream on a pinned RPi5 core), so
+``vs_baseline`` is the raw xRT number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+
+    batch = int(os.environ.get("AFP_BENCH_BATCH", "512"))
+    nblocks = int(os.environ.get("AFP_BENCH_BLOCKS", "8"))
+    reps = int(os.environ.get("AFP_BENCH_REPS", "5"))
+
+    cfg = StreamConfig(
+        samplerate=44100,
+        blocksize=4096,
+        upsample_factor=4,
+        numtaps=1001,
+        batch=batch,
+        filter_type="lowpass",
+        cutoff=11000.0,
+        window_type="hamming",
+        eq_enabled=False,  # the C5 baseline chain: upsample→FIR→decimate→dither
+        agc_enabled=False,
+        downsample_mode="decimate",
+        dither_kind="tpdf",
+        output_clip=None,
+    )
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+
+    key = jax.random.PRNGKey(0)
+    blocks = jax.random.normal(
+        key, (nblocks, batch, cfg.blocksize), dtype=jnp.float32
+    ) * 0.3
+
+    # warmup / compile
+    state = pipe.init_state(seed=0)
+    state, out = pipe.run(params, state, blocks)
+    float(jnp.sum(out))  # force full completion (remote-device safe)
+
+    # timed steady-state runs (state donated each run); a scalar fetch inside
+    # the timed region guarantees the device really finished (on tunneled
+    # devices block_until_ready alone can return early)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, out = pipe.run(params, state, blocks)
+        checksum = float(jnp.sum(out))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    assert np.isfinite(checksum)
+
+    audio_seconds = batch * nblocks * cfg.blocksize / cfg.samplerate
+    xrt = audio_seconds / best
+
+    result = {
+        "metric": "aggregate_xrt_1001tap_4x_44k1",
+        "value": round(xrt, 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(xrt, 1),
+        "batch": batch,
+        "blocksize": cfg.blocksize,
+        "nblocks_per_run": nblocks,
+        "best_run_s": round(best, 4),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
