@@ -147,8 +147,12 @@ class Pipeline:
             g = _math.gcd(cfg.samplerate, cfg.source_samplerate)
             self._asrc_stateless = bool(self.block % (cfg.source_samplerate // g))
 
-        self._step = jax.jit(self._step_impl, donate_argnums=(1,))
-        self._run = jax.jit(self._run_impl, donate_argnums=(1,))
+        # NOTE: no donate_argnums — the engine's degradation ladder keeps the
+        # previous state alive to recover from a failed step (a donated state
+        # buffer would be dead after any exception).  State is tiny (tails),
+        # so donation buys nothing here.
+        self._step = jax.jit(self._step_impl)
+        self._run = jax.jit(self._run_impl)
 
     # ---------------- parameter bank ----------------
 

@@ -128,6 +128,16 @@ class BlockDispatcher:
         self._last_out = out
         return out
 
+    def fetch_blocking(self, timeout: float = 2.0) -> np.ndarray:
+        """Lockstep dequeue for offline (non-realtime) mode; falls back to
+        the underrun blend only after `timeout` seconds."""
+        out = self.out_ring.pop(timeout=timeout)
+        if out is None:
+            self.engine.metrics.underruns += 1
+            out = (0.8 * self._last_out).astype(np.float32)
+        self._last_out = out
+        return out
+
 
 class SimulatedStream:
     """Paced duplex stream without audio hardware: the `sd.Stream` analog.
@@ -162,7 +172,10 @@ class SimulatedStream:
                     blk = self.faults.apply(blk)
                 if blk is not None:
                     self.dispatcher.submit(blk)
-                out = self.dispatcher.fetch()
+                if self.realtime:
+                    out = self.dispatcher.fetch()
+                else:
+                    out = self.dispatcher.fetch_blocking()
                 if self.sink is not None:
                     self.sink(out)
                 if pacer is not None:

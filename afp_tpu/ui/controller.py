@@ -117,7 +117,9 @@ class EqualizerController:
     # ---------------- presets ----------------
 
     def save_preset(self, name: str) -> None:
-        self.presets.save_preset(name, self.engine.cfg)
+        # snapshot `pending`, which tracks live gain edits the engine config
+        # hasn't absorbed (gains are runtime data, not config swaps)
+        self.presets.save_preset(name, self.pending)
 
     def load_preset(self, name: str) -> bool:
         self.pending = self.presets.load_preset(name, self.engine.cfg)

@@ -1,0 +1,142 @@
+"""StreamEngine tests: degradation ladder, glitch-free reconfig, presets,
+checkpoint/resume (SURVEY.md §5.3, §5.4, §5.6)."""
+import os
+
+import numpy as np
+import pytest
+
+from afp_tpu.engine import (
+    PresetStore,
+    StreamConfig,
+    StreamEngine,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def make_engine(**kw):
+    base = dict(
+        samplerate=44100, blocksize=512, upsample_factor=2, numtaps=65,
+        batch=2, cutoff=11000.0, eq_enabled=True, agc_enabled=False,
+        downsample_mode="decimate", dither_kind="off", output_clip=None,
+    )
+    base.update(kw)
+    return StreamEngine(StreamConfig(**base))
+
+
+def test_process_block_shapes(rng):
+    eng = make_engine()
+    out = eng.process_block(rng.normal(size=(2, 512)).astype(np.float32))
+    assert out.shape == (2, 512)
+    assert eng.metrics.blocks_processed == 1
+
+
+def test_pad_trim_rung(rng):
+    """Mis-sized blocks are padded/trimmed, not errors
+    (`stream_process_EQ.py:110-117`)."""
+    eng = make_engine()
+    out = eng.process_block(rng.normal(size=(2, 300)).astype(np.float32))
+    assert out.shape == (2, 512)
+    out = eng.process_block(rng.normal(size=(2, 999)).astype(np.float32))
+    assert out.shape == (2, 512)
+    out = eng.process_block(rng.normal(size=512).astype(np.float32))  # 1-D
+    assert out.shape == (2, 512)
+
+
+def test_replay_and_silence_rungs(rng):
+    """Non-finite output triggers last-good replay; with no history,
+    silence (`stream_process.py:115-120`)."""
+    eng = make_engine()
+    bad = np.full((2, 512), np.nan, dtype=np.float32)
+    out = eng.process_block(bad)
+    np.testing.assert_array_equal(out, np.zeros((2, 512), dtype=np.float32))
+    assert eng.metrics.fallback_silence == 1
+
+    good = rng.normal(size=(2, 512)).astype(np.float32)
+    ref = eng.process_block(good)
+    out = eng.process_block(bad)
+    np.testing.assert_array_equal(out, ref)  # last-good replay
+    assert eng.metrics.fallback_replays == 1
+
+
+def test_underrun_blend(rng):
+    eng = make_engine()
+    ref = eng.process_block(rng.normal(size=(2, 512)).astype(np.float32))
+    blend = eng.underrun_block()
+    np.testing.assert_allclose(blend, 0.8 * ref, atol=1e-7)
+
+
+def test_glitch_free_reconfig(rng):
+    """Dynamic-only change (cutoff) swaps params without rebuild; static
+    change (numtaps) rebuilds."""
+    eng = make_engine()
+    import dataclasses
+
+    glitch_free = eng.apply_config(dataclasses.replace(eng.cfg, cutoff=8000.0))
+    assert glitch_free
+    rebuilt = eng.apply_config(dataclasses.replace(eng.cfg, numtaps=129))
+    assert not rebuilt
+    out = eng.process_block(rng.normal(size=(2, 512)).astype(np.float32))
+    assert np.all(np.isfinite(out))
+
+
+def test_set_eq_gains_rejects_bad_length():
+    eng = make_engine()
+    with pytest.raises(ValueError):
+        eng.set_eq_gains([1.0, 2.0])
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    eng = make_engine()
+    sig = rng.normal(size=(2, 512 * 3)).astype(np.float32)
+    for i in range(3):
+        eng.process_block(sig[:, i * 512 : (i + 1) * 512])
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, eng)
+
+    eng2 = load_checkpoint(path)
+    nxt = rng.normal(size=(2, 512)).astype(np.float32)
+    out1 = eng.process_block(nxt)
+    out2 = eng2.process_block(nxt)
+    np.testing.assert_allclose(out1, out2, atol=1e-7)  # bit-exact resume
+
+
+def test_preset_store_roundtrip(tmp_path):
+    import dataclasses
+
+    store = PresetStore(str(tmp_path / "presets.json"))
+    cfg = StreamConfig()
+    bands = tuple(dataclasses.replace(b, gain=1.5) for b in cfg.eq_bands)
+    cfg = dataclasses.replace(cfg, eq_bands=bands, cutoff=9000.0,
+                              samplerate=48000, blocksize=4096)
+    store.save_preset("warm", cfg)
+    assert "warm" in store
+
+    # reload from disk; deployment fields (samplerate/blocksize) must come
+    # from base, not the preset (`stream_process_GUI_Presets.py:163-164`)
+    store2 = PresetStore(str(tmp_path / "presets.json"))
+    base = StreamConfig()  # 44100 / 2048
+    loaded = store2.load_preset("warm", base)
+    assert loaded.samplerate == 44100
+    assert loaded.blocksize == 2048
+    assert loaded.cutoff == 9000.0
+    assert all(b.gain == 1.5 for b in loaded.eq_bands)
+
+    store2.delete_preset("warm")
+    assert "warm" not in store2
+
+
+def test_config_validation_clamps():
+    cfg = StreamConfig(blocksize=5000, numtaps=9999, samplerate=500,
+                       upsample_factor=9, cutoff=1.0).validate()
+    assert cfg.blocksize == 8192  # pow2 clamp
+    assert cfg.numtaps == 2048
+    assert cfg.samplerate == 8000
+    assert cfg.upsample_factor == 4
+    assert cfg.cutoff == 20.0
+
+
+def test_config_json_roundtrip():
+    cfg = StreamConfig(cutoff=(500.0, 5000.0), filter_type="bandpass")
+    cfg2 = StreamConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg

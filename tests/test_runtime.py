@@ -1,0 +1,101 @@
+"""Host runtime tests: native ring/pacer, dispatcher semantics, fault
+injection, latency behavior (SURVEY.md §4 item 5, §5.3)."""
+import numpy as np
+import pytest
+
+from afp_tpu.engine import StreamConfig, StreamEngine
+from afp_tpu.runtime import (
+    BlockRing,
+    FaultInjector,
+    Pacer,
+    SimulatedStream,
+    native_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native host library unavailable"
+)
+
+
+def make_engine(**kw):
+    base = dict(
+        samplerate=44100, blocksize=512, upsample_factor=1, numtaps=33,
+        batch=1, cutoff=11000.0, eq_enabled=False, agc_enabled=False,
+        downsample_mode="decimate", dither_kind="off", output_clip=None,
+    )
+    base.update(kw)
+    return StreamEngine(StreamConfig(**base))
+
+
+def test_ring_fifo_and_drop():
+    r = BlockRing(capacity=2, block_shape=(4,))
+    assert r.push(np.array([1, 1, 1, 1], np.float32))
+    assert r.push(np.array([2, 2, 2, 2], np.float32))
+    assert not r.push(np.array([3, 3, 3, 3], np.float32))  # full → drop
+    assert r.stats["drops"] == 1
+    np.testing.assert_array_equal(r.pop(), [1, 1, 1, 1])
+    np.testing.assert_array_equal(r.pop(), [2, 2, 2, 2])
+    assert r.pop() is None  # empty → underrun
+    assert r.stats["underruns"] == 1
+
+
+def test_ring_blocking_timeout():
+    r = BlockRing(capacity=1, block_shape=(4,))
+    assert r.pop(timeout=0.05) is None  # times out
+    assert r.push(np.zeros(4, np.float32))
+    assert not r.push(np.zeros(4, np.float32), timeout=0.05)  # full, times out
+
+
+def test_pacer_rate():
+    import time
+
+    p = Pacer(0.02)
+    t0 = time.monotonic()
+    for _ in range(5):
+        p.wait()
+    dt = time.monotonic() - t0
+    assert 0.08 <= dt <= 0.3
+    assert p.ticks == 5
+
+
+def test_simulated_stream_end_to_end(rng):
+    eng = make_engine()
+    sig = rng.normal(size=(40, 1, 512)).astype(np.float32) * 0.3
+    outs = []
+    stream = SimulatedStream(
+        eng, source=lambda i: sig[i], sink=outs.append, realtime=False
+    )
+    snap = stream.run(40)
+    assert len(outs) == 40
+    assert snap["blocks"] >= 1
+    # the dispatcher primes silence, so early outputs are zeros; later ones
+    # must carry real (filtered) signal
+    assert np.max(np.abs(np.stack(outs[-10:]))) > 0
+
+
+def test_fault_injection_drop_and_corrupt(rng):
+    eng = make_engine()
+    sig = rng.normal(size=(30, 1, 512)).astype(np.float32) * 0.3
+    faults = FaultInjector(drop_every=5, corrupt_every=7)
+    stream = SimulatedStream(eng, source=lambda i: sig[i], faults=faults,
+                             realtime=False)
+    snap = stream.run(30)
+    # corrupted blocks must have triggered the engine's replay/silence ladder
+    assert snap["fallback_replays"] + snap["fallback_silence"] >= 1
+    # and the stream must have survived to the end
+    assert snap["blocks"] >= 1
+
+
+def test_latency_one_block_in_one_block_out(rng):
+    """With a fast engine and paced ticks, the dispatcher must neither grow
+    its queues unboundedly nor starve (steady one-in/one-out)."""
+    eng = make_engine()
+    sig = rng.normal(size=(50, 1, 512)).astype(np.float32)
+    stream = SimulatedStream(eng, source=lambda i: sig[i], realtime=False)
+    import time
+
+    # pre-warm jit so the worker keeps up from the first paced tick
+    eng.process_block(sig[0])
+    snap = stream.run(50)
+    assert len(stream.dispatcher.out_ring) <= stream.dispatcher.out_ring.capacity
+    assert snap["in_ring"]["drops"] <= 2

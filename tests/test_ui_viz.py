@@ -1,0 +1,115 @@
+"""Controller (L5) and visualization (L4) tests."""
+import numpy as np
+import pytest
+
+from afp_tpu.engine import StreamConfig, StreamEngine
+from afp_tpu.ops.spectrum import (
+    WATERFALL_DEPTH,
+    spectrum_db,
+    spectrum_freqs,
+    spectrum_peak,
+    waterfall_init,
+    waterfall_push,
+)
+from afp_tpu.ui import EqualizerController
+
+
+@pytest.fixture
+def ctl(tmp_path):
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=512, upsample_factor=2, numtaps=65,
+        batch=1, eq_enabled=True, agc_enabled=False, dither_kind="off",
+        downsample_mode="decimate", output_clip=None,
+    )
+    return EqualizerController(StreamEngine(cfg),
+                               preset_path=str(tmp_path / "p.json"))
+
+
+def test_gain_surface(ctl):
+    assert ctl.get_gains() == [1.0] * 9
+    ctl.set_gain(3, 2.5)
+    assert ctl.get_gains()[3] == 2.5
+    ctl.set_gains([0.5] * 9)
+    assert ctl.get_gains() == [0.5] * 9
+
+
+def test_apply_changes_glitch_free(ctl):
+    ctl.set_field(cutoff=9000.0)
+    assert ctl.apply_changes()  # dynamic-only → glitch-free
+    assert ctl.engine.cfg.cutoff == 9000.0
+    ctl.set_field(numtaps=129)
+    assert not ctl.apply_changes()  # shape change → rebuild
+
+
+def test_bandpass_cutoff_pair(ctl):
+    ctl.set_field(filter_type="bandpass", cutoff_low=400.0, cutoff_high=8000.0)
+    ctl.apply_changes()
+    assert ctl.engine.cfg.cutoff == (400.0, 8000.0)
+
+
+def test_reset_to_defaults(ctl):
+    ctl.set_gains([2.0] * 9)
+    ctl.set_field(cutoff=5000.0)
+    ctl.apply_changes()
+    ctl.reset_to_defaults()
+    cfg = ctl.engine.cfg
+    assert cfg.cutoff == 14000.0 and cfg.numtaps == 129
+    assert cfg.blocksize == 2048 and cfg.upsample_factor == 2
+    assert ctl.upsampled_rate == 88200
+
+
+def test_presets_via_controller(ctl):
+    ctl.set_gains([1.5] * 9)
+    ctl.save_preset("loud")
+    ctl.set_gains([1.0] * 9)
+    assert ctl.load_preset("loud")
+    assert ctl.get_gains() == [1.5] * 9
+    ctl.delete_preset("loud")
+    assert "loud" not in ctl.preset_names
+
+
+def test_plot_response_renders(ctl, tmp_path):
+    path = str(tmp_path / "resp.png")
+    fig = ctl.plot_response(save_path=path)
+    assert fig is not None
+    import os
+
+    assert os.path.getsize(path) > 1000
+
+
+def test_spectrum_ops(rng):
+    fs, T = 44100, 2048
+    t = np.arange(T) / fs
+    x = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    db = np.asarray(spectrum_db(x))
+    freqs = spectrum_freqs(T, fs)
+    pf, pl = spectrum_peak(db, freqs)
+    assert abs(float(pf) - 1000) < fs / T * 2  # peak at ~1 kHz
+    ring = waterfall_init(len(freqs))
+    assert ring.shape == (WATERFALL_DEPTH, len(freqs))
+    ring = waterfall_push(ring, db)
+    np.testing.assert_array_equal(np.asarray(ring[-1]), db)
+    ring2 = waterfall_push(ring, db * 0 - 100)
+    np.testing.assert_array_equal(np.asarray(ring2[-2]), db)
+
+
+def test_waterfall_renders(ctl, tmp_path, rng):
+    from afp_tpu.viz import plot_waterfall
+
+    ring = rng.normal(size=(WATERFALL_DEPTH, 257)).astype(np.float32) * 10 - 60
+    freqs = spectrum_freqs(512, 44100)
+    path = str(tmp_path / "wf.png")
+    fig = plot_waterfall(ring, freqs, save_path=path)
+    assert fig is not None
+    import os
+
+    assert os.path.getsize(path) > 1000
+
+
+def test_device_listing():
+    from afp_tpu.runtime import format_devices, list_devices
+
+    devs = list_devices()
+    assert len(devs) >= 1
+    assert "index" in devs[0]
+    assert isinstance(format_devices(), str)
