@@ -107,6 +107,12 @@ class StreamConfig:
     # the EQ gains).  Disable to run the literal multirate chain.
     fuse_rate_conversion: bool = True
 
+    # Execution strategy for the fused convolution:
+    #   'fft'    — overlap-save rfft/irfft (VPU/FFT units),
+    #   'td_mxu' — Pallas banded-Toeplitz matmul on the MXU
+    #              (wins for short cascade kernels).
+    conv_strategy: str = "fft"
+
     @property
     def upsampled_rate(self) -> int:
         return self.samplerate * self.upsample_factor
@@ -140,6 +146,10 @@ class StreamConfig:
             raise ValueError(f"invalid downsample_mode {self.downsample_mode!r}")
         if self.dither_kind not in ("tpdf", "rpdf", "off"):
             raise ValueError(f"invalid dither_kind {self.dither_kind!r}")
+        if self.conv_strategy not in ("fft", "td_mxu"):
+            raise ValueError(f"invalid conv_strategy {self.conv_strategy!r}")
+        if self.conv_strategy == "td_mxu" and not self.fuse_rate_conversion:
+            raise ValueError("conv_strategy='td_mxu' requires fuse_rate_conversion")
         agc_window = max(1, min(int(self.agc_window_size), blocksize // 2))
         return dataclasses.replace(
             self,
@@ -171,6 +181,7 @@ class StreamConfig:
             self.dither_kind,
             self.output_clip is not None,
             self.fuse_rate_conversion,
+            self.conv_strategy,
         )
 
     # --- (de)serialization for presets/checkpoints ---

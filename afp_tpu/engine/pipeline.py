@@ -45,13 +45,16 @@ class DeviceParams(NamedTuple):
     (`stream_process_EQ_GUI.py:50-55, 380-385`): same shapes → no recompile.
     """
 
-    H_bands: jnp.ndarray  # [n_bands, F] band kernel spectra (may be [0, F])
+    H_bands: jnp.ndarray  # [n_bands, F] band kernel spectra
     H_main: jnp.ndarray  # [F] main kernel spectrum
     eq_gains: jnp.ndarray  # [n_bands]
     agc_target: jnp.ndarray  # [] scalar
     agc_max_gain: jnp.ndarray  # []
     agc_a_att: jnp.ndarray  # []
     agc_a_rel: jnp.ndarray  # []
+    # time-domain cascade taps (fused path; for the 'td_mxu' strategy)
+    casc_bands: Optional[jnp.ndarray] = None  # [n_bands, n_casc]
+    casc_main: Optional[jnp.ndarray] = None  # [n_casc]
 
     def combined_response(self, eq_enabled: bool,
                           premultiplied: bool = False) -> jnp.ndarray:
@@ -68,6 +71,13 @@ class DeviceParams(NamedTuple):
             H_eq = jnp.tensordot(self.eq_gains, self.H_bands, axes=1)
             return H_eq if premultiplied else H_eq * self.H_main
         return self.H_main
+
+    def combined_cascade(self, eq_enabled: bool) -> jnp.ndarray:
+        """Time-domain fused kernel [n_casc] (td_mxu strategy): the gain
+        combination is linear in the taps, same as in frequency."""
+        if eq_enabled and self.casc_bands is not None and self.casc_bands.shape[0] > 0:
+            return jnp.tensordot(self.eq_gains, self.casc_bands, axes=1)
+        return self.casc_main
 
 
 class StreamState(NamedTuple):
@@ -112,16 +122,20 @@ class Pipeline:
         # upsample(U) → filter → downsample(U) with base-rate output is
         # algebraically y[n] = Σ_p cascade[U·(n−p)]·x[p]: ONE base-rate FIR
         # with the phase-0 polyphase component of the full cascade.
-        self.fused = bool(cfg.fuse_rate_conversion) and self.upf > 1
+        self.fused = bool(cfg.fuse_rate_conversion)
         if self.fused:
             from ..ops.resample import streaming_kernel
 
-            self._h_up_np = streaming_kernel(self.upf, 1)
-            self._h_down_np = (
-                streaming_kernel(1, self.upf)
-                if cfg.downsample_mode == "resample"
-                else None
-            )
+            if self.upf > 1:
+                self._h_up_np = streaming_kernel(self.upf, 1)
+                self._h_down_np = (
+                    streaming_kernel(1, self.upf)
+                    if cfg.downsample_mode == "resample"
+                    else None
+                )
+            else:
+                self._h_up_np = np.ones(1)
+                self._h_down_np = None
             n_total = len(self._h_up_np) + self.n_fused - 1
             if self._h_down_np is not None:
                 n_total += len(self._h_down_np) - 1
@@ -130,6 +144,20 @@ class Pipeline:
         else:
             self.n_casc = None
             self.nfft = next_pow2(self.up_block + self.n_fused - 1)
+
+        # td_mxu strategy: precompute the band-matrix gather pattern
+        self._use_td = self.fused and cfg.conv_strategy == "td_mxu"
+        if self._use_td:
+            from ..ops.pallas.fir_td import LANE
+
+            rows = self.n_casc - 1 + LANE
+            i = np.arange(rows)[:, None]
+            j = np.arange(LANE)[None, :]
+            k = self.n_casc - 1 + j - i
+            self._band_mask = jnp.asarray((k >= 0) & (k < self.n_casc))
+            self._band_idx = jnp.asarray(np.clip(k, 0, self.n_casc - 1),
+                                         dtype=jnp.int32)
+            self._pl_interpret = jax.default_backend() != "tpu"
         self.agc = AGCParams(
             target_level=cfg.agc_target_level,
             window_size=cfg.agc_window_size,
@@ -165,7 +193,12 @@ class Pipeline:
         decimated to the phase-0 polyphase component — keeping the response
         linear in the EQ gains (glitch-free live gain updates preserved).
         """
-        n_b = p.eq_taps.shape[0]
+        # NOTE: zero-size device arrays are avoided everywhere — creating an
+        # empty buffer hangs the tunneled TPU transport.  When the EQ bank is
+        # unused, H_bands is a [1, F] zeros placeholder gated off statically.
+        n_b = p.eq_taps.shape[0] if (self.cfg.eq_enabled and len(self.cfg.eq_bands)) else 0
+        F = self.nfft // 2 + 1
+        placeholder = lambda: jnp.zeros((1, F), dtype=jnp.complex64)
         if self.fused:
             main64 = np.asarray(p.main_taps, dtype=np.float64)
 
@@ -180,7 +213,7 @@ class Pipeline:
                 out[: len(k)] = k
                 return out
 
-            if n_b and self.cfg.eq_enabled:
+            if n_b:
                 bands = np.stack(
                     [cascade(np.asarray(b, dtype=np.float64)) for b in p.eq_taps]
                 )
@@ -188,21 +221,33 @@ class Pipeline:
                     jnp.asarray(bands, dtype=jnp.float32), n=self.nfft, axis=-1
                 )
             else:
-                H_bands = jnp.zeros((0, self.nfft // 2 + 1), dtype=jnp.complex64)
+                H_bands = placeholder()
             H_main = jnp.fft.rfft(
                 jnp.asarray(cascade(None), dtype=jnp.float32), n=self.nfft
             )
         else:
             H_bands = jnp.fft.rfft(
                 jnp.asarray(p.eq_taps, dtype=jnp.float32), n=self.nfft, axis=-1
-            ) if n_b else jnp.zeros((0, self.nfft // 2 + 1), dtype=jnp.complex64)
+            ) if n_b else placeholder()
             H_main = jnp.fft.rfft(
                 jnp.asarray(p.main_taps, dtype=jnp.float32), n=self.nfft
             )
+        gains = np.asarray(p.eq_gains, dtype=np.float32)
+        if gains.size == 0 or not n_b:
+            gains = np.zeros(H_bands.shape[0], dtype=np.float32)
+        casc_bands = casc_main = None
+        if self._use_td:
+            casc_main = jnp.asarray(cascade(None), dtype=jnp.float32)
+            if n_b:
+                casc_bands = jnp.asarray(bands, dtype=jnp.float32)
+            else:
+                casc_bands = jnp.zeros((1, self.n_casc), dtype=jnp.float32)
         return DeviceParams(
             H_bands=H_bands,
             H_main=H_main,
-            eq_gains=jnp.asarray(p.eq_gains, dtype=jnp.float32),
+            eq_gains=jnp.asarray(gains),
+            casc_bands=casc_bands,
+            casc_main=casc_main,
             agc_target=jnp.float32(self.cfg.agc_target_level),
             agc_max_gain=jnp.float32(self.cfg.agc_max_gain),
             agc_a_att=jnp.float32(self.agc.a_att),
@@ -275,6 +320,7 @@ class Pipeline:
             x = jnp.clip(x * g, -0.99, 0.99)
             agc_gain = g[..., -1]
 
+        has_eq = cfg.eq_enabled and len(cfg.eq_bands) > 0
         # 3–5. the linear chain: upsample → EQ+main FIR → downsample.
         # Fused path: one base-rate overlap-save pass with the phase-0
         # polyphase cascade kernel (identical output, ~upf× less FFT work).
@@ -282,18 +328,29 @@ class Pipeline:
         down = state.down
         if self.fused:
             n_conv = self.n_casc
-            H = params.combined_response(cfg.eq_enabled, premultiplied=True)
             ext = jnp.concatenate([state.conv_tail, x], axis=-1)
-            Y = jnp.fft.rfft(ext, n=self.nfft) * H
-            y = jnp.fft.irfft(Y, n=self.nfft)
-            y = jax.lax.slice_in_dim(y, n_conv - 1, n_conv - 1 + self.block, axis=-1)
+            if self._use_td:
+                from ..ops.pallas.fir_td import fir_td_mxu
+
+                k = params.combined_cascade(has_eq)
+                band = jnp.where(
+                    self._band_mask, jnp.take(k, self._band_idx), 0.0
+                )
+                y = fir_td_mxu(ext, band, interpret=self._pl_interpret)
+            else:
+                H = params.combined_response(has_eq, premultiplied=True)
+                Y = jnp.fft.rfft(ext, n=self.nfft) * H
+                y = jnp.fft.irfft(Y, n=self.nfft)
+                y = jax.lax.slice_in_dim(
+                    y, n_conv - 1, n_conv - 1 + self.block, axis=-1
+                )
             conv_tail = jax.lax.slice_in_dim(
                 ext, ext.shape[-1] - (n_conv - 1), ext.shape[-1], axis=-1
             )
         else:
             if up is not None:
                 up, x = up.process(x)  # [B, L*upf]
-            H = params.combined_response(cfg.eq_enabled)
+            H = params.combined_response(has_eq)
             ext = jnp.concatenate([state.conv_tail, x], axis=-1)  # [B, N_f-1+L']
             Y = jnp.fft.rfft(ext, n=self.nfft) * H
             y = jnp.fft.irfft(Y, n=self.nfft)
