@@ -197,8 +197,12 @@ class Pipeline:
         # empty buffer hangs the tunneled TPU transport.  When the EQ bank is
         # unused, H_bands is a [1, F] zeros placeholder gated off statically.
         n_b = p.eq_taps.shape[0] if (self.cfg.eq_enabled and len(self.cfg.eq_bands)) else 0
-        F = self.nfft // 2 + 1
-        placeholder = lambda: jnp.zeros((1, F), dtype=jnp.complex64)
+        # unused-band placeholder: produced via an on-device rfft (complex
+        # HOST constants and zero-size buffers both upset the tunneled TPU
+        # transport; a device-computed spectrum avoids both)
+        placeholder = lambda: jnp.fft.rfft(
+            jnp.zeros((1, 8), dtype=jnp.float32), n=self.nfft
+        )
         if self.fused:
             main64 = np.asarray(p.main_taps, dtype=np.float64)
 

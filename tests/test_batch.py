@@ -1,0 +1,58 @@
+"""Per-stream parameter bank tests."""
+import numpy as np
+import pytest
+
+from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+from afp_tpu.engine.batch import broadcast_gains, with_per_stream_gains
+
+
+def make(batch, **kw):
+    base = dict(
+        samplerate=44100, blocksize=512, upsample_factor=2, numtaps=65,
+        batch=batch, cutoff=11000.0, eq_enabled=True, agc_enabled=False,
+        downsample_mode="decimate", dither_kind="off", output_clip=None,
+    )
+    base.update(kw)
+    cfg = StreamConfig(**base)
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    return pipe, params
+
+
+def test_per_stream_gains_match_individual_runs(rng):
+    pipe, params = make(batch=3)
+    gains = np.array([
+        [1.0] * 9,
+        [2.0] * 9,
+        np.linspace(0.5, 1.5, 9),
+    ], dtype=np.float32)
+    sig = (rng.normal(size=(3, 512 * 3)) * 0.3).astype(np.float32)
+    psp = with_per_stream_gains(pipe, params, gains)
+    _, batched = pipe.process_signal(psp, pipe.init_state(0), sig)
+    batched = np.asarray(batched)
+
+    for b in range(3):
+        pipe1, params1 = make(batch=1)
+        p1 = params1._replace(eq_gains=np.asarray(gains[b]))
+        import jax.numpy as jnp
+
+        p1 = params1._replace(eq_gains=jnp.asarray(gains[b]))
+        _, single = pipe1.process_signal(p1, pipe1.init_state(0), sig[b : b + 1])
+        np.testing.assert_allclose(batched[b], np.asarray(single)[0], atol=1e-6)
+
+
+def test_broadcast_gains_shapes():
+    g = broadcast_gains(1.5, 4, 9)
+    assert g.shape == (4, 9)
+    g = broadcast_gains([1.0] * 9, 4, 9)
+    assert g.shape == (4, 9)
+    with pytest.raises(ValueError):
+        broadcast_gains([1.0] * 5, 4, 9)
+    with pytest.raises(ValueError):
+        broadcast_gains(np.ones((3, 9)), 4, 9)
+
+
+def test_per_stream_rejected_on_td():
+    pipe, params = make(batch=2, conv_strategy="td_mxu")
+    with pytest.raises(NotImplementedError):
+        with_per_stream_gains(pipe, params, np.ones((2, 9), np.float32))
