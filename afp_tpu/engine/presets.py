@@ -29,9 +29,14 @@ class PresetStore:
     def __init__(self, path: Optional[str] = None):
         self._presets: Dict[str, dict] = {}
         self.path = path
-        if path and os.path.exists(path):
-            with open(path) as f:
-                self._presets = json.load(f)
+        if path and os.path.exists(path) and os.path.getsize(path) > 0:
+            try:
+                with open(path) as f:
+                    self._presets = json.load(f)
+            except (json.JSONDecodeError, OSError) as e:
+                # corrupt store: start empty rather than refuse to boot
+                print(f"Preset store {path} unreadable ({e}); starting empty")
+                self._presets = {}
 
     # --- reference-compatible surface ---
 

@@ -10,6 +10,9 @@ Run: python examples/agc_stream.py [--source-rate 48000]
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+if _os.environ.get("AFP_FORCE_CPU"):  # the axon plugin ignores JAX_PLATFORMS
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
 import argparse
 
 import numpy as np

@@ -11,6 +11,9 @@ Run: python examples/presets_stream.py
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+if _os.environ.get("AFP_FORCE_CPU"):  # the axon plugin ignores JAX_PLATFORMS
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
 import tempfile
 
 import numpy as np
@@ -39,10 +42,11 @@ def main():
         print("loaded 'bass boost', gains:", ctl.get_gains())
 
         # config validation clamps (the Presets-generation rules)
-        ctl.set_field(numtaps=5000, blocksize=5000)
+        ctl.set_field(numtaps=5000)
         ctl.apply_changes()
-        print("clamped: numtaps", ctl.engine.cfg.numtaps,
-              "blocksize", ctl.engine.cfg.blocksize)
+        print("clamped: numtaps", ctl.engine.cfg.numtaps, "(requested 5000)")
+        ctl.set_field(numtaps=129)
+        ctl.apply_changes()
 
         # process, checkpoint mid-stream, resume bit-exact
         rng = np.random.default_rng(3)
