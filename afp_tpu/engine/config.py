@@ -90,6 +90,9 @@ class StreamConfig:
     agc_max_gain: float = 10.0
     agc_attack: float = 0.01
     agc_release: float = 0.1
+    # 'exact' = per-sample scan (reference semantics); 'fast' = chunked
+    # one-pole + interpolation (throughput mode, bounded deviation)
+    agc_mode: str = "exact"
 
     # ASRC (`stream_process_AGC.py:126-129`)
     source_samplerate: Optional[int] = None
@@ -146,6 +149,8 @@ class StreamConfig:
             raise ValueError(f"invalid downsample_mode {self.downsample_mode!r}")
         if self.dither_kind not in ("tpdf", "rpdf", "off"):
             raise ValueError(f"invalid dither_kind {self.dither_kind!r}")
+        if self.agc_mode not in ("exact", "fast"):
+            raise ValueError(f"invalid agc_mode {self.agc_mode!r}")
         if self.conv_strategy not in ("fft", "td_mxu"):
             raise ValueError(f"invalid conv_strategy {self.conv_strategy!r}")
         if self.conv_strategy == "td_mxu" and not self.fuse_rate_conversion:
@@ -182,6 +187,7 @@ class StreamConfig:
             self.output_clip is not None,
             self.fuse_rate_conversion,
             self.conv_strategy,
+            self.agc_mode,
         )
 
     # --- (de)serialization for presets/checkpoints ---

@@ -319,7 +319,16 @@ class Pipeline:
         if agc_gain is not None:
             rms = moving_rms(x, self.agc.window_size)
             d = desired_gain(rms, params.agc_target, params.agc_max_gain)
-            g = smooth_gain_scan(d, params.agc_a_att, params.agc_a_rel, init=agc_gain)
+            if cfg.agc_mode == "fast":
+                from ..ops.agc import smooth_gain_blockwise
+
+                g = smooth_gain_blockwise(
+                    d, params.agc_a_att, params.agc_a_rel, init=agc_gain
+                )
+            else:
+                g = smooth_gain_scan(
+                    d, params.agc_a_att, params.agc_a_rel, init=agc_gain
+                )
             g = jnp.clip(g, 0.1, params.agc_max_gain)
             x = jnp.clip(x * g, -0.99, 0.99)
             agc_gain = g[..., -1]

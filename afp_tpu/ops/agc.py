@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["agc_alphas", "moving_rms", "desired_gain", "smooth_gain_scan",
-           "apply_agc", "AGCParams"]
+           "smooth_gain_blockwise", "apply_agc", "AGCParams"]
 
 
 def agc_alphas(window_size: int, attack: float = 0.01, release: float = 0.1):
@@ -99,6 +99,45 @@ def smooth_gain_scan(desired: jnp.ndarray, a_att: float, a_rel: float,
     if init is None:
         gains = jnp.concatenate([g0[None], gains], axis=0)
     return jnp.moveaxis(gains, 0, -1)
+
+
+def smooth_gain_blockwise(desired: jnp.ndarray, a_att: float, a_rel: float,
+                          chunk: int = 32,
+                          init: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Throughput-oriented approximation of :func:`smooth_gain_scan`.
+
+    The exact recurrence is per-sample sequential — the batched pipeline's
+    only serial bottleneck (SURVEY.md §7 "AGC recurrence").  This variant
+    runs the attack/release one-pole at `chunk` granularity (`T/chunk`
+    sequential steps instead of `T`), with the equivalent per-chunk
+    coefficient ``α_c = 1 − (1−α)^chunk``, then linearly interpolates gains
+    within chunks.  Exact when the desired gain is chunkwise-constant;
+    otherwise deviation is bounded by the within-chunk gain variation (small
+    for τ ≫ chunk).  Selected via the engine's ``agc_mode='fast'``.
+    """
+    d = jnp.asarray(desired, dtype=jnp.float32)
+    T = d.shape[-1]
+    if T % chunk:
+        raise ValueError(f"signal length {T} must be a multiple of chunk {chunk}")
+    n_chunks = T // chunk
+    # per-chunk target: mean desired gain over the chunk
+    d_c = d.reshape(d.shape[:-1] + (n_chunks, chunk)).mean(axis=-1)
+    a_att_c = 1.0 - (1.0 - a_att) ** chunk
+    a_rel_c = 1.0 - (1.0 - a_rel) ** chunk
+    g_c = smooth_gain_scan(d_c, a_att_c, a_rel_c, init=init)  # [..., n_chunks]
+    # linear interpolation between chunk endpoints
+    g_prev = jnp.concatenate(
+        [
+            (g_c[..., :1] if init is None else
+             jnp.broadcast_to(jnp.asarray(init, jnp.float32)[..., None],
+                              g_c[..., :1].shape)),
+            g_c[..., :-1],
+        ],
+        axis=-1,
+    )  # gain at each chunk start
+    frac = (jnp.arange(chunk, dtype=jnp.float32) + 1.0) / chunk
+    g = g_prev[..., :, None] + (g_c - g_prev)[..., :, None] * frac
+    return g.reshape(d.shape)
 
 
 class AGCParams:

@@ -161,12 +161,30 @@ class SimulatedStream:
         cfg = engine.cfg
         self.block_seconds = cfg.blocksize / cfg.samplerate
 
-    def run(self, n_blocks: int) -> dict:
-        """Run the paced loop for `n_blocks`; returns a metrics snapshot."""
+    def run(self, n_blocks: int, load_warn: float = 0.8) -> dict:
+        """Run the paced loop for `n_blocks`; returns a metrics snapshot.
+
+        `load_warn` mirrors the reference's PortAudio cpu_load watchdog
+        (warn when device-busy fraction exceeds 0.8 of the block budget,
+        `stream_process_EQ_GUI.py:454-457`).
+        """
         self.dispatcher.start()
         pacer = Pacer(self.block_seconds) if self.realtime else None
+        warned_load = False
         try:
             for i in range(n_blocks):
+                if (
+                    self.realtime
+                    and not warned_load
+                    and self.engine.metrics.blocks_processed >= 8
+                ):
+                    load = self.engine.metrics.busy_seconds / max(
+                        self.engine.metrics.blocks_processed * self.block_seconds,
+                        1e-9,
+                    )
+                    if load > load_warn:
+                        print(f"High engine load: {load:.2f}")
+                        warned_load = True
                 blk = self.source(i)
                 if self.faults is not None:
                     blk = self.faults.apply(blk)

@@ -105,3 +105,43 @@ def test_dither_decorrelated_across_streams():
     noise = np.asarray(dither(key, x, 24, "tpdf"))
     c = np.corrcoef(noise[0], noise[1])[0, 1]
     assert abs(c) < 0.02
+
+
+def test_blockwise_agc_close_to_exact(rng):
+    from afp_tpu.ops.agc import desired_gain, smooth_gain_blockwise
+
+    x = (0.3 * np.sin(2 * np.pi * 3 * np.arange(4096) / 4096)).astype(np.float32) \
+        * (0.2 + 0.8 * np.abs(np.sin(2 * np.pi * np.arange(4096) / 4096)))
+    params = AGCParams(window_size=512)
+    d = desired_gain(moving_rms(x, 512), params.target_level, params.max_gain)
+    g_exact = np.asarray(smooth_gain_scan(d, params.a_att, params.a_rel))
+    g_fast = np.asarray(smooth_gain_blockwise(d, params.a_att, params.a_rel, chunk=32))
+    rel = np.max(np.abs(g_fast - g_exact) / (np.abs(g_exact) + 1e-6))
+    assert rel < 0.15  # bounded deviation (τ_release = 51 samples vs chunk 32)
+
+
+def test_blockwise_agc_exact_on_constant():
+    from afp_tpu.ops.agc import smooth_gain_blockwise
+
+    d = np.full(1024, 2.5, dtype=np.float32)
+    g1 = np.asarray(smooth_gain_scan(d, 0.2, 0.02))
+    g2 = np.asarray(smooth_gain_blockwise(d, 0.2, 0.02, chunk=32))
+    np.testing.assert_allclose(g1, g2, rtol=1e-5)
+
+
+def test_engine_agc_fast_mode(rng):
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=512, upsample_factor=1, numtaps=33,
+        batch=2, eq_enabled=False, agc_enabled=True, agc_mode="fast",
+        agc_window_size=128, dither_kind="off", downsample_mode="decimate",
+        output_clip=0.99,
+    )
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    sig = (0.01 * rng.normal(size=(2, 512 * 4))).astype(np.float32)
+    _, out = pipe.process_signal(params, pipe.init_state(), sig)
+    out = np.asarray(out)
+    assert np.all(np.isfinite(out))
+    assert np.std(out[:, 1024:]) > np.std(sig) * 2  # AGC boosts quiet input
