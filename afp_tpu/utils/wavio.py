@@ -36,8 +36,9 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
         x = ints.astype(np.float32) / float(1 << 23)
     elif width == 4:
-        # could be PCM32 or IEEE float; wave exposes only PCM — assume PCM32
-        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
+        # could be PCM32 or IEEE float; wave exposes only PCM — assume PCM32.
+        # convert via float64 (float32 mantissa can't hold 32-bit samples)
+        x = (np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)).astype(np.float32)
     elif width == 1:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     else:
@@ -63,7 +64,7 @@ def write_wav(path: str, x: np.ndarray, rate: int, width: int = 2) -> None:
         b[:, 2] = (flat >> 16) & 0xFF
         data = b.tobytes()
     elif width == 4:
-        data = (clipped * float((1 << 31) - 1)).astype("<i4").tobytes()
+        data = (clipped.astype(np.float64) * float((1 << 31) - 1)).astype("<i4").tobytes()
     else:
         raise ValueError(f"unsupported sample width {width}")
     with wave.open(path, "wb") as w:
