@@ -1,0 +1,149 @@
+"""Command-line interface: offline WAV processing through the engine.
+
+The batch counterpart of the reference's real-time scripts — process audio
+files through the full pipeline (resample → EQ → FIR → AGC → dither) at TPU
+speed::
+
+    python -m afp_tpu process in.wav out.wav --cutoff 11000 --numtaps 301
+    python -m afp_tpu devices
+    python -m afp_tpu design --cutoff 11000 --numtaps 301 --plot resp.png
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+__all__ = ["main"]
+
+
+def _add_config_args(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--samplerate", type=int, default=None,
+                    help="engine rate (default: the input file's rate)")
+    ap.add_argument("--blocksize", type=int, default=2048)
+    ap.add_argument("--upsample", type=int, default=2)
+    ap.add_argument("--numtaps", type=int, default=129)
+    ap.add_argument("--cutoff", type=float, default=14000.0)
+    ap.add_argument("--cutoff-high", type=float, default=None,
+                    help="second edge for bandpass/bandstop")
+    ap.add_argument("--filter-type", default="lowpass",
+                    choices=["lowpass", "highpass", "bandpass", "bandstop"])
+    ap.add_argument("--window", default="hamming")
+    ap.add_argument("--method", default="window", choices=["window", "remez"])
+    ap.add_argument("--min-phase", action="store_true")
+    ap.add_argument("--eq-gains", default=None,
+                    help="comma-separated 9 gains, e.g. 1,1,1,1,1,1,2,2,2")
+    ap.add_argument("--agc", action="store_true")
+    ap.add_argument("--agc-target", type=float, default=0.1)
+    ap.add_argument("--dither", default="tpdf", choices=["tpdf", "rpdf", "off"])
+
+
+def _build_config(args, samplerate: int):
+    from .engine import StreamConfig
+
+    cutoff = (
+        (args.cutoff, args.cutoff_high)
+        if args.filter_type in ("bandpass", "bandstop")
+        else args.cutoff
+    )
+    if args.filter_type in ("bandpass", "bandstop") and args.cutoff_high is None:
+        raise SystemExit("--cutoff-high required for bandpass/bandstop")
+    return StreamConfig(
+        samplerate=samplerate,
+        blocksize=args.blocksize,
+        upsample_factor=args.upsample,
+        numtaps=args.numtaps,
+        cutoff=cutoff,
+        filter_type=args.filter_type,
+        window_type=args.window,
+        design_method=args.method,
+        min_phase=args.min_phase,
+        eq_enabled=args.eq_gains is not None,
+        agc_enabled=args.agc,
+        agc_target_level=args.agc_target,
+        dither_kind=args.dither,
+        downsample_mode="resample",
+        output_clip=0.99 if args.agc else None,
+    )
+
+
+def cmd_process(args) -> int:
+    from .engine import StreamEngine
+    from .utils import read_wav, write_wav
+
+    x, rate = read_wav(args.input)
+    sr = args.samplerate or rate
+    cfg = _build_config(args, sr)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, batch=x.shape[0])
+    if sr != rate:
+        cfg = dataclasses.replace(cfg, source_samplerate=rate)
+    engine = StreamEngine(cfg)
+    if args.eq_gains:
+        gains = [float(g) for g in args.eq_gains.split(",")]
+        engine.set_eq_gains(gains)
+    out = engine.process_signal(x)
+    write_wav(args.output, out, cfg.samplerate, width=3)
+    m = engine.metrics
+    print(f"{args.input} → {args.output}: {x.shape[0]} ch × {x.shape[1]} samples, "
+          f"xRT(busy) {m.xrt_busy(cfg.samplerate):,.0f}", file=sys.stderr)
+    return 0
+
+
+def cmd_devices(_args) -> int:
+    from .runtime.devices import format_devices
+
+    print(format_devices())
+    return 0
+
+
+def cmd_design(args) -> int:
+    from .design import create_fir_filter
+
+    cutoff = (
+        [args.cutoff, args.cutoff_high]
+        if args.filter_type in ("bandpass", "bandstop")
+        else args.cutoff
+    )
+    h = create_fir_filter(
+        method=args.method, cutoff=cutoff, numtaps=args.numtaps,
+        window_type=args.window, filter_type=args.filter_type,
+        samplerate=(args.samplerate or 44100) * args.upsample,
+    )
+    if args.plot:
+        from .viz import plot_filter_response
+
+        plot_filter_response(h, fs=(args.samplerate or 44100) * args.upsample,
+                             filter_type=args.filter_type, save_path=args.plot)
+        print(f"plot: {args.plot}", file=sys.stderr)
+    np.savetxt(args.taps_out, h) if args.taps_out else print(h)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="afp_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("process", help="process WAV through the pipeline")
+    p.add_argument("input")
+    p.add_argument("output")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_process)
+
+    d = sub.add_parser("devices", help="list accelerator devices")
+    d.set_defaults(fn=cmd_devices)
+
+    g = sub.add_parser("design", help="design a filter, print/save taps")
+    _add_config_args(g)
+    g.add_argument("--plot", default=None, help="save response plot PNG")
+    g.add_argument("--taps-out", default=None, help="save taps to a text file")
+    g.set_defaults(fn=cmd_design)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -93,6 +93,10 @@ class StreamConfig:
     # 'exact' = per-sample scan (reference semantics); 'fast' = chunked
     # one-pole + interpolation (throughput mode, bounded deviation)
     agc_mode: str = "exact"
+    # carry the smoothed gain across blocks (block-size-invariant stream).
+    # False reproduces the reference's per-block restart at desired[0]
+    # (`stream_process_AGC.py:66-67`) exactly.
+    agc_carry: bool = True
 
     # ASRC (`stream_process_AGC.py:126-129`)
     source_samplerate: Optional[int] = None
@@ -188,6 +192,7 @@ class StreamConfig:
             self.fuse_rate_conversion,
             self.conv_strategy,
             self.agc_mode,
+            self.agc_carry,
         )
 
     # --- (de)serialization for presets/checkpoints ---

@@ -319,15 +319,16 @@ class Pipeline:
         if agc_gain is not None:
             rms = moving_rms(x, self.agc.window_size)
             d = desired_gain(rms, params.agc_target, params.agc_max_gain)
+            carry = agc_gain if cfg.agc_carry else None
             if cfg.agc_mode == "fast":
                 from ..ops.agc import smooth_gain_blockwise
 
                 g = smooth_gain_blockwise(
-                    d, params.agc_a_att, params.agc_a_rel, init=agc_gain
+                    d, params.agc_a_att, params.agc_a_rel, init=carry
                 )
             else:
                 g = smooth_gain_scan(
-                    d, params.agc_a_att, params.agc_a_rel, init=agc_gain
+                    d, params.agc_a_att, params.agc_a_rel, init=carry
                 )
             g = jnp.clip(g, 0.1, params.agc_max_gain)
             x = jnp.clip(x * g, -0.99, 0.99)
