@@ -28,6 +28,7 @@ def main() -> None:
     batch = int(os.environ.get("AFP_BENCH_BATCH", "512"))
     nblocks = int(os.environ.get("AFP_BENCH_BLOCKS", "8"))
     reps = int(os.environ.get("AFP_BENCH_REPS", "5"))
+    strategy = os.environ.get("AFP_BENCH_STRATEGY", "fft")
 
     cfg = StreamConfig(
         samplerate=44100,
@@ -43,6 +44,7 @@ def main() -> None:
         downsample_mode="decimate",
         dither_kind="tpdf",
         output_clip=None,
+        conv_strategy=strategy,
     )
     pipe = Pipeline(cfg)
     params = pipe.device_params(PipelineParams.design(pipe.cfg))

@@ -97,3 +97,38 @@ def test_halo_convolve_batched(rng):
         gold = np.convolve(np.concatenate([np.zeros(64), x[b].astype(np.float64)]),
                            h.astype(np.float64), mode="valid")
         assert np.max(np.abs(out[b] - gold)) < 1e-4
+
+
+def test_filter_long_signal_matches_streaming(rng):
+    """Time-sharded long-signal filtering == the streaming pipeline output."""
+    from afp_tpu.parallel.long import filter_long_signal
+
+    cfg = make_cfg(batch=1, upsample_factor=4, blocksize=512,
+                   dither_kind="off")
+    pipe = Pipeline(cfg)
+    design = PipelineParams.design(pipe.cfg)
+    params = pipe.device_params(design)
+
+    T = 8 * 1024
+    sig = (rng.normal(size=(1, T)) * 0.3).astype(np.float32)
+    _, streamed = pipe.process_signal(params, pipe.init_state(), sig)
+
+    tmesh = make_mesh(8, axis_names=("time",))
+    sharded = filter_long_signal(pipe, params, sig, tmesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(streamed), atol=2e-5
+    )
+
+
+def test_filter_long_signal_guards():
+    from afp_tpu.parallel.long import filter_long_signal
+
+    tmesh = make_mesh(4, axis_names=("time",))
+    cfg = make_cfg(batch=1)
+    import dataclasses
+
+    pipe = Pipeline(dataclasses.replace(cfg, fuse_rate_conversion=False,
+                                        upsample_factor=2))
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    with pytest.raises(ValueError):
+        filter_long_signal(pipe, params, np.zeros((1, 4096), np.float32), tmesh)
