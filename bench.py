@@ -54,10 +54,13 @@ def main() -> None:
         key, (nblocks, batch, cfg.blocksize), dtype=jnp.float32
     ) * 0.3
 
+    print(f"bench: strategy={strategy} batch={batch} compiling...",
+          file=sys.stderr, flush=True)
     # warmup / compile
     state = pipe.init_state(seed=0)
     state, out = pipe.run(params, state, blocks)
     float(jnp.sum(out))  # force full completion (remote-device safe)
+    print("bench: warmup done", file=sys.stderr, flush=True)
 
     # timed steady-state runs (state donated each run); a scalar fetch inside
     # the timed region guarantees the device really finished (on tunneled
