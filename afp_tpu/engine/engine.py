@@ -28,6 +28,11 @@ from typing import Optional
 import jax
 import numpy as np
 
+from ..utils.log import RateLimited, get_logger
+
+logger = get_logger("engine")
+_rate = RateLimited(logger)
+
 from .config import PipelineParams, StreamConfig
 from .metrics import EngineMetrics
 from .pipeline import DeviceParams, Pipeline, StreamState
@@ -71,7 +76,7 @@ class StreamEngine:
         try:
             design = PipelineParams.design(self.cfg)
         except Exception as e:  # design-failure rung of the ladder
-            print(f"Filter design failed ({e}); using moving-average fallback")
+            logger.error("Filter design failed (%s); using moving-average fallback", e)
             self.metrics.design_fallbacks += 1
             design = _fallback_params(
                 self.cfg, self.pipeline.n_kernel, len(self.cfg.eq_bands)
@@ -91,7 +96,7 @@ class StreamEngine:
                 design = PipelineParams.design(new_cfg)
                 params = self.pipeline.device_params(design)
             except Exception as e:
-                print(f"Filter design failed ({e}); keeping previous parameters")
+                logger.error("Filter design failed (%s); keeping previous parameters", e)
                 self.metrics.design_fallbacks += 1
                 return True
             # atomic swap between blocks — the filter_lock analog
@@ -142,7 +147,7 @@ class StreamEngine:
             self.metrics.record_block(self.cfg.blocksize, busy, self._block_seconds)
             return out_np
         except Exception as e:  # replay / silence rungs
-            print(f"Processing error: {e}")
+            _rate.warn("proc_err", "Processing error: %s", e)
             self.metrics.underruns += 1
             if self._last_good:
                 self.metrics.fallback_replays += 1

@@ -18,6 +18,12 @@ from .config import EQBand, StreamConfig
 
 __all__ = ["PresetStore"]
 
+
+def _logger():
+    from ..utils.log import get_logger
+
+    return get_logger("presets")
+
 #: config fields excluded from presets (reference `:163-164`), plus the other
 #: deployment-shape fields that arrived with the TPU build.
 EXCLUDED_FIELDS = ("samplerate", "blocksize", "batch", "source_samplerate")
@@ -35,7 +41,7 @@ class PresetStore:
                     self._presets = json.load(f)
             except (json.JSONDecodeError, OSError) as e:
                 # corrupt store: start empty rather than refuse to boot
-                print(f"Preset store {path} unreadable ({e}); starting empty")
+                _logger().warning("Preset store %s unreadable (%s); starting empty", path, e)
                 self._presets = {}
 
     # --- reference-compatible surface ---

@@ -29,6 +29,9 @@ from typing import Callable, Optional
 import numpy as np
 
 from ..engine.engine import StreamEngine
+from ..utils.log import get_logger
+
+logger = get_logger("runtime")
 from .host import BlockRing, Pacer
 
 __all__ = ["BlockDispatcher", "SimulatedStream", "FaultInjector"]
@@ -183,7 +186,7 @@ class SimulatedStream:
                         1e-9,
                     )
                     if load > load_warn:
-                        print(f"High engine load: {load:.2f}")
+                        logger.warning("High engine load: %.2f", load)
                         warned_load = True
                 blk = self.source(i)
                 if self.faults is not None:
