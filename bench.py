@@ -13,22 +13,30 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 
-def main() -> None:
+class BenchTimeout(Exception):
+    pass
+
+
+def _alarm(seconds: int):
+    def handler(signum, frame):
+        raise BenchTimeout(f"stage exceeded {seconds}s")
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+
+
+def run_config(batch: int, nblocks: int, reps: int, strategy: str) -> dict:
     import jax
     import jax.numpy as jnp
 
     from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
-
-    batch = int(os.environ.get("AFP_BENCH_BATCH", "512"))
-    nblocks = int(os.environ.get("AFP_BENCH_BLOCKS", "8"))
-    reps = int(os.environ.get("AFP_BENCH_REPS", "5"))
-    strategy = os.environ.get("AFP_BENCH_STRATEGY", "fft")
 
     cfg = StreamConfig(
         samplerate=44100,
@@ -77,7 +85,7 @@ def main() -> None:
     audio_seconds = batch * nblocks * cfg.blocksize / cfg.samplerate
     xrt = audio_seconds / best
 
-    result = {
+    return {
         "metric": "aggregate_xrt_1001tap_4x_44k1",
         "value": round(xrt, 1),
         "unit": "x_realtime_per_chip",
@@ -85,9 +93,32 @@ def main() -> None:
         "batch": batch,
         "blocksize": cfg.blocksize,
         "nblocks_per_run": nblocks,
+        "strategy": strategy,
         "best_run_s": round(best, 4),
         "device": str(jax.devices()[0]),
     }
+
+
+def main() -> None:
+    batch = int(os.environ.get("AFP_BENCH_BATCH", "2048"))
+    nblocks = int(os.environ.get("AFP_BENCH_BLOCKS", "8"))
+    reps = int(os.environ.get("AFP_BENCH_REPS", "5"))
+    strategy = os.environ.get("AFP_BENCH_STRATEGY", "td_mxu")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/afp_jax_cache")
+
+    # primary attempt, alarm-guarded (the Pallas compile through a tunneled
+    # device can be slow); fall back to the FFT strategy on timeout/error.
+    try:
+        _alarm(540)
+        result = run_config(batch, nblocks, reps, strategy)
+        signal.alarm(0)
+    except (BenchTimeout, Exception) as e:  # noqa: BLE001
+        signal.alarm(0)
+        print(f"bench: {strategy} failed ({e}); falling back to fft",
+              file=sys.stderr, flush=True)
+        _alarm(420)
+        result = run_config(batch, nblocks, reps, "fft")
+        signal.alarm(0)
     print(json.dumps(result))
 
 
