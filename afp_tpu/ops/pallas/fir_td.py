@@ -59,13 +59,34 @@ def _fir_kernel(x_ref, band_ref, o_ref, *, n_taps: int, t_tiles: int):
         )
 
 
+def _pick_b_tile(B: int, text: int, T: int) -> int:
+    """Batch tile choice.
+
+    Empirical VMEM rule on v5e: a [256, text]+[256, T] tile pair
+    (~17 MB double-buffered) compiles for grids ≤16 programs but trips the
+    16 MB scoped-vmem limit at larger grids (Mosaic adds pipeline buffering).
+    Use 256 rows up to grid 16, then halve until the footprint fits
+    ~12 MB double-buffered.
+    """
+    for b_tile in (256, 128, 64, 32, 16, 8):
+        if B % b_tile:
+            continue
+        grid = B // b_tile
+        foot = 2 * b_tile * (text + T) * 4
+        if b_tile == 256 and grid <= 16:
+            return b_tile
+        if foot <= 12 * 2**20:
+            return b_tile
+    return min(B, 8)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False):
     B, text = x_ext.shape
     n_taps = band.shape[0] - LANE + 1
     T = text - (n_taps - 1)
     t_tiles = T // LANE
-    b_tile = min(B, 256)
+    b_tile = _pick_b_tile(B, text, T)
     kernel = functools.partial(_fir_kernel, n_taps=n_taps, t_tiles=t_tiles)
     return pl.pallas_call(
         kernel,
@@ -97,9 +118,8 @@ def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,
     T = text - (n_taps - 1)
     if T % LANE:
         raise ValueError(f"output length {T} must be a multiple of {LANE}")
-    b_tile = min(B, 256)
-    if B % b_tile:
-        raise ValueError(f"batch {B} must be a multiple of {b_tile}")
+    if B % _pick_b_tile(B, text, T):
+        raise ValueError(f"batch {B} must be divisible by the batch tile")
     return _fir_td_call(x_ext, band, interpret=interpret)
 
 
