@@ -85,6 +85,34 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str) -> dict:
     audio_seconds = batch * nblocks * cfg.blocksize / cfg.samplerate
     xrt = audio_seconds / best
 
+    # on-hardware accuracy: one stream, dither off, vs the float64 host
+    # oracle of the causal chain (upfirdn cascade, phase-0 decimation)
+    err_db = None
+    if os.environ.get("AFP_BENCH_CHECK", "1") != "0":
+        import dataclasses
+
+        import scipy.signal as sps
+
+        from afp_tpu.engine import PipelineParams as PP
+
+        ccfg = dataclasses.replace(cfg, batch=1, dither_kind="off")
+        cpipe = __import__("afp_tpu.engine", fromlist=["Pipeline"]).Pipeline(ccfg)
+        cparams = cpipe.device_params(PP.design(cpipe.cfg))
+        rngx = np.random.default_rng(0)
+        sig = (rngx.standard_normal((1, cfg.blocksize * 4)) * 0.3).astype(np.float32)
+        _, out = cpipe.process_signal(cparams, cpipe.init_state(), sig)
+        out = np.asarray(out)[0]
+        from afp_tpu.ops.resample import streaming_kernel
+
+        design = PP.design(cpipe.cfg)
+        h_up = streaming_kernel(cfg.upsample_factor, 1)
+        y = sps.upfirdn(h_up, sig[0].astype(np.float64), cfg.upsample_factor, 1)
+        y = y[: sig.shape[1] * cfg.upsample_factor]
+        y = np.convolve(y, design.main_taps.astype(np.float64))[: len(y)]
+        gold = y[:: cfg.upsample_factor]
+        err = np.max(np.abs(out - gold)) / (np.max(np.abs(gold)) + 1e-300)
+        err_db = round(20 * np.log10(err + 1e-300), 1)
+
     return {
         "metric": "aggregate_xrt_1001tap_4x_44k1",
         "value": round(xrt, 1),
@@ -95,6 +123,7 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str) -> dict:
         "nblocks_per_run": nblocks,
         "strategy": strategy,
         "best_run_s": round(best, 4),
+        "error_db_vs_oracle": err_db,
         "device": str(jax.devices()[0]),
     }
 
