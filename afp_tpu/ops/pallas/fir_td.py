@@ -51,11 +51,18 @@ def band_matrix(h: np.ndarray, tile: int = LANE) -> np.ndarray:
 
 
 def _fir_kernel(x_ref, band_ref, o_ref, *, n_taps: int, t_tiles: int):
-    """One batch-tile: x_ref [BT, T + N − 1] → o_ref [BT, T]."""
+    """One batch-tile: x_ref [BT, T + N − 1] → o_ref [BT, T].
+
+    precision=HIGHEST is load-bearing: the MXU's default f32 path rounds
+    inputs to bf16 (measured −50 dB vs oracle); the multi-pass mode restores
+    fp32-equivalent accuracy for the −90 dB contract.
+    """
     for t in range(t_tiles):
         w = x_ref[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
         o_ref[:, t * LANE : (t + 1) * LANE] = jnp.dot(
-            w, band_ref[:, :], preferred_element_type=jnp.float32
+            w, band_ref[:, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
 
