@@ -244,8 +244,16 @@ class PipelineParams:
             filter_type=cfg.filter_type,
             samplerate=fs,
         )
+        # NOTE: the reference gates min-phase on exact symmetry
+        # (`stream_process_EQ_GUI.py:377-379`), but its own periodic
+        # (fftbins) windows leave every design ~1e-4 asymmetric, so that gate
+        # NEVER fires — the GUI's min-phase toggle is dead code there.  Here
+        # `min_phase=True` is explicit intent: convert directly (hilbert
+        # method + peak normalization, the `update_fir_filter` recipe).
         if cfg.min_phase:
-            main = to_minimum_phase(main, fs)
+            from ..design.minphase import minimum_phase, normalize_peak
+
+            main = normalize_peak(minimum_phase(main, method="hilbert"), fs)
         eq_list = []
         for band in cfg.eq_bands:
             coeffs = create_fir_filter(
@@ -257,7 +265,11 @@ class PipelineParams:
                 samplerate=fs,
             )
             if cfg.min_phase:
-                coeffs = to_minimum_phase(coeffs, fs)
+                # EQ bands: min-phase without re-normalization
+                # (`precompute_eq_filters`, `:217-218`)
+                from ..design.minphase import minimum_phase
+
+                coeffs = minimum_phase(coeffs, method="hilbert")
             eq_list.append(coeffs)
         eq = np.stack(eq_list) if eq_list else np.zeros((0, len(main)))
         gains = np.array([b.gain for b in cfg.eq_bands], dtype=np.float32)

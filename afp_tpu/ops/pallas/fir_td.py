@@ -30,6 +30,13 @@ __all__ = ["band_matrix", "fir_td_mxu", "fir_conv_xla"]
 
 LANE = 128  # MXU tile edge
 
+import os as _os
+
+#: HIGHEST = 6-pass fp32-equivalent; HIGH = 3-pass bf16x3 (~2x faster, still
+#: well under the -90 dB contract; flip via AFP_TD_PRECISION for experiments)
+_PRECISION = getattr(__import__("jax").lax.Precision,
+                     _os.environ.get("AFP_TD_PRECISION", "HIGHEST"))
+
 
 def band_matrix(h: np.ndarray, tile: int = LANE) -> np.ndarray:
     """Banded-Toeplitz operator [N−1+tile, tile] for convolution by `h`.
@@ -62,7 +69,7 @@ def _fir_kernel(x_ref, band_ref, o_ref, *, n_taps: int, t_tiles: int):
         o_ref[:, t * LANE : (t + 1) * LANE] = jnp.dot(
             w, band_ref[:, :],
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_PRECISION,
         )
 
 
