@@ -28,12 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["band_matrix", "fir_td_mxu", "fir_conv_xla"]
 
-LANE = 128  # MXU tile edge
-
 import os as _os
 
-#: HIGHEST = 6-pass fp32-equivalent; HIGH = 3-pass bf16x3 (~2x faster, still
-#: well under the -90 dB contract; flip via AFP_TD_PRECISION for experiments)
+#: output-tile width (columns of the band matrix); 128 = one MXU lane tile,
+#: wider tiles mean fewer, larger dots per kernel invocation
+LANE = int(_os.environ.get("AFP_TD_TILE", "128"))
+
+#: HIGHEST = 6-pass fp32-equivalent (Mosaic supports only DEFAULT/HIGHEST;
+#: DEFAULT rounds inputs to bf16 and fails the −90 dB contract)
 _PRECISION = getattr(__import__("jax").lax.Precision,
                      _os.environ.get("AFP_TD_PRECISION", "HIGHEST"))
 
