@@ -21,6 +21,7 @@ operational disciplines on top:
 """
 from __future__ import annotations
 
+import threading
 import time
 from collections import deque
 from typing import Optional
@@ -66,6 +67,11 @@ class StreamEngine:
         self.cfg = cfg.validate()
         self.metrics = EngineMetrics(streams=self.cfg.batch)
         self._seed = seed
+        # the reference's filter_lock (`stream_process_EQ_GUI.py:50-55`):
+        # reconfig (control thread) vs block processing (worker thread)
+        # synchronize here; dynamic swaps are a single attribute store, but a
+        # shape rebuild replaces pipeline+params+state together.
+        self._swap_lock = threading.Lock()
         self._build(self.cfg)
 
     # ---------------- construction / reconfig ----------------
@@ -100,12 +106,14 @@ class StreamEngine:
                 self.metrics.design_fallbacks += 1
                 return True
             # atomic swap between blocks — the filter_lock analog
-            self.params = params
-            self.cfg = new_cfg
-            self.pipeline.cfg = new_cfg
+            with self._swap_lock:
+                self.params = params
+                self.cfg = new_cfg
+                self.pipeline.cfg = new_cfg
             return True
-        self.cfg = new_cfg
-        self._build(new_cfg)
+        with self._swap_lock:
+            self.cfg = new_cfg
+            self._build(new_cfg)
         return False
 
     def set_eq_gains(self, gains) -> None:
@@ -137,11 +145,15 @@ class StreamEngine:
             block = fixed
         t0 = time.monotonic()
         try:
-            state, out = self.pipeline.step(self.params, self.state, block)
+            with self._swap_lock:
+                pipeline, params, state_in = self.pipeline, self.params, self.state
+            state, out = pipeline.step(params, state_in, block)
             out_np = np.asarray(jax.block_until_ready(out))
             if not np.all(np.isfinite(out_np)):
                 raise FloatingPointError("non-finite output")
-            self.state = state
+            with self._swap_lock:
+                if self.pipeline is pipeline:  # drop state if rebuilt mid-block
+                    self.state = state
             self._last_good.append(out_np)
             busy = time.monotonic() - t0
             self.metrics.record_block(self.cfg.blocksize, busy, self._block_seconds)

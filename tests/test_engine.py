@@ -140,3 +140,35 @@ def test_config_json_roundtrip():
     cfg = StreamConfig(cutoff=(500.0, 5000.0), filter_type="bandpass")
     cfg2 = StreamConfig.from_json(cfg.to_json())
     assert cfg2 == cfg
+
+
+def test_concurrent_reconfig_thread_safety(rng):
+    """Reconfig from a control thread while a worker processes blocks — the
+    filter_lock discipline: no crashes, no corrupt output, every block
+    finite."""
+    import dataclasses
+    import threading
+
+    eng = make_engine(batch=1, blocksize=512)
+    sig = rng.normal(size=(200, 1, 512)).astype(np.float32) * 0.3
+    errors = []
+
+    def reconfigure():
+        try:
+            for i in range(30):
+                cut = 5000.0 + (i % 10) * 1000.0
+                eng.apply_config(dataclasses.replace(eng.cfg, cutoff=cut))
+                if i % 10 == 5:  # shape change → full rebuild mid-stream
+                    eng.apply_config(dataclasses.replace(eng.cfg, numtaps=97))
+                    eng.apply_config(dataclasses.replace(eng.cfg, numtaps=65))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t = threading.Thread(target=reconfigure)
+    t.start()
+    for i in range(200):
+        out = eng.process_block(sig[i])
+        assert out.shape[1] == 512
+        assert np.all(np.isfinite(out))
+    t.join()
+    assert not errors
