@@ -177,6 +177,15 @@ class StreamEngine:
         self.metrics.fallback_silence += 1
         return np.zeros(expected, dtype=np.float32)
 
+    def profile(self, logdir: str):
+        """jax.profiler trace context (SURVEY.md §5.1): wraps a region of
+        block processing; view with TensorBoard/xprof.  Usage::
+
+            with engine.profile("/tmp/afp_trace"):
+                engine.process_signal(x)
+        """
+        return jax.profiler.trace(logdir)
+
     def process_signal(self, signal: np.ndarray) -> np.ndarray:
         """Whole-signal convenience: [batch, T] → [batch, T'] via lax.scan."""
         signal = np.asarray(signal, dtype=np.float32)

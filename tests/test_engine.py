@@ -172,3 +172,12 @@ def test_concurrent_reconfig_thread_safety(rng):
         assert np.all(np.isfinite(out))
     t.join()
     assert not errors
+
+
+def test_profile_context(tmp_path, rng):
+    eng = make_engine(batch=1)
+    with eng.profile(str(tmp_path / "trace")):
+        eng.process_block(rng.normal(size=(1, 512)).astype(np.float32))
+    import os
+
+    assert any(os.scandir(str(tmp_path / "trace")))  # trace files written

@@ -1,0 +1,28 @@
+"""Smoke tests: every example entry point must run headless on CPU."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+EXAMPLES = [
+    ["examples/eq_stream.py", "--streams", "2"],
+    ["examples/eq_stream.py", "--bands", "3", "--streams", "2"],
+    ["examples/agc_stream.py", "--streams", "2"],
+    ["examples/presets_stream.py"],
+    ["examples/waterfall_stream.py"],
+    ["examples/baseline_stream.py", "--streams", "2", "--blocks", "5"],
+]
+
+
+@pytest.mark.parametrize("argv", EXAMPLES, ids=lambda a: " ".join(a))
+def test_example_runs(argv):
+    env = dict(os.environ)
+    env["AFP_FORCE_CPU"] = "1"
+    r = subprocess.run(
+        [sys.executable] + argv, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]

@@ -84,3 +84,28 @@ def test_remez_lowpass_heuristic_matches_scipy_bands():
                              filter_type="lowpass", samplerate=fs)
     gold = sps.remez(151, bands, [1, 0], fs=fs)
     assert response_error_db(ours, gold, [(0, cutoff), (cutoff + tw, fs / 2)], fs) < -60
+
+
+@pytest.mark.parametrize("numtaps,bands,desired", [
+    # narrow transition
+    (201, [0, 9800, 10000, 22050], [1, 0]),
+    # multi-band
+    (201, [0, 300, 400, 2000, 2100, 6000, 6100, 22050], [0, 1, 0, 1]),
+    # tiny filter
+    (11, [0, 4000, 8000, 22050], [1, 0]),
+    # large filter
+    (513, [0, 10000, 10400, 22050], [1, 0]),
+])
+def test_remez_stress(numtaps, bands, desired):
+    h = remez(numtaps, bands, desired, fs=44100)
+    assert h.shape == (numtaps,)
+    assert np.all(np.isfinite(h))
+    gold = sps.remez(numtaps, bands, desired, fs=44100)
+    pairs = [(bands[2 * i], bands[2 * i + 1]) for i in range(len(desired))]
+    assert response_error_db(h, gold, pairs, 44100) < -40  # same minimax family
+    # our converged ripple must not be worse than scipy's by >10%
+    w, H1 = sps.freqz(h, worN=8000, fs=44100)
+    _, H2 = sps.freqz(gold, worN=8000, fs=44100)
+    for (lo, hi), d in zip(pairs, desired):
+        m = (w >= lo) & (w <= hi)
+        assert np.max(np.abs(np.abs(H1[m]) - d)) <= np.max(np.abs(np.abs(H2[m]) - d)) * 1.1 + 1e-9
