@@ -1,31 +1,89 @@
 """Offline filter-response plots (L4, SURVEY.md §1).
 
-Re-creates `/root/reference/plot_filter.py:11-132`'s 3-panel figure —
-magnitude dB (8000-pt freqz), wrapped phase, centered impulse stem (max 200
-samples) — with the same adaptive axis rule (log scale iff Nyquist > 20 kHz).
-Differences by design: headless Agg rendering to a file/Figure instead of a
-forced Qt5Agg interactive window (the engine is a server-side framework), and
-our first-party freqz instead of scipy's.
+Provides the reference's response-visualization capability
+(`/root/reference/plot_filter.py:11-132`): a figure with magnitude (dB),
+phase, and centered impulse panels, with adaptive log/linear frequency
+scaling.  Headless Agg rendering to a file/Figure (the engine is a
+server-side framework; no forced interactive Qt backend), using the
+first-party freqz.
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
 
 from ..design.freqz import freqz
 
-__all__ = ["plot_filter_response"]
+__all__ = ["plot_filter_response", "ResponseData", "compute_response"]
+
+#: grid resolution of the response evaluation (matches the design-path freqz)
+WORN = 8000
+#: max samples shown in the impulse panel
+IMPULSE_SPAN = 200
+#: dB floor of the magnitude panel
+DB_FLOOR = -120.0
+
+
+@dataclass
+class ResponseData:
+    """Precomputed panel data — separable from rendering so headless callers
+    (tests, web UIs) can consume the numbers directly."""
+
+    freqs: np.ndarray  # Hz
+    magnitude_db: np.ndarray
+    phase_rad: np.ndarray  # wrapped
+    taps: np.ndarray
+    impulse_window: tuple  # (start, end) sample indices shown
+    fs: float
+    log_axis: bool
+
+    @property
+    def ticks(self):
+        nyq = self.fs / 2
+        if self.log_axis:
+            return [t for t in (20, 100, 1000, 10000, nyq) if t <= nyq]
+        return list(np.linspace(0, nyq, num=9))
+
+
+def compute_response(coefficients, fs: float) -> ResponseData:
+    """Evaluate everything the figure needs (no matplotlib involved)."""
+    taps = np.asarray(coefficients, dtype=np.float64)
+    freqs, H = freqz(taps, worN=WORN, fs=fs)
+    span = min(IMPULSE_SPAN, len(taps))
+    mid = len(taps) // 2
+    start = max(0, mid - span // 2)
+    return ResponseData(
+        freqs=freqs,
+        magnitude_db=20 * np.log10(np.abs(H) + 1e-8),
+        phase_rad=np.angle(H),
+        taps=taps,
+        impulse_window=(start, min(len(taps), start + span)),
+        fs=fs,
+        # log axis only when the band extends past the audible range
+        log_axis=fs / 2 > 20000,
+    )
+
+
+def _freq_panel(ax, data: ResponseData, values, color: str):
+    plot = ax.semilogx if data.log_axis else ax.plot
+    plot(data.freqs, values, color=color)
+    ticks = data.ticks
+    ax.set_xticks(ticks)
+    ax.set_xticklabels([f"{int(t)}" if t >= 1 else f"{t:.1f}" for t in ticks])
+    ax.set_xlim((20, data.fs / 2) if data.log_axis else (0, data.fs / 2))
+    ax.grid(True, which="both", linestyle=":")
 
 
 def plot_filter_response(coefficients, fs: float = 44100,
                          filter_type: Optional[str] = None,
                          save_path: Optional[str] = None,
                          show: bool = False):
-    """Render the 3-panel response figure. Returns the matplotlib Figure.
+    """Render the response figure; returns the matplotlib Figure.
 
     `save_path` writes a PNG; `show=True` attempts a non-blocking interactive
-    display (only if a GUI backend is available).
+    display when a GUI backend exists.
     """
     import matplotlib
 
@@ -33,73 +91,35 @@ def plot_filter_response(coefficients, fs: float = 44100,
         matplotlib.use("Agg", force=False)
     import matplotlib.pyplot as plt
 
-    coefficients = np.asarray(coefficients, dtype=np.float64)
+    data = compute_response(coefficients, fs)
 
-    fig = plt.figure(figsize=(12, 8))
-    gs = fig.add_gridspec(3, 1, height_ratios=[2, 1, 1])
-    ax_mag = fig.add_subplot(gs[0, 0])
-    ax_phase = fig.add_subplot(gs[1, 0])
-    ax_impulse = fig.add_subplot(gs[2, 0])
+    fig, (ax_mag, ax_phase, ax_imp) = plt.subplots(
+        3, 1, figsize=(12, 8), gridspec_kw={"height_ratios": [2, 1, 1]}
+    )
 
-    w, h = freqz(coefficients, worN=8000, fs=fs)
-    magnitude = 20 * np.log10(np.abs(h) + 1e-8)
-    phase = np.angle(h)
-
-    nyquist = fs / 2
-    if nyquist > 20000:
-        x_scale = "log"
-        x_ticks = [x for x in [20, 100, 1000, 10000, nyquist] if x <= nyquist]
-        x_lim = (20, nyquist)
-    else:
-        x_scale = "linear"
-        x_ticks = np.linspace(0, nyquist, num=9)
-        x_lim = (0, nyquist)
-
-    if x_scale == "log":
-        ax_mag.semilogx(w, magnitude, color="C0")
-    else:
-        ax_mag.plot(w, magnitude, color="C0")
-    peak_mag = np.max(magnitude)
-    mag_range = max(5, peak_mag + 5)
-    title_type = (filter_type or "FIR").capitalize()
-    ax_mag.set_title(f"{title_type} Filter Response (Fs={fs/1000:.1f}kHz)")
+    _freq_panel(ax_mag, data, data.magnitude_db, "C0")
+    headroom = max(5.0, float(np.max(data.magnitude_db)) + 5.0)
+    ax_mag.set_ylim(DB_FLOOR, headroom)
     ax_mag.set_ylabel("Magnitude (dB)")
-    ax_mag.set_ylim(-120, mag_range)
-    ax_mag.set_xticks(x_ticks)
-    ax_mag.set_xticklabels([f"{int(x)}" if x >= 1 else f"{x:.1f}" for x in x_ticks])
-    ax_mag.grid(True, which="both", linestyle=":")
-    ax_mag.set_xlim(x_lim)
+    name = (filter_type or "FIR").capitalize()
+    ax_mag.set_title(f"{name} Filter Response (Fs={fs / 1000:.1f}kHz)")
 
-    if x_scale == "log":
-        ax_phase.semilogx(w, phase, color="C1")
-    else:
-        ax_phase.plot(w, phase, color="C1")
+    _freq_panel(ax_phase, data, data.phase_rad, "C1")
     ax_phase.set_ylabel("Phase (radians)")
     ax_phase.set_xlabel("Frequency (Hz)")
-    ax_phase.grid(True, which="both", linestyle=":")
-    ax_phase.set_xticks(x_ticks)
-    ax_phase.set_xticklabels([f"{int(x)}" if x >= 1 else f"{x:.1f}" for x in x_ticks])
-    ax_phase.set_xlim(x_lim)
 
-    impulse_response = coefficients.copy()
-    center = len(impulse_response) // 2
-    plot_range = min(200, len(impulse_response))
-    start = max(0, center - plot_range // 2)
-    end = min(len(impulse_response), start + plot_range)
-    markerline, stemlines, _ = ax_impulse.stem(
-        np.arange(start, end),
-        impulse_response[start:end],
-        linefmt="C2-",
-        markerfmt="C2o",
-        basefmt="C7:",
+    lo, hi = data.impulse_window
+    marker, stems, _ = ax_imp.stem(
+        np.arange(lo, hi), data.taps[lo:hi],
+        linefmt="C2-", markerfmt="C2o", basefmt="C7:",
     )
-    plt.setp(stemlines, "linewidth", 0.5)
-    plt.setp(markerline, "markersize", 3)
-    ax_impulse.set_title("Impulse Response (Centered)")
-    ax_impulse.set_xlabel("Samples")
-    ax_impulse.set_ylabel("Amplitude")
-    ax_impulse.grid(True, linestyle=":")
-    ax_impulse.set_xlim(start, end)
+    plt.setp(stems, linewidth=0.5)
+    plt.setp(marker, markersize=3)
+    ax_imp.set_xlim(lo, hi)
+    ax_imp.set_title("Impulse Response (Centered)")
+    ax_imp.set_xlabel("Samples")
+    ax_imp.set_ylabel("Amplitude")
+    ax_imp.grid(True, linestyle=":")
 
     fig.tight_layout()
     if save_path:
