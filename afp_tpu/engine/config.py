@@ -102,6 +102,11 @@ class StreamConfig:
     source_samplerate: Optional[int] = None
 
     # output stage
+    # 'base' returns blocksize samples at `samplerate` (the reference's duplex
+    # contract); 'upsampled' returns blocksize·upf samples at the upsampled
+    # rate (drive a high-rate DAC directly — skips the downsample stage and
+    # the single-rate fusion)
+    output_rate: str = "base"
     downsample_mode: str = "resample"  # 'resample' (soxr path) | 'decimate' (C5)
     dither_kind: str = "tpdf"  # 'tpdf' | 'rpdf' (reference math) | 'off'
     dither_bits: int = 24
@@ -155,6 +160,8 @@ class StreamConfig:
             raise ValueError(f"invalid dither_kind {self.dither_kind!r}")
         if self.agc_mode not in ("exact", "fast"):
             raise ValueError(f"invalid agc_mode {self.agc_mode!r}")
+        if self.output_rate not in ("base", "upsampled"):
+            raise ValueError(f"invalid output_rate {self.output_rate!r}")
         if self.conv_strategy not in ("fft", "td_mxu"):
             raise ValueError(f"invalid conv_strategy {self.conv_strategy!r}")
         if self.conv_strategy == "td_mxu" and not self.fuse_rate_conversion:
@@ -193,6 +200,7 @@ class StreamConfig:
             self.conv_strategy,
             self.agc_mode,
             self.agc_carry,
+            self.output_rate,
         )
 
     # --- (de)serialization for presets/checkpoints ---

@@ -91,6 +91,9 @@ class StreamEngine:
         self.state: StreamState = self.pipeline.init_state(seed=self._seed)
         self._last_good: deque = deque(maxlen=LAST_GOOD_DEPTH)
         self._block_seconds = self.cfg.blocksize / self.cfg.samplerate
+        out_len = (self.cfg.upsampled_block if self.pipeline.upsampled_out
+                   else self.cfg.blocksize)
+        self._out_shape = (self.cfg.batch, out_len)
 
     def apply_config(self, new_cfg: StreamConfig) -> bool:
         """Apply a new configuration.  Returns True if the swap was
@@ -165,17 +168,16 @@ class StreamEngine:
                 self.metrics.fallback_replays += 1
                 return self._last_good[-1]
             self.metrics.fallback_silence += 1
-            return np.zeros(expected, dtype=np.float32)
+            return np.zeros(self._out_shape, dtype=np.float32)
 
     def underrun_block(self) -> np.ndarray:
         """Output to emit when no processed block is ready: the reference's
         0.8·last + 0.2·silence blend (`stream_process_EQ_GUI.py:476-480`)."""
         self.metrics.underruns += 1
-        expected = (self.cfg.batch, self.cfg.blocksize)
         if self._last_good:
             return (0.8 * self._last_good[-1]).astype(np.float32)
         self.metrics.fallback_silence += 1
-        return np.zeros(expected, dtype=np.float32)
+        return np.zeros(self._out_shape, dtype=np.float32)
 
     def profile(self, logdir: str):
         """jax.profiler trace context (SURVEY.md §5.1): wraps a region of

@@ -122,7 +122,10 @@ class Pipeline:
         # upsample(U) → filter → downsample(U) with base-rate output is
         # algebraically y[n] = Σ_p cascade[U·(n−p)]·x[p]: ONE base-rate FIR
         # with the phase-0 polyphase component of the full cascade.
-        self.fused = bool(cfg.fuse_rate_conversion)
+        # upsampled-rate output keeps the literal multirate chain (the fusion
+        # exists precisely because the output returns to base rate)
+        self.upsampled_out = cfg.output_rate == "upsampled" and self.upf > 1
+        self.fused = bool(cfg.fuse_rate_conversion) and not self.upsampled_out
         if self.fused:
             from ..ops.resample import streaming_kernel
 
@@ -277,7 +280,8 @@ class Pipeline:
         if self.upf > 1 and not self.fused:
             up = PolyResampler.init(self.upf, 1, block=self.block, batch_shape=B)
         down = None
-        if self.upf > 1 and cfg.downsample_mode == "resample" and not self.fused:
+        if (self.upf > 1 and cfg.downsample_mode == "resample"
+                and not self.fused and not self.upsampled_out):
             down = PolyResampler.init(1, self.upf, block=self.up_block, batch_shape=B)
         n_tail = (self.n_casc if self.fused else self.n_fused) - 1
         conv_tail = jnp.zeros((self.batch, n_tail), dtype=jnp.float32)
@@ -374,7 +378,7 @@ class Pipeline:
             conv_tail = jax.lax.slice_in_dim(
                 ext, ext.shape[-1] - (self.n_fused - 1), ext.shape[-1], axis=-1
             )
-            if self.upf > 1:
+            if self.upf > 1 and not self.upsampled_out:
                 if cfg.downsample_mode == "decimate":
                     y = decimate(y, self.upf)  # anti-alias provided by main filter
                 else:

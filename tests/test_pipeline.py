@@ -146,3 +146,27 @@ def test_asrc_pipeline(rng):
     _, out = pipe.process_signal(params, pipe.init_state(), sig)
     assert np.asarray(out).shape == sig.shape  # pad/trim-to-blocksize compat
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_upsampled_rate_output(rng):
+    """output_rate='upsampled' emits blocksize*upf samples at the high rate,
+    equal to the literal chain's pre-decimation stream."""
+    base = dict(
+        samplerate=44100, blocksize=1024, upsample_factor=4, numtaps=101,
+        batch=1, cutoff=11000.0, eq_enabled=False, agc_enabled=False,
+        dither_kind="off", output_clip=None,
+    )
+    hi = Pipeline(StreamConfig(output_rate="upsampled",
+                               downsample_mode="decimate", **base))
+    params = hi.device_params(PipelineParams.design(hi.cfg))
+    sig = (rng.normal(size=(1, 1024 * 3)) * 0.3).astype(np.float32)
+    _, out_hi = hi.process_signal(params, hi.init_state(), sig)
+    out_hi = np.asarray(out_hi)
+    assert out_hi.shape == (1, 1024 * 3 * 4)
+
+    # decimating the high-rate output must equal the base-rate literal chain
+    lo = Pipeline(StreamConfig(output_rate="base", downsample_mode="decimate",
+                               fuse_rate_conversion=False, **base))
+    lparams = lo.device_params(PipelineParams.design(lo.cfg))
+    _, out_lo = lo.process_signal(lparams, lo.init_state(), sig)
+    np.testing.assert_allclose(out_hi[:, ::4], np.asarray(out_lo), atol=1e-6)
