@@ -16,14 +16,53 @@ import numpy as np
 __all__ = ["read_wav", "write_wav"]
 
 
+def _parse_riff(path: str):
+    """Minimal RIFF/WAVE chunk parser — handles IEEE-float (format 3) and
+    WAVE_FORMAT_EXTENSIBLE files the stdlib `wave` module rejects.
+    Returns (fmt_tag, n_ch, rate, width_bytes, data_bytes)."""
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError(f"{path} is not a RIFF/WAVE file")
+        fmt = None
+        data = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            body = f.read(size + (size & 1))[:size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+        if fmt is None or data is None:
+            raise ValueError(f"{path}: missing fmt/data chunk")
+    tag, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE and len(fmt) >= 40:  # extensible: real tag in the GUID
+        tag = struct.unpack("<H", fmt[24:26])[0]
+    return tag, n_ch, rate, bits // 8, data
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV file → (float32 array [channels, frames] in ±1.0, rate)."""
-    with wave.open(path, "rb") as w:
-        n_ch = w.getnchannels()
-        width = w.getsampwidth()
-        rate = w.getframerate()
-        n = w.getnframes()
-        raw = w.readframes(n)
+    """Read a WAV file → (float32 array [channels, frames] in ±1.0, rate).
+
+    Supports PCM 8/16/24/32 and IEEE float32/float64 (format 3, which the
+    stdlib `wave` module cannot read)."""
+    try:
+        with wave.open(path, "rb") as w:
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        tag, n_ch, rate, width, raw = _parse_riff(path)
+        if tag == 3:  # IEEE float
+            dt = "<f4" if width == 4 else "<f8"
+            x = np.frombuffer(raw, dtype=dt).astype(np.float32)
+            return x.reshape(-1, n_ch).T.copy(), rate
+        if tag != 1:
+            raise ValueError(f"unsupported WAV format tag {tag}")
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 3:
@@ -46,12 +85,29 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return x.reshape(-1, n_ch).T.copy(), rate
 
 
-def write_wav(path: str, x: np.ndarray, rate: int, width: int = 2) -> None:
-    """Write float32 [channels, frames] (or [frames]) in ±1.0 as PCM WAV."""
+def write_wav(path: str, x: np.ndarray, rate: int, width: int = 2,
+              float_format: bool = False) -> None:
+    """Write float32 [channels, frames] (or [frames]) in ±1.0 to WAV.
+
+    `float_format=True` writes IEEE float32 (format 3, lossless for the
+    engine's native dtype); otherwise PCM at `width` bytes."""
     x = np.asarray(x, dtype=np.float32)
     if x.ndim == 1:
         x = x[None, :]
     n_ch, n = x.shape
+    if float_format:
+        data = np.ascontiguousarray(x.T, dtype="<f4").tobytes()
+        block_align = n_ch * 4
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+            3, n_ch, rate, rate * block_align, block_align, 32,
+            b"data", len(data),
+        )
+        with open(path, "wb") as f:
+            f.write(hdr)
+            f.write(data)
+        return
     clipped = np.clip(x.T, -1.0, 1.0)  # interleave as [frames, channels]
     if width == 2:
         data = (clipped * 32767.0).astype("<i2").tobytes()

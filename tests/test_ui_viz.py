@@ -131,3 +131,14 @@ def test_gui_import_gated():
     from afp_tpu.ui.gui import gui_available
 
     assert isinstance(gui_available(), bool)  # no display in CI → False is fine
+
+
+def test_wav_ieee_float_roundtrip(tmp_path, rng):
+    from afp_tpu.utils import read_wav, write_wav
+
+    x = (0.5 * rng.standard_normal((2, 4410))).astype(np.float32)
+    p = str(tmp_path / "f32.wav")
+    write_wav(p, x, 48000, float_format=True)
+    y, rate = read_wav(p)
+    assert rate == 48000
+    np.testing.assert_array_equal(y, x)  # float path is lossless
