@@ -1,10 +1,12 @@
 """Host runtime: native ring buffers/pacer, block dispatcher, simulated
 stream driver, device enumeration."""
+from .asrc import AsrcFrontend
 from .devices import format_devices, list_devices
 from .dispatcher import BlockDispatcher, FaultInjector, SimulatedStream
 from .host import BlockRing, Pacer, native_available
 
 __all__ = [
+    "AsrcFrontend",
     "BlockRing", "Pacer", "native_available",
     "BlockDispatcher", "SimulatedStream", "FaultInjector",
     "list_devices", "format_devices",

@@ -99,3 +99,44 @@ def test_latency_one_block_in_one_block_out(rng):
     snap = stream.run(50)
     assert len(stream.dispatcher.out_ring) <= stream.dispatcher.out_ring.capacity
     assert snap["in_ring"]["drops"] <= 2
+
+
+def test_asrc_frontend_exact_streaming(rng):
+    """Arbitrary push chunking → block-exact output == one-shot causal
+    upfirdn of the whole source signal (no per-block edge artifacts)."""
+    import scipy.signal as sps
+
+    from afp_tpu.runtime.asrc import AsrcFrontend
+
+    src_rate, eng_rate = 48000, 44100
+    fe = AsrcFrontend(src_rate, eng_rate, batch=1)
+    T = fe.l_dev * 5
+    sig = (0.3 * rng.standard_normal(T)).astype(np.float32)
+
+    # push in ragged chunks
+    i, outs = 0, []
+    rngs = np.random.default_rng(1)
+    while i < T:
+        n = int(rngs.integers(100, 3000))
+        fe.push(sig[i : i + n])
+        i += n
+        while (blk := fe.pull(1024)) is not None:
+            outs.append(blk)
+    outs.append(fe.flush())
+    streamed = np.concatenate(outs, axis=1)[0]
+
+    gold = sps.upfirdn(np.asarray(fe._state.h), sig.astype(np.float64),
+                       fe.up, fe.down)
+    n = min(len(streamed), len(gold))
+    assert n > T * fe.up // fe.down - fe.l_dev
+    np.testing.assert_allclose(streamed[:n], gold[:n], atol=2e-5)
+
+
+def test_asrc_frontend_rate_bookkeeping():
+    from afp_tpu.runtime.asrc import AsrcFrontend
+
+    fe = AsrcFrontend(48000, 44100, batch=2)
+    fe.push(np.zeros((2, fe.l_dev * 2), np.float32))
+    # 2 super-blocks in → exactly 2·l_dev·up/down out
+    assert fe.available() == 2 * fe.l_dev * fe.up // fe.down
+    assert fe.pull(10**9) is None  # can't overdraw
