@@ -13,8 +13,6 @@ model weights; np.savez keeps restore trivially portable.
 from __future__ import annotations
 
 import json
-from typing import Tuple
-
 import jax
 import numpy as np
 

@@ -21,12 +21,12 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import numpy as np
 
-from ..design import create_fir_filter, to_minimum_phase
+from ..design import create_fir_filter
 
 __all__ = ["EQBand", "StreamConfig", "DEFAULT_EQ_BANDS", "PipelineParams"]
 

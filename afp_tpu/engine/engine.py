@@ -24,8 +24,6 @@ from __future__ import annotations
 import threading
 import time
 from collections import deque
-from typing import Optional
-
 import jax
 import numpy as np
 

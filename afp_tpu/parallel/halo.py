@@ -15,8 +15,6 @@ tail (`stream_process_GUI_Presets.py:67, 115-121`) — turned 90°: state across
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

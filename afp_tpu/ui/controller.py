@@ -28,7 +28,6 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..engine import PresetStore, StreamConfig, StreamEngine
-from ..engine.config import EQBand
 
 __all__ = ["EqualizerController", "DEFAULT_CONFIG"]
 
