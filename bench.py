@@ -130,7 +130,7 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str) -> dict:
 
 def main() -> None:
     batch = int(os.environ.get("AFP_BENCH_BATCH", "4096"))
-    nblocks = int(os.environ.get("AFP_BENCH_BLOCKS", "8"))
+    nblocks = int(os.environ.get("AFP_BENCH_BLOCKS", "64"))
     reps = int(os.environ.get("AFP_BENCH_REPS", "5"))
     strategy = os.environ.get("AFP_BENCH_STRATEGY", "td_mxu")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/afp_jax_cache")
