@@ -138,7 +138,7 @@ def main() -> None:
     # primary attempt, alarm-guarded (the Pallas compile through a tunneled
     # device can be slow); fall back to the FFT strategy on timeout/error.
     try:
-        _alarm(540)
+        _alarm(780)
         result = run_config(batch, nblocks, reps, strategy)
         signal.alarm(0)
     except (BenchTimeout, Exception) as e:  # noqa: BLE001
