@@ -120,3 +120,13 @@ def test_freqz_long_filter_direct_path():
     w_ours, H_ours = freqz(h, worN=8000, fs=2.0)
     w_gold, H_gold = sps.freqz(h, worN=8000, fs=2.0)
     np.testing.assert_allclose(H_ours, H_gold, rtol=1e-7, atol=1e-7)
+
+
+def test_freqz_jax_matches_numpy():
+    h = oracle_design(11000, 129, "hamming", "lowpass", 88200)
+    from afp_tpu.design import freqz_jax
+
+    w_j, H_j = freqz_jax(np.asarray(h, dtype=np.float32), worN=2000, fs=88200)
+    w_n, H_n = freqz(h, worN=2000, fs=88200)
+    np.testing.assert_allclose(np.asarray(w_j), w_n, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(H_j), H_n, rtol=2e-3, atol=2e-4)
