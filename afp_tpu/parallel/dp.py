@@ -69,17 +69,40 @@ class ShardedPipeline:
 
         state_example = self.pipeline.init_state()
         sspec = _state_spec(state_example, self.local_cfg.batch)
-        pspec = jax.tree_util.tree_map(lambda _: P(), self._params_example())
         bspec = P("streams", None)
+
+        def param_spec(leaf):
+            # per-stream parameter banks (e.g. eq_gains [B_global, n_bands])
+            # shard on 'streams'; everything else replicates
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cfg.batch:
+                return P("streams", *([None] * (leaf.ndim - 1)))
+            return P()
+
+        self._param_spec = param_spec
+
+        self._sspec = sspec
+        self._bspec = bspec
+        self._exec_cache = {}
+
+    def _get_exec(self, params: DeviceParams):
+        """Build (lazily, cached) the shard_map'd step/run for this params
+        structure — per-stream banks ([B_global, …] leaves) shard on
+        'streams', shared banks replicate."""
+        pspec = jax.tree_util.tree_map(self._param_spec, params)
+        key = tuple(
+            getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)
+        )
+        if key in self._exec_cache:
+            return self._exec_cache[key]
+        mesh, sspec, bspec = self.mesh, self._sspec, self._bspec
 
         def local_step(params, state, block):
             # decorrelate dither across shards: fold the mesh position in
             idx = jax.lax.axis_index("streams")
             state = state._replace(key=jax.random.fold_in(state.key, idx))
-            new_state, out = self.pipeline._step_impl(params, state, block)
-            return new_state, out
+            return self.pipeline._step_impl(params, state, block)
 
-        self._sharded_step = jax.jit(
+        step = jax.jit(
             jax.shard_map(
                 local_step,
                 mesh=mesh,
@@ -99,7 +122,7 @@ class ShardedPipeline:
 
             return jax.lax.scan(body, state, blocks)
 
-        self._sharded_run = jax.jit(
+        run = jax.jit(
             jax.shard_map(
                 local_run,
                 mesh=mesh,
@@ -109,15 +132,8 @@ class ShardedPipeline:
             ),
             donate_argnums=(1,),
         )
-
-    def _params_example(self) -> DeviceParams:
-        return self.pipeline.device_params(
-            PipelineParams(
-                main_taps=jnp.zeros(self.pipeline.n_kernel),
-                eq_taps=jnp.zeros((len(self.cfg.eq_bands), self.pipeline.n_kernel)),
-                eq_gains=jnp.zeros(len(self.cfg.eq_bands)),
-            )
-        )
+        self._exec_cache[key] = (step, run)
+        return step, run
 
     # ---- public surface (global shapes) ----
 
@@ -147,8 +163,10 @@ class ShardedPipeline:
 
     def step(self, params: DeviceParams, state: StreamState, blocks: jnp.ndarray):
         """[B_global, L] in → ([B_global, L] out, state)."""
-        return self._sharded_step(params, state, blocks)
+        step, _ = self._get_exec(params)
+        return step(params, state, blocks)
 
     def run(self, params: DeviceParams, state: StreamState, blocks: jnp.ndarray):
         """[T, B_global, L] in → ([T, B_global, L] out, state)."""
-        return self._sharded_run(params, state, blocks)
+        _, run = self._get_exec(params)
+        return run(params, state, blocks)

@@ -132,3 +132,24 @@ def test_filter_long_signal_guards():
     params = pipe.device_params(PipelineParams.design(pipe.cfg))
     with pytest.raises(ValueError):
         filter_long_signal(pipe, params, np.zeros((1, 4096), np.float32), tmesh)
+
+
+def test_sharded_per_stream_gains(rng, mesh):
+    """Per-stream gain banks shard on 'streams' and match the unsharded
+    per-stream result."""
+    from afp_tpu.engine.batch import with_per_stream_gains
+
+    cfg = make_cfg(batch=8)
+    pipe = Pipeline(cfg)
+    design = PipelineParams.design(pipe.cfg)
+    params = pipe.device_params(design)
+    gains = np.linspace(0.5, 2.0, 8 * 9).reshape(8, 9).astype(np.float32)
+    psp = with_per_stream_gains(pipe, params, gains)
+    blocks = rng.normal(size=(8, cfg.blocksize)).astype(np.float32)
+    _, gold = pipe.step(psp, pipe.init_state(), blocks)
+
+    sp = ShardedPipeline(cfg, mesh)
+    # note: per-shard pipeline sees local [1, 9] gain banks automatically
+    spp = sp.device_params(design)._replace(eq_gains=psp.eq_gains)
+    _, out = sp.step(spp, sp.init_state(), blocks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold), atol=1e-6)
