@@ -126,6 +126,14 @@ class OverlapAdd(NamedTuple):
     """Streaming overlap-add state — functional re-expression of the
     reference's ``OverlapAddFilter`` (`stream_process_GUI_Presets.py:35-123`):
     pow-2 FFT of ``L+N−1``, carry = ``N−1`` tail of each block's convolution.
+
+    Unlike the reference — whose ``OverlapAddFilter`` silently *replaces* the
+    carry each block and is therefore numerically wrong whenever
+    ``numtaps−1 > blocksize`` (`stream_process_GUI_Presets.py:110-121`, a
+    regime its own config clamps permit: numtaps ≤ 2048, blocksize ≥ 256) —
+    this implementation accumulates the shifted remainder of the previous
+    carry, so streaming ≡ one-shot for **every** (N, L) pair.  That defect is
+    deliberately not reproduced.
     """
 
     overlap: jnp.ndarray  # [..., N-1] carried convolution tail
@@ -158,6 +166,13 @@ class OverlapAdd(NamedTuple):
                 [jax.lax.slice_in_dim(self.overlap, 0, ov_len, axis=-1), pad], axis=-1
             )
             new_overlap = jax.lax.slice_in_dim(conv, L, L + (N - 1), axis=-1)
+            if N - 1 > L:
+                # long-filter regime: the previous carry extends past this
+                # block — shift it left by L and accumulate (more than two
+                # blocks overlap each output position when N−1 > L)
+                rem = jax.lax.slice_in_dim(self.overlap, L, N - 1, axis=-1)
+                zpad = jnp.zeros(self.overlap.shape[:-1] + (L,), dtype=jnp.float32)
+                new_overlap = new_overlap + jnp.concatenate([rem, zpad], axis=-1)
         else:
             new_overlap = self.overlap
         return self._replace(overlap=new_overlap), out

