@@ -48,10 +48,23 @@ def freqz(h: np.ndarray, worN: int = 8000, fs: float = 2 * np.pi):
 
 
 def freqz_jax(h, worN: int = 8000, fs: float = 2 * np.pi):
-    """JAX version of :func:`freqz` (float32 on device; jit/vmap friendly)."""
+    """JAX version of :func:`freqz` (float32 on device; jit/vmap friendly).
+
+    Matches the numpy path on both branches: the rfft fast path for
+    ``len(h) <= 2·worN`` and direct evaluation for longer filters (the rfft
+    of a too-long `h` would alias taps past ``2·worN`` back onto the grid).
+    """
     import jax.numpy as jnp
 
-    n_fft = 2 * int(worN)
-    H = jnp.fft.rfft(h, n=n_fft)[: int(worN)]
-    w = jnp.linspace(0.0, fs / 2, int(worN), endpoint=False)
+    h = jnp.asarray(h)
+    worN = int(worN)
+    n_fft = 2 * worN
+    if h.shape[-1] <= n_fft:
+        H = jnp.fft.rfft(h, n=n_fft)[..., :worN]
+    else:
+        wn = jnp.linspace(0.0, jnp.pi, worN, endpoint=False)
+        n = jnp.arange(h.shape[-1])
+        E = jnp.exp(-1j * wn[:, None] * n[None, :])
+        H = jnp.einsum("wn,...n->...w", E, h.astype(E.dtype))
+    w = jnp.linspace(0.0, fs / 2, worN, endpoint=False)
     return w, H

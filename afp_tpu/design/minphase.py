@@ -10,6 +10,13 @@ Hilbert transform) and 'homomorphic' (cepstral, Oppenheim & Schafer §13)
 methods are implemented first-party; golden tests diff against scipy.
 
 Host-side float64 numpy (cold design path).
+
+Attribution: the 'hilbert' branch (including the ``dp``/``ds`` passband/
+stopband deviation scaling and the ``_dhtm`` spectral-factorization helper)
+is derived from ``scipy.signal.minimum_phase`` (BSD-3-Clause, Copyright (c)
+2001-2002 Enthought, Inc. 2003+ SciPy Developers) — reproducing scipy's exact
+numerics is required for the golden-oracle contract, so the algorithm
+structure intentionally follows scipy's implementation.
 """
 from __future__ import annotations
 

@@ -15,6 +15,13 @@ machine precision.  The reference reaches these through
 
 This is the cold design path: host-side float64 numpy. Device code only ever
 sees the finished float32 coefficient vectors.
+
+Attribution: several window formulas (notably ``parzen``, ``bohman``,
+``triang`` and the general-cosine family) are derived from
+``scipy.signal.windows`` (BSD-3-Clause, Copyright (c) 2001-2002 Enthought,
+Inc. 2003+ SciPy Developers) — bit-compatibility with scipy's evaluation
+order is a design requirement (the −90 dB golden-oracle contract), so the
+piecewise structure intentionally mirrors scipy's.
 """
 from __future__ import annotations
 

@@ -101,16 +101,20 @@ class StreamEngine:
         if new_cfg.static_key() == self.cfg.static_key():
             try:
                 design = PipelineParams.design(new_cfg)
-                params = self.pipeline.device_params(design)
             except Exception as e:
                 logger.error("Filter design failed (%s); keeping previous parameters", e)
                 self.metrics.design_fallbacks += 1
                 return True
-            # atomic swap between blocks — the filter_lock analog
+            # atomic swap between blocks — the filter_lock analog.  The
+            # pipeline absorbs the dynamic fields FIRST so the new parameter
+            # bank is derived from the NEW AGC target/attack/release (and
+            # samplerate-dependent derived state is refreshed — a live
+            # 44.1k→48k change must re-price xRT/overrun metrics).
             with self._swap_lock:
-                self.params = params
+                self.pipeline.refresh_dynamic(new_cfg)
+                self.params = self.pipeline.device_params(design)
                 self.cfg = new_cfg
-                self.pipeline.cfg = new_cfg
+                self._block_seconds = new_cfg.blocksize / new_cfg.samplerate
             return True
         with self._swap_lock:
             self.cfg = new_cfg

@@ -185,6 +185,24 @@ class Pipeline:
         self._step = jax.jit(self._step_impl)
         self._run = jax.jit(self._run_impl)
 
+    # ---------------- dynamic reconfiguration ----------------
+
+    def refresh_dynamic(self, cfg: StreamConfig) -> None:
+        """Absorb a dynamic-only config change (same `static_key()`):
+        update `cfg` and re-derive the AGC α values so subsequent
+        :meth:`device_params` banks reflect the new target/attack/release.
+        Shapes are untouched — no recompile."""
+        if cfg.static_key() != self.cfg.static_key():
+            raise ValueError("refresh_dynamic requires an identical static_key")
+        self.cfg = cfg
+        self.agc = AGCParams(
+            target_level=cfg.agc_target_level,
+            window_size=cfg.agc_window_size,
+            max_gain=cfg.agc_max_gain,
+            attack=cfg.agc_attack,
+            release=cfg.agc_release,
+        )
+
     # ---------------- parameter bank ----------------
 
     def device_params(self, p: PipelineParams) -> DeviceParams:
