@@ -7,7 +7,11 @@ kernel): `combined_response` is a ``[B, n_bands] × [n_bands, F]`` contraction
 followed by a broadcast multiply, so per-stream banks cost one small matmul
 and zero recompilation.
 
-Supported on the FFT conv strategy (the default).  Per-stream *tap-level*
+Supported on both conv strategies: the FFT path contracts gains into a
+[B, F] response (one small matmul); the td_mxu path evaluates every band's
+convolution in one wide MXU dot and mixes per stream in-kernel
+(``fir_td_mxu_per_stream`` — costs n_bands× the shared dot, so FFT is the
+better per-stream strategy at large band counts).  Per-stream *tap-level*
 kernels (different numtaps per stream) are intentionally out of scope: that
 is a shape change, which the static-shape contract forbids mid-stream.
 """
@@ -46,10 +50,6 @@ def with_per_stream_gains(pipe: Pipeline, params: DeviceParams,
     ``combined_response`` then yields a [batch, F] response — each stream is
     filtered by its own EQ curve in the same fused FFT pass.
     """
-    if pipe._use_td:
-        raise NotImplementedError(
-            "per-stream gain banks require conv_strategy='fft'"
-        )
     n_bands = params.H_bands.shape[0]
     g = broadcast_gains(gains, pipe.batch, n_bands)
     return params._replace(eq_gains=g)

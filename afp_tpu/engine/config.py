@@ -90,9 +90,11 @@ class StreamConfig:
     agc_max_gain: float = 10.0
     agc_attack: float = 0.01
     agc_release: float = 0.1
-    # 'exact' = per-sample scan (reference semantics); 'fast' = chunked
-    # one-pole + interpolation (throughput mode, bounded deviation)
-    agc_mode: str = "exact"
+    # 'exact'    = per-sample lax.scan (reference semantics, serial in T);
+    # 'parallel' = same recurrence via branch-consistent associative scan
+    #              (O(log T) depth — the TPU throughput mode, ≡ exact);
+    # 'fast'     = chunked one-pole + interpolation (approximate)
+    agc_mode: str = "parallel"
     # carry the smoothed gain across blocks (block-size-invariant stream).
     # False reproduces the reference's per-block restart at desired[0]
     # (`stream_process_AGC.py:66-67`) exactly.
@@ -158,7 +160,7 @@ class StreamConfig:
             raise ValueError(f"invalid downsample_mode {self.downsample_mode!r}")
         if self.dither_kind not in ("tpdf", "rpdf", "off"):
             raise ValueError(f"invalid dither_kind {self.dither_kind!r}")
-        if self.agc_mode not in ("exact", "fast"):
+        if self.agc_mode not in ("exact", "parallel", "fast"):
             raise ValueError(f"invalid agc_mode {self.agc_mode!r}")
         if self.output_rate not in ("base", "upsampled"):
             raise ValueError(f"invalid output_rate {self.output_rate!r}")

@@ -68,7 +68,11 @@ class DeviceParams(NamedTuple):
         no-EQ cascade.
         """
         if eq_enabled and self.H_bands.shape[0] > 0:
-            H_eq = jnp.tensordot(self.eq_gains, self.H_bands, axes=1)
+            # precision is load-bearing: this contraction runs on the MXU,
+            # whose DEFAULT f32 path rounds inputs to bf16 — measured −49.6 dB
+            # through the per-stream FFT path (round-2 hardware probe)
+            H_eq = jnp.tensordot(self.eq_gains, self.H_bands, axes=1,
+                                 precision=jax.lax.Precision.HIGHEST)
             return H_eq if premultiplied else H_eq * self.H_main
         return self.H_main
 
@@ -76,7 +80,8 @@ class DeviceParams(NamedTuple):
         """Time-domain fused kernel [n_casc] (td_mxu strategy): the gain
         combination is linear in the taps, same as in frequency."""
         if eq_enabled and self.casc_bands is not None and self.casc_bands.shape[0] > 0:
-            return jnp.tensordot(self.eq_gains, self.casc_bands, axes=1)
+            return jnp.tensordot(self.eq_gains, self.casc_bands, axes=1,
+                                 precision=jax.lax.Precision.HIGHEST)
         return self.casc_main
 
 
@@ -148,6 +153,8 @@ class Pipeline:
             self.n_casc = None
             self.nfft = next_pow2(self.up_block + self.n_fused - 1)
 
+        #: Pallas kernels interpret off-TPU (CPU tests) and compile on-chip
+        self._pl_interpret = jax.default_backend() != "tpu"
         # td_mxu strategy: precompute the band-matrix gather pattern
         self._use_td = self.fused and cfg.conv_strategy == "td_mxu"
         if self._use_td:
@@ -160,7 +167,6 @@ class Pipeline:
             self._band_mask = jnp.asarray((k >= 0) & (k < self.n_casc))
             self._band_idx = jnp.asarray(np.clip(k, 0, self.n_casc - 1),
                                          dtype=jnp.int32)
-            self._pl_interpret = jax.default_backend() != "tpu"
         self.agc = AGCParams(
             target_level=cfg.agc_target_level,
             window_size=cfg.agc_window_size,
@@ -348,6 +354,21 @@ class Pipeline:
                 g = smooth_gain_blockwise(
                     d, params.agc_a_att, params.agc_a_rel, init=carry
                 )
+            elif cfg.agc_mode == "parallel":
+                from ..ops.agc import smooth_gain_parallel
+
+                g = smooth_gain_parallel(
+                    d, params.agc_a_att, params.agc_a_rel, init=carry
+                )
+            elif not self._pl_interpret:
+                # exact mode on TPU: the Pallas hardware-loop scan kernel
+                # (identical per-sample semantics, none of the XLA loop
+                # overhead that made AGC the pipeline's serial ceiling)
+                from ..ops.pallas.agc_scan import smooth_gain_scan_pallas
+
+                g = smooth_gain_scan_pallas(
+                    d, params.agc_a_att, params.agc_a_rel, init=carry
+                )
             else:
                 g = smooth_gain_scan(
                     d, params.agc_a_att, params.agc_a_rel, init=carry
@@ -366,13 +387,24 @@ class Pipeline:
             n_conv = self.n_casc
             ext = jnp.concatenate([state.conv_tail, x], axis=-1)
             if self._use_td:
-                from ..ops.pallas.fir_td import fir_td_mxu
+                per_stream = has_eq and params.eq_gains.ndim == 2
+                if per_stream:
+                    # per-stream gain banks on the MXU: one wide dot per
+                    # tile yields every band, mixed per stream in-kernel
+                    from ..ops.pallas.fir_td import fir_td_mxu_per_stream
 
-                k = params.combined_cascade(has_eq)
-                band = jnp.where(
-                    self._band_mask, jnp.take(k, self._band_idx), 0.0
-                )
-                y = fir_td_mxu(ext, band, interpret=self._pl_interpret)
+                    y = fir_td_mxu_per_stream(
+                        ext, params.casc_bands, params.eq_gains,
+                        interpret=self._pl_interpret,
+                    )
+                else:
+                    from ..ops.pallas.fir_td import fir_td_mxu
+
+                    k = params.combined_cascade(has_eq)
+                    band = jnp.where(
+                        self._band_mask, jnp.take(k, self._band_idx), 0.0
+                    )
+                    y = fir_td_mxu(ext, band, interpret=self._pl_interpret)
             else:
                 H = params.combined_response(has_eq, premultiplied=True)
                 Y = jnp.fft.rfft(ext, n=self.nfft) * H

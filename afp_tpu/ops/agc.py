@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["agc_alphas", "moving_rms", "desired_gain", "smooth_gain_scan",
-           "smooth_gain_blockwise", "apply_agc", "AGCParams"]
+           "smooth_gain_parallel", "smooth_gain_blockwise", "apply_agc",
+           "AGCParams"]
 
 
 def agc_alphas(window_size: int, attack: float = 0.01, release: float = 0.1):
@@ -96,6 +97,101 @@ def smooth_gain_scan(desired: jnp.ndarray, a_att: float, a_rel: float,
         return g, g
 
     _, gains = jax.lax.scan(step, g0, seq)
+    if init is None:
+        gains = jnp.concatenate([g0[None], gains], axis=0)
+    return jnp.moveaxis(gains, 0, -1)
+
+
+def _solve_linear_recurrence(alpha: jnp.ndarray, d_t: jnp.ndarray,
+                             g0: jnp.ndarray) -> jnp.ndarray:
+    """Solve g[t] = (1−α[t])·g[t−1] + α[t]·d[t] for t = 0..T−1 with g[−1]=g0,
+    fully parallel via `lax.associative_scan` over affine-map composition.
+    `alpha`, `d_t`: [T, ...]; `g0`: [...].  Returns [T, ...]."""
+    A = 1.0 - alpha
+    B = alpha * d_t
+    # fold g0 into element 0 (making it the constant map g → g[0]) so the
+    # inclusive prefix composition directly yields g[t] with no carry-in
+    B = B.at[0].add(A[0] * jnp.broadcast_to(g0, d_t.shape[1:]))
+    A = A.at[0].set(0.0)
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_l * a_r, b_l * a_r + b_r
+
+    _, Q = jax.lax.associative_scan(combine, (A, B), axis=0)
+    return Q
+
+
+def smooth_gain_parallel(desired: jnp.ndarray, a_att: float, a_rel: float,
+                         init: Optional[jnp.ndarray] = None,
+                         max_iters: int = 24) -> jnp.ndarray:
+    """Parallel evaluation of the exact attack/release recurrence
+    (`/root/reference/stream_process_AGC.py:68-79`) via branch-consistent
+    fixed-point iteration — the TPU answer to the per-sample serial scan
+    (SURVEY.md §7 "AGC recurrence", the acknowledged throughput ceiling).
+
+    The recurrence is *conditionally linear*: given the branch pattern
+    ``b[t] = (desired[t] > g[t−1])`` it is a first-order linear recurrence,
+    solvable in O(log T) depth with `lax.associative_scan`.  So iterate:
+
+        1. guess b  (seeded from the desired-gain slope),
+        2. solve the linear recurrence with α[t] = b[t] ? a_att : a_rel,
+        3. recompute b from the solved gains; repeat until unchanged.
+
+    **Convergence is prefix-monotone**: if decisions before position t are
+    correct, the solved gains before t are exact, so the recomputed decision
+    at the earliest wrong position is the true one and never regresses —
+    each iteration extends the correct prefix.  For the smooth desired-gain
+    signals AGC sees (RMS over a ≥64-sample window) convergence takes a
+    handful of iterations; `max_iters` bounds the worst case (output then
+    equals the recurrence with at most the last unconverged decisions
+    differing, each at a point where ``desired ≈ g`` so both branches give
+    nearly identical gains).  Equality with :func:`smooth_gain_scan` is
+    asserted in tests over realistic and adversarial inputs.
+
+    Same signature/semantics as :func:`smooth_gain_scan`.
+    """
+    d = jnp.asarray(desired, dtype=jnp.float32)
+    d_t = jnp.moveaxis(d, -1, 0)  # [T, ...]
+    if init is None:
+        g0 = d_t[0]
+        seq = d_t[1:]
+    else:
+        g0 = jnp.broadcast_to(jnp.asarray(init, dtype=jnp.float32), d_t.shape[1:])
+        seq = d_t
+    T = seq.shape[0]
+    if T == 0:
+        return jnp.moveaxis(g0[None], 0, -1) if init is None else d
+
+    a_att = jnp.float32(a_att)
+    a_rel = jnp.float32(a_rel)
+
+    def solve(b):
+        alpha = jnp.where(b, a_att, a_rel)
+        return _solve_linear_recurrence(alpha, seq, g0)
+
+    def decisions(g):
+        g_prev = jnp.concatenate([g0[None], g[:-1]], axis=0)
+        return seq > g_prev
+
+    # seed: attack wherever the desired gain is rising (true whenever the
+    # smoothed gain tracks below a rising target — the common case)
+    b_seed = seq > jnp.concatenate([g0[None], seq[:-1]], axis=0)
+
+    def cond(carry):
+        _, _, it, changed = carry
+        return jnp.logical_and(changed, it < max_iters)
+
+    def body(carry):
+        b, _, it, _ = carry
+        g = solve(b)
+        b_new = decisions(g)
+        changed = jnp.any(b_new != b)
+        return b_new, g, it + 1, changed
+
+    init_carry = (b_seed, jnp.zeros_like(seq), jnp.int32(0), jnp.bool_(True))
+    _, gains, _, _ = jax.lax.while_loop(cond, body, init_carry)
     if init is None:
         gains = jnp.concatenate([g0[None], gains], axis=0)
     return jnp.moveaxis(gains, 0, -1)

@@ -26,7 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["band_matrix", "fir_td_mxu", "fir_conv_xla"]
+__all__ = ["band_matrix", "wide_band_matrix", "fir_td_mxu",
+           "fir_td_mxu_per_stream", "fir_conv_xla", "PRECISION_MODE"]
 
 import os as _os
 
@@ -34,10 +35,38 @@ import os as _os
 #: wider tiles mean fewer, larger dots per kernel invocation
 LANE = int(_os.environ.get("AFP_TD_TILE", "128"))
 
-#: HIGHEST = 6-pass fp32-equivalent (Mosaic supports only DEFAULT/HIGHEST;
-#: DEFAULT rounds inputs to bf16 and fails the −90 dB contract)
+#: Precision mode for the MXU dot:
+#:   'HIGHEST' — XLA's 6-pass fp32-equivalent (Mosaic supports only
+#:               DEFAULT/HIGHEST; DEFAULT rounds inputs to bf16 and fails
+#:               the −90 dB contract at −50 dB),
+#:   'B3'      — first-party 3-pass bf16×3 split: x = x_hi + x_lo and
+#:               h = h_hi + h_lo in bf16, y ≈ x_hi·h_hi + x_hi·h_lo +
+#:               x_lo·h_hi (the h_lo·x_lo term is ~2⁻¹⁸ relative — below
+#:               the −90 dB bar), each pass a native-speed bf16 MXU matmul
+#:               with fp32 accumulation ⇒ ~2× the 6-pass throughput.
+#:               This is the Precision.HIGH algorithm Mosaic doesn't expose,
+#:               implemented manually.
+PRECISION_MODE = _os.environ.get("AFP_TD_PRECISION", "B3").upper()
 _PRECISION = getattr(__import__("jax").lax.Precision,
-                     _os.environ.get("AFP_TD_PRECISION", "HIGHEST"))
+                     "HIGHEST" if PRECISION_MODE == "B3" else PRECISION_MODE)
+
+
+def split_bf16(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact hi/lo bf16 split of an f32 array: hi = v with the low 16
+    mantissa bits masked off (exactly representable in bf16), lo = v − hi.
+
+    Deliberately NOT ``v.astype(bf16)``: inside jit, XLA's excess-precision
+    pass folds the ``f32→bf16→f32`` convert pair to identity, which silently
+    zeroes the lo part and collapses bf16×3 to single-pass bf16 (measured
+    −51 dB on hardware, round-2 probe).  The bitmask formulation has no
+    convert pair to fold.
+    """
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    # round-to-nearest-even in integer space (what bf16 conversion does),
+    # then mask — one extra bit of lo headroom vs plain truncation
+    u = u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    hi32 = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi32.astype(jnp.bfloat16), (v - hi32).astype(jnp.bfloat16)
 
 
 def band_matrix(h: np.ndarray, tile: int = LANE) -> np.ndarray:
@@ -75,6 +104,22 @@ def _fir_kernel(x_ref, band_ref, o_ref, *, n_taps: int, t_tiles: int):
         )
 
 
+def _fir_kernel_b3(xhi_ref, xlo_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
+                   t_tiles: int):
+    """bf16×3 batch-tile kernel: three native bf16 MXU passes accumulate in
+    fp32.  Both operand hi/lo splits happen OUTSIDE the kernel (the two bf16
+    input blocks together cost exactly the bytes of one f32 block, keeping
+    the VMEM/double-buffering footprint identical to the HIGHEST path)."""
+    for t in range(t_tiles):
+        w_hi = xhi_ref[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
+        w_lo = xlo_ref[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
+        o_ref[:, t * LANE : (t + 1) * LANE] = (
+            jnp.dot(w_hi, bhi_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
+        )
+
+
 def _pick_b_tile(B: int, text: int, T: int) -> int:
     """Batch tile choice.
 
@@ -96,36 +141,53 @@ def _pick_b_tile(B: int, text: int, T: int) -> int:
     return min(B, 8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
+                 precision: str = PRECISION_MODE):
     B, text = x_ext.shape
     n_taps = band.shape[0] - LANE + 1
     T = text - (n_taps - 1)
     t_tiles = T // LANE
     b_tile = _pick_b_tile(B, text, T)
+    grid = (B // b_tile,)
+    x_spec = pl.BlockSpec((b_tile, text), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((band.shape[0], LANE), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((b_tile, T), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, T), jnp.float32)
+    if precision == "B3":
+        x_hi, x_lo = split_bf16(x_ext)
+        b_hi, b_lo = split_bf16(band)
+        kernel = functools.partial(_fir_kernel_b3, n_taps=n_taps, t_tiles=t_tiles)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[x_spec, x_spec, band_spec, band_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(x_hi, x_lo, b_hi, b_lo)
     kernel = functools.partial(_fir_kernel, n_taps=n_taps, t_tiles=t_tiles)
     return pl.pallas_call(
         kernel,
-        grid=(B // b_tile,),
-        in_specs=[
-            pl.BlockSpec((b_tile, text), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((band.shape[0], LANE), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((b_tile, T), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T), jnp.float32),
+        grid=grid,
+        in_specs=[x_spec, band_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(x_ext, band)
 
 
 def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,
-               interpret: bool = False) -> jnp.ndarray:
+               interpret: bool = False,
+               precision: str | None = None) -> jnp.ndarray:
     """Causal/valid FIR conv of [B, T+N−1] against the band matrix → [B, T].
 
     `T` must be a multiple of 128 and `B` a multiple of the batch tile
     (≤256); the engine's static shapes guarantee both.  `interpret=True` runs
-    the Pallas interpreter (CPU tests).
+    the Pallas interpreter (CPU tests).  `precision` overrides
+    :data:`PRECISION_MODE` ('B3' | 'HIGHEST').
     """
     x_ext = jnp.asarray(x_ext, dtype=jnp.float32)
     band = jnp.asarray(band, dtype=jnp.float32)
@@ -136,7 +198,109 @@ def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,
         raise ValueError(f"output length {T} must be a multiple of {LANE}")
     if B % _pick_b_tile(B, text, T):
         raise ValueError(f"batch {B} must be divisible by the batch tile")
-    return _fir_td_call(x_ext, band, interpret=interpret)
+    return _fir_td_call(x_ext, band, interpret=interpret,
+                        precision=precision or PRECISION_MODE)
+
+
+def _fir_kernel_ps(x_ref, wide_ref, g_ref, o_ref, *, n_taps: int,
+                   t_tiles: int, n_bands: int):
+    """Per-stream batch-tile kernel: one wide MXU dot per time tile yields
+    every band's outputs ([BT, n_bands·LANE]); the per-stream gain mix is a
+    VPU contraction.  fp32 HIGHEST (6-pass) accumulation."""
+    g = g_ref[:, :]  # [BT, n_bands]
+    for t in range(t_tiles):
+        w = x_ref[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
+        z = jnp.dot(w, wide_ref[:, :], preferred_element_type=jnp.float32,
+                    precision=_PRECISION)  # [BT, n_bands*LANE]
+        z = z.reshape(z.shape[0], n_bands, LANE)
+        # per-stream mix on the VPU (tiny K — an MXU einsum would waste tiles)
+        o_ref[:, t * LANE : (t + 1) * LANE] = jnp.sum(g[:, :, None] * z, axis=1)
+
+
+def _fir_kernel_ps_b3(xhi_ref, xlo_ref, whi_ref, wlo_ref, g_ref, o_ref, *,
+                      n_taps: int, t_tiles: int, n_bands: int):
+    """Per-stream kernel, bf16×3 precision (3 native MXU passes per tile)."""
+    g = g_ref[:, :]
+    for t in range(t_tiles):
+        w_hi = xhi_ref[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
+        w_lo = xlo_ref[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
+        z = (jnp.dot(w_hi, whi_ref[:, :], preferred_element_type=jnp.float32)
+             + jnp.dot(w_hi, wlo_ref[:, :], preferred_element_type=jnp.float32)
+             + jnp.dot(w_lo, whi_ref[:, :], preferred_element_type=jnp.float32))
+        z = z.reshape(z.shape[0], n_bands, LANE)
+        o_ref[:, t * LANE : (t + 1) * LANE] = jnp.sum(g[:, :, None] * z, axis=1)
+
+
+def wide_band_matrix(kernels: jnp.ndarray, tile: int = LANE) -> jnp.ndarray:
+    """Stack band matrices for K same-length kernels side by side:
+    [K, N] → [N−1+tile, K·tile], so one dot computes every band's outputs.
+    Device-side (jnp) — rebuilt cheaply when kernels swap."""
+    kernels = jnp.asarray(kernels, dtype=jnp.float32)
+    K, N = kernels.shape
+    rows = N - 1 + tile
+    i = np.arange(rows)[:, None]
+    j = np.arange(tile)[None, :]
+    k = N - 1 + j - i
+    mask = jnp.asarray((k >= 0) & (k < N))
+    idx = jnp.asarray(np.clip(k, 0, N - 1), dtype=jnp.int32)
+    per_band = jnp.where(mask[None], kernels[:, idx], 0.0)  # [K, rows, tile]
+    return jnp.moveaxis(per_band, 0, 1).reshape(rows, K * tile)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def _fir_td_ps_call(x_ext, wide, gains, interpret=False,
+                    precision=PRECISION_MODE):
+    B, text = x_ext.shape
+    n_bands = gains.shape[-1]
+    rows = wide.shape[0]
+    n_taps = rows - LANE + 1
+    T = text - (n_taps - 1)
+    t_tiles = T // LANE
+    b_tile = _pick_b_tile(B, text + n_bands * LANE, T)
+    grid = (B // b_tile,)
+    x_spec = pl.BlockSpec((b_tile, text), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    wide_spec = pl.BlockSpec((rows, n_bands * LANE), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((b_tile, n_bands), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((b_tile, T), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, T), jnp.float32)
+    if precision == "B3":
+        x_hi, x_lo = split_bf16(x_ext)
+        w_hi, w_lo = split_bf16(wide)
+        kernel = functools.partial(_fir_kernel_ps_b3, n_taps=n_taps,
+                                   t_tiles=t_tiles, n_bands=n_bands)
+        return pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[x_spec, x_spec, wide_spec, wide_spec, g_spec],
+            out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+        )(x_hi, x_lo, w_hi, w_lo, gains)
+    kernel = functools.partial(_fir_kernel_ps, n_taps=n_taps,
+                               t_tiles=t_tiles, n_bands=n_bands)
+    return pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[x_spec, wide_spec, g_spec],
+        out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+    )(x_ext, wide, gains)
+
+
+def fir_td_mxu_per_stream(x_ext: jnp.ndarray, kernels: jnp.ndarray,
+                          gains: jnp.ndarray, interpret: bool = False,
+                          precision: str | None = None) -> jnp.ndarray:
+    """Per-stream FIR mix on the MXU: ``y[b] = Σ_k gains[b,k]·(x[b] ⊛ h_k)``.
+
+    `x_ext`: [B, T+N−1]; `kernels`: [K, N] shared band kernels; `gains`:
+    [B, K] per-stream mixing weights.  Returns [B, T].  Costs K× the shared-
+    kernel dot (every stream evaluates every band) — per-stream EQ is cheaper
+    on the FFT strategy; this exists for strategy parity (ROADMAP r1 #2 /
+    VERDICT r1 #8) and for small band counts.
+    """
+    x_ext = jnp.asarray(x_ext, dtype=jnp.float32)
+    gains = jnp.asarray(gains, dtype=jnp.float32)
+    wide = wide_band_matrix(kernels)
+    return _fir_td_ps_call(x_ext, wide, gains, interpret=interpret,
+                           precision=precision or PRECISION_MODE)
 
 
 def fir_conv_xla(x_ext: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:

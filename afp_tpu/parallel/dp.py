@@ -19,20 +19,49 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.config import PipelineParams, StreamConfig
 from ..engine.pipeline import DeviceParams, Pipeline, StreamState
+from ..ops.resample import PolyResampler
 
 __all__ = ["ShardedPipeline"]
 
 
-def _state_spec(state: StreamState, batch: int) -> StreamState:
-    """PartitionSpec pytree for a StreamState: leaves with a leading batch
-    axis shard on 'streams'; the RNG key replicates."""
+def _resampler_spec(r):
+    """Spec pytree for a PolyResampler: per-stream input history shards,
+    the (shared) kernel replicates."""
+    if r is None:
+        return None
+    return r._replace(hist=P("streams", None), h=P())
 
-    def spec(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == batch:
-            return P("streams", *([None] * (leaf.ndim - 1)))
-        return P()
 
-    return jax.tree_util.tree_map(spec, state)
+def _state_spec(state: StreamState) -> StreamState:
+    """PartitionSpec pytree for a StreamState, tagged STRUCTURALLY by field
+    (not by shape coincidence — a PRNG key at batch=2 or a kernel whose
+    length equals the batch must not land on the 'streams' axis)."""
+    return StreamState(
+        asrc=_resampler_spec(state.asrc),
+        up=_resampler_spec(state.up),
+        conv_tail=P("streams", None),
+        down=_resampler_spec(state.down),
+        agc_gain=None if state.agc_gain is None else P("streams"),
+        key=P(),
+    )
+
+
+def _param_spec_tree(params: DeviceParams) -> DeviceParams:
+    """PartitionSpec pytree for a DeviceParams bank: everything replicates
+    except per-stream gain banks ([B, n_bands], structurally 2-D — shared
+    banks are 1-D) which shard on 'streams'."""
+    per_stream = getattr(params.eq_gains, "ndim", 1) == 2
+    return DeviceParams(
+        H_bands=P(),
+        H_main=P(),
+        eq_gains=P("streams", None) if per_stream else P(),
+        agc_target=P(),
+        agc_max_gain=P(),
+        agc_a_att=P(),
+        agc_a_rel=P(),
+        casc_bands=None if params.casc_bands is None else P(),
+        casc_main=None if params.casc_main is None else P(),
+    )
 
 
 class ShardedPipeline:
@@ -68,17 +97,8 @@ class ShardedPipeline:
         self.pipeline = Pipeline(self.local_cfg)
 
         state_example = self.pipeline.init_state()
-        sspec = _state_spec(state_example, self.local_cfg.batch)
+        sspec = _state_spec(state_example)
         bspec = P("streams", None)
-
-        def param_spec(leaf):
-            # per-stream parameter banks (e.g. eq_gains [B_global, n_bands])
-            # shard on 'streams'; everything else replicates
-            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cfg.batch:
-                return P("streams", *([None] * (leaf.ndim - 1)))
-            return P()
-
-        self._param_spec = param_spec
 
         self._sspec = sspec
         self._bspec = bspec
@@ -86,9 +106,9 @@ class ShardedPipeline:
 
     def _get_exec(self, params: DeviceParams):
         """Build (lazily, cached) the shard_map'd step/run for this params
-        structure — per-stream banks ([B_global, …] leaves) shard on
+        structure — per-stream gain banks (structurally 2-D) shard on
         'streams', shared banks replicate."""
-        pspec = jax.tree_util.tree_map(self._param_spec, params)
+        pspec = _param_spec_tree(params)
         key = tuple(
             getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)
         )
@@ -141,20 +161,24 @@ class ShardedPipeline:
         return self.pipeline.device_params(p)
 
     def init_state(self, seed: int = 0) -> StreamState:
-        """Global state: per-shard states concatenated on the batch axis."""
+        """Global state: per-shard states concatenated on the batch axis.
+        Which leaves widen is decided by the structural spec, not by shape."""
         local = self.pipeline.init_state(seed=seed)
+        spec = _state_spec(local)
 
-        def widen(leaf):
-            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == self.local_cfg.batch:
+        def widen(leaf, s):
+            if isinstance(s, P) and len(s) and s[0] == "streams":
                 reps = (self.n_shards,) + (1,) * (leaf.ndim - 1)
                 return jnp.tile(leaf, reps)
             return leaf
 
-        wide = jax.tree_util.tree_map(widen, local)
+        wide = jax.tree_util.tree_map(
+            widen, local, spec, is_leaf=lambda x: x is None
+        )
         return self._place_state(wide)
 
     def _place_state(self, state: StreamState) -> StreamState:
-        sspec = _state_spec(state, self.cfg.batch)
+        sspec = _state_spec(state)
 
         def place(leaf, spec):
             return jax.device_put(leaf, NamedSharding(self.mesh, spec))

@@ -9,6 +9,22 @@ concurrent streams on one chip.  The reference achieves xRT = 1.0 by
 construction (one real-time mono stream on a pinned RPi5 core), so
 ``vs_baseline`` is the raw xRT number.
 
+Beyond the headline, the harness also publishes (as extra keys on the same
+JSON line):
+
+* ``mfu`` — model FLOP utilization of the fused FIR (useful MACs vs the
+  chip's bf16 peak),
+* ``agc_*_xrt`` — the C8 engine (9-band EQ + AGC, the reference's most
+  advanced runtime, `stream_process_AGC.py`) for each AGC execution mode
+  ('parallel' associative-scan, 'exact' per-sample scan, 'fast' chunked) —
+  the AGC recurrence is the acknowledged serial ceiling (SURVEY.md §7),
+* ``agc_parallel_vs_exact_db`` — on-hardware consistency of the parallel
+  solver against the per-sample recurrence.
+
+The primary config's accuracy is ASSERTED (< −90 dB vs the float64 causal
+oracle), not just reported: a precision regression (e.g. the bf16-rounding
+trap found in round 1) fails the run over to the next strategy.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 import json
@@ -24,6 +40,10 @@ class BenchTimeout(Exception):
     pass
 
 
+class AccuracyError(Exception):
+    pass
+
+
 def _alarm(seconds: int):
     def handler(signum, frame):
         raise BenchTimeout(f"stage exceeded {seconds}s")
@@ -32,11 +52,59 @@ def _alarm(seconds: int):
     signal.alarm(seconds)
 
 
-def run_config(batch: int, nblocks: int, reps: int, strategy: str) -> dict:
+#: bf16 matmul peak FLOP/s by device kind (MFU denominator)
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _peak_flops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return 197e12  # assume v5e-class
+
+
+def _time_runs(pipe, params, state, blocks, reps):
+    """Best-of-`reps` steady-state wall time for one `pipe.run` dispatch.
+
+    A scalar fetch inside the timed region guarantees the device really
+    finished (on tunneled devices block_until_ready alone can return early).
+    """
+    import jax.numpy as jnp
+
+    state, out = pipe.run(params, state, blocks)  # warmup/compile
+    float(jnp.sum(out))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, out = pipe.run(params, state, blocks)
+        checksum = float(jnp.sum(out))
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(checksum)
+    return min(times), state
+
+
+def run_config(batch: int, nblocks: int, reps: int, strategy: str,
+               precision: str) -> dict:
     import jax
     import jax.numpy as jnp
 
     from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+
+    os.environ["AFP_TD_PRECISION"] = precision
+    import afp_tpu.ops.pallas.fir_td as fir_td
+
+    fir_td.PRECISION_MODE = precision
 
     cfg = StreamConfig(
         samplerate=44100,
@@ -62,31 +130,25 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str) -> dict:
         key, (nblocks, batch, cfg.blocksize), dtype=jnp.float32
     ) * 0.3
 
-    print(f"bench: strategy={strategy} batch={batch} compiling...",
+    print(f"bench: strategy={strategy}/{precision} batch={batch} compiling...",
           file=sys.stderr, flush=True)
-    # warmup / compile
     state = pipe.init_state(seed=0)
-    state, out = pipe.run(params, state, blocks)
-    float(jnp.sum(out))  # force full completion (remote-device safe)
-    print("bench: warmup done", file=sys.stderr, flush=True)
-
-    # timed steady-state runs (state donated each run); a scalar fetch inside
-    # the timed region guarantees the device really finished (on tunneled
-    # devices block_until_ready alone can return early)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        state, out = pipe.run(params, state, blocks)
-        checksum = float(jnp.sum(out))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    assert np.isfinite(checksum)
+    best, _ = _time_runs(pipe, params, state, blocks, reps)
+    print(f"bench: primary best={best:.4f}s", file=sys.stderr, flush=True)
 
     audio_seconds = batch * nblocks * cfg.blocksize / cfg.samplerate
     xrt = audio_seconds / best
 
+    # MFU: useful MACs of the fused single-rate cascade (n_casc taps per
+    # output sample) vs the chip's native matmul peak
+    mfu = None
+    if pipe.n_casc:
+        useful_flops = 2.0 * batch * cfg.blocksize * pipe.n_casc * nblocks
+        mfu = float(round(useful_flops / best / _peak_flops(), 4))
+
     # on-hardware accuracy: one stream, dither off, vs the float64 host
-    # oracle of the causal chain (upfirdn cascade, phase-0 decimation)
+    # oracle of the causal chain (upfirdn cascade, phase-0 decimation).
+    # ASSERTED — a silent precision regression must fail the strategy over.
     err_db = None
     if os.environ.get("AFP_BENCH_CHECK", "1") != "0":
         import dataclasses
@@ -94,16 +156,15 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str) -> dict:
         import scipy.signal as sps
 
         from afp_tpu.engine import PipelineParams as PP
+        from afp_tpu.ops.resample import streaming_kernel
 
         ccfg = dataclasses.replace(cfg, batch=1, dither_kind="off")
-        cpipe = __import__("afp_tpu.engine", fromlist=["Pipeline"]).Pipeline(ccfg)
+        cpipe = Pipeline(ccfg)
         cparams = cpipe.device_params(PP.design(cpipe.cfg))
         rngx = np.random.default_rng(0)
         sig = (rngx.standard_normal((1, cfg.blocksize * 4)) * 0.3).astype(np.float32)
         _, out = cpipe.process_signal(cparams, cpipe.init_state(), sig)
         out = np.asarray(out)[0]
-        from afp_tpu.ops.resample import streaming_kernel
-
         design = PP.design(cpipe.cfg)
         h_up = streaming_kernel(cfg.upsample_factor, 1)
         y = sps.upfirdn(h_up, sig[0].astype(np.float64), cfg.upsample_factor, 1)
@@ -111,21 +172,97 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str) -> dict:
         y = np.convolve(y, design.main_taps.astype(np.float64))[: len(y)]
         gold = y[:: cfg.upsample_factor]
         err = np.max(np.abs(out - gold)) / (np.max(np.abs(gold)) + 1e-300)
-        err_db = round(20 * np.log10(err + 1e-300), 1)
+        err_db = float(round(20 * np.log10(err + 1e-300), 1))
+        if err_db >= -90:
+            raise AccuracyError(
+                f"{strategy}/{precision}: {err_db} dB vs oracle breaks the "
+                f"−90 dB contract"
+            )
 
     return {
         "metric": "aggregate_xrt_1001tap_4x_44k1",
-        "value": round(xrt, 1),
+        "value": float(round(xrt, 1)),
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(xrt, 1),
+        "vs_baseline": float(round(xrt, 1)),
         "batch": batch,
         "blocksize": cfg.blocksize,
         "nblocks_per_run": nblocks,
         "strategy": strategy,
+        "precision": precision if strategy == "td_mxu" else None,
+        "mfu": mfu,
         "best_run_s": round(best, 4),
         "error_db_vs_oracle": err_db,
         "device": str(jax.devices()[0]),
     }
+
+
+def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
+                   agc_mode: str) -> float:
+    """Aggregate xRT for the C8 engine (9-band EQ + AGC + 2× upsample,
+    block 2048 — `stream_process_AGC.py` operating point)."""
+    import jax
+    import jax.numpy as jnp
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+
+    cfg = StreamConfig(
+        samplerate=44100,
+        blocksize=2048,
+        upsample_factor=2,
+        numtaps=129,
+        batch=batch,
+        cutoff=14000.0,
+        eq_enabled=True,
+        agc_enabled=True,
+        agc_mode=agc_mode,
+        agc_window_size=512,
+        agc_carry=True,
+        downsample_mode="decimate",
+        dither_kind="tpdf",
+        output_clip=0.99,
+        conv_strategy=strategy,
+    )
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    blocks = jax.random.normal(
+        jax.random.PRNGKey(1), (nblocks, batch, cfg.blocksize), dtype=jnp.float32
+    ) * 0.1
+    print(f"bench: agc mode={agc_mode} compiling...", file=sys.stderr, flush=True)
+    best, _ = _time_runs(pipe, params, pipe.init_state(), blocks, reps)
+    xrt = batch * nblocks * cfg.blocksize / cfg.samplerate / best
+    print(f"bench: agc mode={agc_mode} xrt={xrt:.0f}", file=sys.stderr, flush=True)
+    return float(round(xrt, 1))
+
+
+def agc_parallel_vs_exact_db(strategy: str) -> float:
+    """On-hardware consistency: the associative-scan AGC solver against the
+    per-sample reference recurrence, through the full C8 pipeline."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+
+    base = StreamConfig(
+        samplerate=44100, blocksize=2048, upsample_factor=2, numtaps=129,
+        batch=64, eq_enabled=True, agc_enabled=True, agc_window_size=512,
+        downsample_mode="decimate", dither_kind="off", output_clip=0.99,
+        conv_strategy=strategy,
+    )
+    sig = jax.random.normal(
+        jax.random.PRNGKey(2), (8, 64, 2048), dtype=jnp.float32
+    ) * 0.05
+    outs = {}
+    for mode in ("exact", "parallel"):
+        cfg = dataclasses.replace(base, agc_mode=mode)
+        pipe = Pipeline(cfg)
+        params = pipe.device_params(PipelineParams.design(pipe.cfg))
+        _, out = pipe.run(params, pipe.init_state(), sig)
+        outs[mode] = np.asarray(out)
+    err = np.max(np.abs(outs["parallel"] - outs["exact"]))
+    scale = np.max(np.abs(outs["exact"])) + 1e-300
+    return float(round(20 * np.log10(err / scale + 1e-300), 1))
 
 
 def main() -> None:
@@ -133,21 +270,56 @@ def main() -> None:
     nblocks = int(os.environ.get("AFP_BENCH_BLOCKS", "64"))
     reps = int(os.environ.get("AFP_BENCH_REPS", "5"))
     strategy = os.environ.get("AFP_BENCH_STRATEGY", "td_mxu")
+    precision = os.environ.get("AFP_TD_PRECISION", "B3")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/afp_jax_cache")
 
-    # primary attempt, alarm-guarded (the Pallas compile through a tunneled
-    # device can be slow); fall back to the FFT strategy on timeout/error.
+    # primary attempt ladder, alarm-guarded (the Pallas compile through a
+    # tunneled device can be slow): td_mxu/B3 → td_mxu/HIGHEST → fft.
+    attempts = [(strategy, precision)]
+    if strategy == "td_mxu" and precision != "HIGHEST":
+        attempts.append(("td_mxu", "HIGHEST"))
+    attempts.append(("fft", "HIGHEST"))
+    result = None
+    for strat, prec in attempts:
+        try:
+            _alarm(780 if strat == "td_mxu" else 420)
+            result = run_config(batch, nblocks, reps, strat, prec)
+            signal.alarm(0)
+            break
+        except (BenchTimeout, Exception) as e:  # noqa: BLE001
+            signal.alarm(0)
+            print(f"bench: {strat}/{prec} failed ({e}); falling back",
+                  file=sys.stderr, flush=True)
+    if result is None:
+        print(json.dumps({"metric": "aggregate_xrt_1001tap_4x_44k1",
+                          "value": 0.0, "unit": "x_realtime_per_chip",
+                          "vs_baseline": 0.0, "error": "all strategies failed"}))
+        return
+
+    # C8 AGC engine benchmarks (the reference's hardest op — VERDICT r1 #1)
+    agc_nblocks = min(nblocks, 32)
+    agc_strategy = result["strategy"]
+    for mode in ("parallel", "exact", "fast"):
+        key = f"agc_{mode}_xrt"
+        try:
+            _alarm(420)
+            result[key] = run_agc_config(batch, agc_nblocks, max(2, reps - 2),
+                                         agc_strategy, mode)
+            signal.alarm(0)
+        except (BenchTimeout, Exception) as e:  # noqa: BLE001
+            signal.alarm(0)
+            print(f"bench: agc {mode} failed ({e})", file=sys.stderr, flush=True)
+            result[key] = None
     try:
-        _alarm(780)
-        result = run_config(batch, nblocks, reps, strategy)
+        _alarm(300)
+        result["agc_parallel_vs_exact_db"] = agc_parallel_vs_exact_db(agc_strategy)
         signal.alarm(0)
     except (BenchTimeout, Exception) as e:  # noqa: BLE001
         signal.alarm(0)
-        print(f"bench: {strategy} failed ({e}); falling back to fft",
+        print(f"bench: agc consistency check failed ({e})",
               file=sys.stderr, flush=True)
-        _alarm(420)
-        result = run_config(batch, nblocks, reps, "fft")
-        signal.alarm(0)
+        result["agc_parallel_vs_exact_db"] = None
+
     print(json.dumps(result))
 
 

@@ -52,7 +52,42 @@ def test_broadcast_gains_shapes():
         broadcast_gains(np.ones((3, 9)), 4, 9)
 
 
-def test_per_stream_rejected_on_td():
-    pipe, params = make(batch=2, conv_strategy="td_mxu")
-    with pytest.raises(NotImplementedError):
-        with_per_stream_gains(pipe, params, np.ones((2, 9), np.float32))
+def test_per_stream_on_td_matches_fft(rng):
+    """Per-stream gain banks on the MXU strategy ≡ the FFT strategy
+    (VERDICT r1 #8 — was a NotImplementedError in round 1)."""
+    gains = np.array([
+        [1.0] * 9,
+        np.linspace(0.5, 2.0, 9),
+    ], dtype=np.float32)
+    sig = (rng.normal(size=(2, 256 * 3)) * 0.3).astype(np.float32)
+    outs = {}
+    for strat in ("fft", "td_mxu"):
+        pipe, params = make(batch=2, blocksize=256, conv_strategy=strat)
+        psp = with_per_stream_gains(pipe, params, gains)
+        _, out = pipe.process_signal(psp, pipe.init_state(0), sig)
+        outs[strat] = np.asarray(out)
+    scale = np.max(np.abs(outs["fft"])) + 1e-12
+    err = np.max(np.abs(outs["fft"] - outs["td_mxu"])) / scale
+    assert 20 * np.log10(err + 1e-300) < -100
+
+
+def test_per_stream_td_b3_meets_contract(rng):
+    """Per-stream MXU path in bf16×3 precision stays under −90 dB."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas import fir_td_mxu_per_stream
+
+    N, T, B, K = 65, 256, 4, 3
+    kernels = (rng.normal(size=(K, N)) * 0.1).astype(np.float32)
+    gains = rng.uniform(0.5, 2.0, size=(B, K)).astype(np.float32)
+    x = (rng.normal(size=(B, T + N - 1)) * 0.5).astype(np.float32)
+    out = np.asarray(fir_td_mxu_per_stream(
+        jnp.asarray(x), jnp.asarray(kernels), jnp.asarray(gains),
+        interpret=True, precision="B3"))
+    gold = np.zeros((B, T))
+    for b in range(B):
+        for k in range(K):
+            gold[b] += gains[b, k] * np.convolve(
+                x[b].astype(np.float64), kernels[k].astype(np.float64), "valid")
+    err = np.max(np.abs(out - gold)) / np.max(np.abs(gold))
+    assert 20 * np.log10(err + 1e-300) < -90

@@ -32,6 +32,28 @@ def test_band_matrix_structure():
     np.testing.assert_allclose(y, gold)
 
 
+@pytest.mark.parametrize("N,T,B", [(129, 512, 4), (251, 1024, 2)])
+def test_b3_precision_meets_contract(rng, N, T, B):
+    """bf16×3 split (3 native MXU passes) must stay under the −90 dB bar for
+    audio-range data — the Precision.HIGH algorithm Mosaic doesn't expose."""
+    h = (rng.normal(size=N) * 0.1).astype(np.float32)
+    x = (rng.normal(size=(B, T + N - 1)) * 0.5).astype(np.float32)
+    band = band_matrix(h)
+    ours = np.asarray(fir_td_mxu(x, band, interpret=True, precision="B3"))
+    for b in range(B):
+        gold = np.convolve(x[b].astype(np.float64), h.astype(np.float64), "valid")
+        assert err_db(ours[b], gold) < -90
+
+
+def test_b3_matches_highest_closely(rng):
+    h = rng.normal(size=65).astype(np.float32)
+    x = rng.normal(size=(2, 256 + 64)).astype(np.float32)
+    band = band_matrix(h)
+    hi = np.asarray(fir_td_mxu(x, band, interpret=True, precision="HIGHEST"))
+    b3 = np.asarray(fir_td_mxu(x, band, interpret=True, precision="B3"))
+    assert err_db(b3, hi.astype(np.float64)) < -85
+
+
 def test_xla_conv_baseline_matches(rng):
     h = rng.normal(size=129).astype(np.float32)
     x = rng.normal(size=(3, 512 + 128)).astype(np.float32)
