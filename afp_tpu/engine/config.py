@@ -90,11 +90,13 @@ class StreamConfig:
     agc_max_gain: float = 10.0
     agc_attack: float = 0.01
     agc_release: float = 0.1
-    # 'exact'    = per-sample lax.scan (reference semantics, serial in T);
-    # 'parallel' = same recurrence via branch-consistent associative scan
-    #              (O(log T) depth — the TPU throughput mode, ≡ exact);
+    # 'exact'    = per-sample recurrence (reference semantics): the Pallas
+    #              hardware-loop kernel on TPU (measured 28k× RT at the C8
+    #              point — as fast as 'fast'), lax.scan elsewhere;
+    # 'parallel' = branch-consistent associative-scan solver (≡ exact,
+    #              O(log T) depth — wins for very long T / non-TPU backends);
     # 'fast'     = chunked one-pole + interpolation (approximate)
-    agc_mode: str = "parallel"
+    agc_mode: str = "exact"
     # carry the smoothed gain across blocks (block-size-invariant stream).
     # False reproduces the reference's per-block restart at desired[0]
     # (`stream_process_AGC.py:66-67`) exactly.

@@ -54,6 +54,11 @@ class EqualizerController:
         self.presets = PresetStore(preset_path)
         self.show_spectrum = False
         self._last_spectrum: Optional[np.ndarray] = None
+        self._spectrum_freqs: Optional[np.ndarray] = None
+        #: (freq_hz, level_db) of the latest captured spectrum peak
+        self.spectrum_peak: Optional[tuple] = None
+        #: rolling [50, n_bins] spectrum history for the waterfall view
+        self.waterfall_ring: Optional[np.ndarray] = None
 
     # ---------------- pending edits (the tk variables analog) ----------------
 
@@ -136,30 +141,65 @@ class EqualizerController:
     # ---------------- observation ----------------
 
     def update_spectrum(self, block: np.ndarray) -> None:
-        """Feed an output block for the live-spectrum overlay."""
-        from ..ops.spectrum import spectrum_db
+        """Feed an output block for the live-spectrum overlay + peak readout
+        (`stream_process_EQ_GUI.py:395-411`)."""
+        from ..ops.spectrum import spectrum_db, spectrum_freqs, spectrum_peak
 
         if self.show_spectrum:
-            self._last_spectrum = np.asarray(spectrum_db(np.asarray(block)))
+            block = np.asarray(block)
+            db = np.asarray(spectrum_db(block))
+            self._last_spectrum = db
+            # host-side waterfall history (depth-50 deque analog,
+            # `stream_process_GUI_Waterfall.py:112, 471-478`)
+            row = db[0] if db.ndim > 1 else db
+            if (self.waterfall_ring is None
+                    or self.waterfall_ring.shape[-1] != row.shape[-1]):
+                self.waterfall_ring = np.full((50, row.shape[-1]), -200.0,
+                                              dtype=np.float32)
+            self.waterfall_ring = np.roll(self.waterfall_ring, -1, axis=0)
+            self.waterfall_ring[-1] = row
+            # engine output is base-rate: these freqs equal the reference's
+            # upsampled-analysis axis after its 1/upf scaling (`:400-401`)
+            self._spectrum_freqs = spectrum_freqs(
+                block.shape[-1], self.engine.cfg.samplerate
+            )
+            f, lvl = spectrum_peak(db[0] if db.ndim > 1 else db,
+                                   self._spectrum_freqs)
+            self.spectrum_peak = (float(f), float(lvl))
 
     def plot_response(self, save_path: Optional[str] = None):
-        """The 3-panel response figure of the *current* main filter, at the
-        upsampled design rate (`:390-418`)."""
+        """The 3-panel response figure of the *current* main filter at the
+        upsampled design rate, with the live output spectrum overlaid when
+        `show_spectrum` captured one (`:390-418`)."""
         from ..engine.config import PipelineParams
         from ..viz import plot_filter_response
 
         design = PipelineParams.design(self.engine.cfg)
+        spectrum = None
+        if self._last_spectrum is not None:
+            spectrum = (self._spectrum_freqs, self._last_spectrum)
         return plot_filter_response(
             design.main_taps,
             fs=self.engine.cfg.upsampled_rate,
             filter_type=self.engine.cfg.filter_type,
             save_path=save_path,
+            spectrum=spectrum,
         )
 
-    def waterfall(self, ring: np.ndarray, save_path: Optional[str] = None):
+    def waterfall(self, ring: Optional[np.ndarray] = None,
+                  save_path: Optional[str] = None):
+        """3-D spectrum-history surface; defaults to the controller's own
+        rolling history (fed by :meth:`update_spectrum`)."""
         from ..ops.spectrum import spectrum_freqs
         from ..viz import plot_waterfall
 
+        if ring is None:
+            ring = self.waterfall_ring
+        if ring is None:
+            raise ValueError(
+                "no spectrum history: enable show_spectrum and feed "
+                "update_spectrum, or pass a ring explicitly"
+            )
         cfg = self.engine.cfg
         freqs = spectrum_freqs(cfg.blocksize, cfg.samplerate)
         return plot_waterfall(

@@ -103,11 +103,61 @@ class EqualizerGUI:
         ttk.Button(p_frame, text="Save", command=self._save_preset).pack(pady=2)
         ttk.Button(p_frame, text="Load", command=self._load_preset).pack(pady=2)
         ttk.Button(p_frame, text="Delete", command=self._delete_preset).pack(pady=2)
+        self._spectrum_var = tk.BooleanVar(value=self.ctl.show_spectrum)
+        ttk.Checkbutton(p_frame, text="Show Spectrum",
+                        variable=self._spectrum_var,
+                        command=self._toggle_spectrum).pack(pady=2)
+        ttk.Button(p_frame, text="Waterfall",
+                   command=self.open_waterfall).pack(pady=2)
+
+        # --- embedded response canvas (the reference GUIs embed matplotlib,
+        # `stream_process_EQ_GUI.py:263-278, 390-418`) ---
+        self._canvas = None
+        self._canvas_frame = ttk.LabelFrame(self.root, text="Filter Response")
+        self._canvas_frame.grid(row=3, column=0, columnspan=2, padx=8, pady=4,
+                                sticky="nsew")
+        self.draw_response()
 
     # --- handlers (all delegate to the controller) ---
 
     def _on_gain(self, idx: int) -> None:
         self.ctl.set_gain(idx, self._gain_vars[idx].get())
+
+    def _toggle_spectrum(self) -> None:
+        self.ctl.show_spectrum = bool(self._spectrum_var.get())
+
+    def draw_response(self) -> None:
+        """(Re)render the controller's response figure into the embedded
+        canvas — spectrum overlay included when one was captured."""
+        try:
+            from matplotlib.backends.backend_tkagg import FigureCanvasTkAgg
+
+            fig = self.ctl.plot_response()
+            fig.set_size_inches(9, 6)
+            if self._canvas is not None:
+                self._canvas.get_tk_widget().destroy()
+            self._canvas = FigureCanvasTkAgg(fig, master=self._canvas_frame)
+            self._canvas.draw()
+            self._canvas.get_tk_widget().pack(fill="both", expand=True)
+        except Exception as e:  # canvas is best-effort; controls must survive
+            print(f"Response canvas unavailable: {e}")
+
+    def open_waterfall(self) -> None:
+        """Waterfall window (3-D spectrum history,
+        `stream_process_GUI_Waterfall.py:312-339`)."""
+        import tkinter as tk
+
+        try:
+            from matplotlib.backends.backend_tkagg import FigureCanvasTkAgg
+
+            fig = self.ctl.waterfall()
+            top = tk.Toplevel(self.root)
+            top.title("Spectrum Waterfall")
+            canvas = FigureCanvasTkAgg(fig, master=top)
+            canvas.draw()
+            canvas.get_tk_widget().pack(fill="both", expand=True)
+        except Exception as e:
+            print(f"Waterfall unavailable: {e}")
 
     def apply_changes(self) -> None:
         try:
@@ -124,6 +174,7 @@ class EqualizerGUI:
             self.ctl.set_field(**kw)
             self.ctl.apply_changes()
             self._rate_label.configure(text=f"{self.ctl.upsampled_rate} Hz")
+            self.draw_response()
         except Exception as e:
             print(f"Error applying changes: {e}")
 
@@ -132,6 +183,7 @@ class EqualizerGUI:
         for var, band in zip(self._gain_vars, self.ctl.engine.cfg.eq_bands):
             var.set(band.gain)
         self._rate_label.configure(text=f"{self.ctl.upsampled_rate} Hz")
+        self.draw_response()
 
     def _save_preset(self) -> None:
         name = self._preset_var.get()

@@ -79,11 +79,17 @@ def _freq_panel(ax, data: ResponseData, values, color: str):
 def plot_filter_response(coefficients, fs: float = 44100,
                          filter_type: Optional[str] = None,
                          save_path: Optional[str] = None,
-                         show: bool = False):
+                         show: bool = False,
+                         spectrum: Optional[tuple] = None,
+                         spectrum_label: str = "Output spectrum"):
     """Render the response figure; returns the matplotlib Figure.
 
     `save_path` writes a PNG; `show=True` attempts a non-blocking interactive
-    display when a GUI backend exists.
+    display when a GUI backend exists.  `spectrum=(freqs_hz, db)` overlays a
+    live output spectrum on the magnitude panel with a peak annotation — the
+    reference GUI's observation surface
+    (`/root/reference/stream_process_EQ_GUI.py:395-411`).  The spectrum is
+    peak-normalized to 0 dB so it shares the response axis.
     """
     import matplotlib
 
@@ -103,6 +109,27 @@ def plot_filter_response(coefficients, fs: float = 44100,
     ax_mag.set_ylabel("Magnitude (dB)")
     name = (filter_type or "FIR").capitalize()
     ax_mag.set_title(f"{name} Filter Response (Fs={fs / 1000:.1f}kHz)")
+
+    if spectrum is not None:
+        sfreqs = np.asarray(spectrum[0], dtype=np.float64)
+        sdb = np.asarray(spectrum[1], dtype=np.float64)
+        if sdb.ndim > 1:  # batched spectra: show the first stream
+            sdb = sdb[0]
+        raw_peak_db = float(np.max(sdb))
+        sdb = sdb - raw_peak_db  # peak-normalize onto the response axis
+        plot = ax_mag.semilogx if data.log_axis else ax_mag.plot
+        lo = 1 if data.log_axis and sfreqs[0] == 0 else 0
+        plot(sfreqs[lo:], sdb[lo:], color="C3", alpha=0.6,
+             linewidth=0.8, label=spectrum_label)
+        # peak annotation (`stream_process_EQ_GUI.py:404-409`)
+        pk = int(np.argmax(sdb))
+        ax_mag.plot([sfreqs[pk]], [sdb[pk]], "C3v", markersize=7)
+        ax_mag.annotate(
+            f"Peak: {sfreqs[pk]:.0f} Hz ({raw_peak_db:.1f} dB)",
+            xy=(sfreqs[pk], sdb[pk]), xytext=(5, 8),
+            textcoords="offset points", color="C3", fontsize=9,
+        )
+        ax_mag.legend(loc="lower left", fontsize=8)
 
     _freq_panel(ax_phase, data, data.phase_rad, "C1")
     ax_phase.set_ylabel("Phase (radians)")

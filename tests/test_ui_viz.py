@@ -142,3 +142,45 @@ def test_wav_ieee_float_roundtrip(tmp_path, rng):
     y, rate = read_wav(p)
     assert rate == 48000
     np.testing.assert_array_equal(y, x)  # float path is lossless
+
+
+def test_spectrum_overlay_lands_in_figure(ctl, tmp_path):
+    """VERDICT r1 #3: the captured output spectrum must actually be rendered
+    on the response plot, with the peak annotated."""
+    ctl.show_spectrum = True
+    t = np.arange(512) / 44100
+    block = (0.5 * np.sin(2 * np.pi * 2000 * t)).astype(np.float32)[None, :]
+    ctl.update_spectrum(block)
+    assert ctl.spectrum_peak is not None
+    assert abs(ctl.spectrum_peak[0] - 2000) < 44100 / 512 * 2
+    assert ctl.waterfall_ring is not None and ctl.waterfall_ring.shape[0] == 50
+
+    fig = ctl.plot_response(save_path=str(tmp_path / "overlay.png"))
+    ax_mag = fig.axes[0]
+    labels = [ln.get_label() for ln in ax_mag.get_lines()]
+    assert "Output spectrum" in labels
+    texts = [t.get_text() for t in ax_mag.texts]
+    assert any(t.startswith("Peak:") for t in texts)
+    # without a captured spectrum there is no overlay
+    ctl2_lines = len(ax_mag.get_lines())
+    ctl._last_spectrum = None
+    fig2 = ctl.plot_response()
+    assert len(fig2.axes[0].get_lines()) < ctl2_lines
+
+
+def test_controller_waterfall_from_own_history(ctl, tmp_path):
+    ctl.show_spectrum = True
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        ctl.update_spectrum(rng.normal(size=(1, 512)).astype(np.float32) * 0.1)
+    path = str(tmp_path / "wf2.png")
+    fig = ctl.waterfall(save_path=path)
+    assert fig is not None
+    import os
+
+    assert os.path.getsize(path) > 1000
+
+
+def test_controller_waterfall_requires_history(ctl):
+    with pytest.raises(ValueError):
+        ctl.waterfall()
