@@ -84,7 +84,15 @@ def cmd_process(args) -> int:
     if args.eq_gains:
         gains = [float(g) for g in args.eq_gains.split(",")]
         engine.set_eq_gains(gains)
+    n_in = x.shape[1]
+    if engine._asrc_frontend is not None:
+        # offline: zero-pad so the resampler tail flushes through the block
+        # framing, then trim to the exact converted length
+        pad = 2 * cfg.blocksize * rate // sr + engine._asrc_frontend.l_dev
+        x = np.concatenate([x, np.zeros((x.shape[0], pad), np.float32)], axis=1)
     out = engine.process_signal(x)
+    if engine._asrc_frontend is not None:
+        out = out[:, : int(n_in * sr / rate)]
     write_wav(args.output, out, cfg.samplerate, width=3)
     m = engine.metrics
     print(f"{args.input} → {args.output}: {x.shape[0]} ch × {x.shape[1]} samples, "

@@ -37,6 +37,9 @@ def save_checkpoint(path: str, engine: StreamEngine) -> None:
     }
     arrays = {f"state_{i}": np.asarray(l) for i, l in enumerate(state_leaves)}
     arrays.update({f"param_{i}": np.asarray(l) for i, l in enumerate(param_leaves)})
+    if engine._asrc_frontend is not None:  # host ASRC accumulators
+        meta["has_asrc"] = True
+        arrays.update(engine._asrc_frontend.get_state())
     arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
 
@@ -52,6 +55,10 @@ def load_checkpoint(path: str) -> StreamEngine:
         engine = StreamEngine(cfg, seed=meta["seed"])
         state_leaves = [z[f"state_{i}"] for i in range(meta["n_state_leaves"])]
         param_leaves = [z[f"param_{i}"] for i in range(meta["n_param_leaves"])]
+        if meta.get("has_asrc") and engine._asrc_frontend is not None:
+            engine._asrc_frontend.set_state(
+                {k: z[k] for k in ("asrc_in", "asrc_out", "asrc_hist")}
+            )
     _, state_tree = jax.tree_util.tree_flatten(engine.state)
     _, param_tree = jax.tree_util.tree_flatten(engine.params)
     engine.state = jax.tree_util.tree_unflatten(state_tree, state_leaves)

@@ -104,6 +104,14 @@ class StreamConfig:
 
     # ASRC (`stream_process_AGC.py:126-129`)
     source_samplerate: Optional[int] = None
+    # 'exact'  = host AsrcFrontend regroups source pushes through a streaming
+    #            polyphase resampler — block-exact for EVERY (rate, block)
+    #            pair (supersedes the reference);
+    # 'compat' = the reference's behavior: device-side streaming resampler
+    #            when the block divides the reduced ratio, else stateless
+    #            per-block conversion with pad/trim (block-edge artifacts,
+    #            `stream_process_AGC.py:126-129`)
+    asrc_mode: str = "exact"
 
     # output stage
     # 'base' returns blocksize samples at `samplerate` (the reference's duplex
@@ -164,6 +172,8 @@ class StreamConfig:
             raise ValueError(f"invalid dither_kind {self.dither_kind!r}")
         if self.agc_mode not in ("exact", "parallel", "fast"):
             raise ValueError(f"invalid agc_mode {self.agc_mode!r}")
+        if self.asrc_mode not in ("exact", "compat"):
+            raise ValueError(f"invalid asrc_mode {self.asrc_mode!r}")
         if self.output_rate not in ("base", "upsampled"):
             raise ValueError(f"invalid output_rate {self.output_rate!r}")
         if self.conv_strategy not in ("fft", "td_mxu"):
@@ -197,6 +207,7 @@ class StreamConfig:
             self.agc_enabled,
             self.source_samplerate,
             self.samplerate if self.source_samplerate else None,
+            self.asrc_mode if self.source_samplerate else None,
             self.downsample_mode,
             self.dither_kind,
             self.output_clip is not None,

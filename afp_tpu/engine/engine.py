@@ -87,6 +87,18 @@ class StreamEngine:
             )
         self.params: DeviceParams = self.pipeline.device_params(design)
         self.state: StreamState = self.pipeline.init_state(seed=self._seed)
+        # block-exact host ASRC (asrc_mode='exact'): the frontend regroups
+        # source-rate pushes into engine-rate blocks; the device pipeline
+        # never sees the rate conversion (supersedes the reference's
+        # stateless per-block pad/trim, `stream_process_AGC.py:126-129`)
+        self._asrc_frontend = None
+        if (cfg.source_samplerate and cfg.source_samplerate != cfg.samplerate
+                and cfg.asrc_mode == "exact"):
+            from ..runtime.asrc import AsrcFrontend
+
+            self._asrc_frontend = AsrcFrontend(
+                cfg.source_samplerate, cfg.samplerate, batch=cfg.batch
+            )
         self._last_good: deque = deque(maxlen=LAST_GOOD_DEPTH)
         self._block_seconds = self.cfg.blocksize / self.cfg.samplerate
         out_len = (self.cfg.upsampled_block if self.pipeline.upsampled_out
@@ -132,15 +144,46 @@ class StreamEngine:
 
     # ---------------- block processing with the ladder ----------------
 
+    def process_source_block(self, block: np.ndarray):
+        """Block-exact ASRC path: push a source-rate block of ANY length,
+        get an engine-rate [batch, blocksize] output when one is ready, else
+        None (the stream is still buffering — an honest Optional, unlike the
+        reference's time-stretching pad/trim).  Without ASRC this is just
+        :meth:`process_block`."""
+        if self._asrc_frontend is None:
+            return self.process_block(block)
+        block = np.asarray(block, dtype=np.float32)
+        if block.ndim == 1:
+            block = block[None, :]
+        self._asrc_frontend.push(block)
+        pulled = self._asrc_frontend.pull(self.cfg.blocksize)
+        if pulled is None:
+            return None
+        return self._process_engine_block(pulled)
+
     def process_block(self, block: np.ndarray) -> np.ndarray:
         """One [batch, blocksize] block in → [batch, blocksize] out.
 
         Never raises: on failure, degrades per the reference ladder.
+        With exact-mode ASRC active, the input is source-rate: it routes
+        through the frontend, and a not-yet-filled engine block degrades to
+        the underrun blend (use :meth:`process_source_block` for the honest
+        Optional contract).
         """
-        expected = (self.cfg.batch, self.cfg.blocksize)
         block = np.asarray(block, dtype=np.float32)
         if block.ndim == 1:
             block = block[None, :]
+        if self._asrc_frontend is not None:
+            self._asrc_frontend.push(block)
+            pulled = self._asrc_frontend.pull(self.cfg.blocksize)
+            if pulled is None:
+                return self.underrun_block()
+            block = pulled
+        return self._process_engine_block(block)
+
+    def _process_engine_block(self, block: np.ndarray) -> np.ndarray:
+        """Device step + degradation ladder on an engine-rate block."""
+        expected = (self.cfg.batch, self.cfg.blocksize)
         if block.shape != expected:
             # pad/trim rung (`stream_process_EQ.py:110-117`)
             fixed = np.zeros(expected, dtype=np.float32)
@@ -191,10 +234,22 @@ class StreamEngine:
         return jax.profiler.trace(logdir)
 
     def process_signal(self, signal: np.ndarray) -> np.ndarray:
-        """Whole-signal convenience: [batch, T] → [batch, T'] via lax.scan."""
+        """Whole-signal convenience: [batch, T] → [batch, T'] via lax.scan.
+        With exact-mode ASRC, `signal` is source-rate: it streams through the
+        frontend and every completed engine block is processed in order."""
         signal = np.asarray(signal, dtype=np.float32)
         if signal.ndim == 1:
             signal = signal[None, :]
+        if self._asrc_frontend is not None:
+            self._asrc_frontend.push(signal)
+            outs = []
+            while True:
+                blk = self._asrc_frontend.pull(self.cfg.blocksize)
+                if blk is None:
+                    break
+                outs.append(self._process_engine_block(blk))
+            return (np.concatenate(outs, axis=-1) if outs
+                    else np.zeros((self.cfg.batch, 0), dtype=np.float32))
         t0 = time.monotonic()
         state, out = self.pipeline.process_signal(self.params, self.state, signal)
         out = np.asarray(jax.block_until_ready(out))

@@ -174,11 +174,19 @@ class Pipeline:
             attack=cfg.agc_attack,
             release=cfg.agc_release,
         )
-        # ASRC mode decided statically: streaming when the block divides the
-        # reduced decimation factor, else the reference's stateless per-block
+        # Device-side ASRC runs only in 'compat' mode (reference semantics);
+        # in 'exact' mode the StreamEngine's host AsrcFrontend owns rate
+        # conversion and the device pipeline sees engine-rate blocks.
+        self._asrc_device = bool(
+            cfg.source_samplerate
+            and cfg.source_samplerate != cfg.samplerate
+            and cfg.asrc_mode == "compat"
+        )
+        # compat submode: streaming when the block divides the reduced
+        # decimation factor, else the reference's stateless per-block
         # conversion (`stream_process_AGC.py:126-129`)
         self._asrc_stateless = False
-        if cfg.source_samplerate and cfg.source_samplerate != cfg.samplerate:
+        if self._asrc_device:
             import math as _math
 
             g = _math.gcd(cfg.samplerate, cfg.source_samplerate)
@@ -291,11 +299,7 @@ class Pipeline:
         cfg = self.cfg
         B = (self.batch,)
         asrc = None
-        if (
-            cfg.source_samplerate
-            and cfg.source_samplerate != cfg.samplerate
-            and not self._asrc_stateless
-        ):
+        if self._asrc_device and not self._asrc_stateless:
             asrc = PolyResampler.init(
                 cfg.samplerate, cfg.source_samplerate, block=self.block,
                 batch_shape=B,

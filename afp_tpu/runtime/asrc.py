@@ -83,6 +83,23 @@ class AsrcFrontend:
         self._out = self._out[:, n:]
         return out
 
+    def get_state(self) -> dict:
+        """Snapshot (np arrays) for engine checkpointing."""
+        return {
+            "asrc_in": self._in.copy(),
+            "asrc_out": self._out.copy(),
+            "asrc_hist": np.asarray(self._state.hist),
+        }
+
+    def set_state(self, state: dict) -> None:
+        self._in = np.asarray(state["asrc_in"], dtype=np.float32)
+        self._out = np.asarray(state["asrc_out"], dtype=np.float32)
+        import jax.numpy as jnp
+
+        self._state = self._state._replace(
+            hist=jnp.asarray(state["asrc_hist"], dtype=jnp.float32)
+        )
+
     def flush(self) -> np.ndarray:
         """Drain: pad the input to a whole super-block, convert, return all
         remaining output (end-of-stream)."""

@@ -1,0 +1,140 @@
+"""Optional real-audio host bridge (import-gated sounddevice backend).
+
+The reference is, at heart, a live duplex audio program: a PortAudio stream
+whose callback moves blocks between the sound card and the DSP
+(`/root/reference/stream_process.py:128-136`,
+`stream_process_EQ_GUI.py:445-484`).  This module provides that last mile for
+deployments that DO have audio hardware: a thin `sd.Stream` wrapper that
+plugs the existing :class:`~afp_tpu.runtime.dispatcher.BlockDispatcher`
+between the real-time callback and the TPU engine, honoring the reference's
+contract:
+
+* duplex stream, ``latency='high'``, explicit ``device=(in, out)`` pair
+  (`stream_process.py:134-135`),
+* callback = nowait submit + nowait fetch with the underrun blend
+  (`stream_process_EQ_GUI.py:462-484`),
+* stream ``status`` flags counted as under/overflows
+  (`stream_process.py:83-85`),
+* input channels map onto the engine's stream-batch axis (channel k is
+  stream k), so a multichannel interface drives a batch>1 engine directly.
+
+sounddevice/PortAudio is NOT a dependency: everything degrades cleanly when
+absent (`audio_available()` gates; constructing without it raises a
+RuntimeError naming the missing piece).  CI exercises this module with a
+mock sounddevice (tests/test_audio_bridge.py); the simulated-clock driver
+remains the default and the only CI-run stream path.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..engine.engine import StreamEngine
+from ..utils.log import get_logger
+from .dispatcher import BlockDispatcher
+
+logger = get_logger("audio")
+
+__all__ = ["audio_available", "AudioStream"]
+
+
+def _sounddevice():
+    try:
+        import sounddevice as sd
+
+        return sd
+    except Exception:  # ImportError or PortAudio load failure
+        return None
+
+
+def audio_available() -> bool:
+    """True when sounddevice + a usable PortAudio backend are present."""
+    sd = _sounddevice()
+    if sd is None:
+        return False
+    try:
+        sd.query_devices()
+        return True
+    except Exception:
+        return False
+
+
+class AudioStream:
+    """Duplex PortAudio stream feeding a :class:`BlockDispatcher`.
+
+    Usage (mirrors `stream_process.py:128-139`)::
+
+        eng = StreamEngine(cfg)
+        with AudioStream(eng, device=(1, 0)) as stream:
+            while True:
+                sd.sleep(1000)
+    """
+
+    def __init__(self, engine: StreamEngine,
+                 device: Optional[tuple] = None,
+                 latency: str = "high",
+                 queue_depth: Optional[int] = None,
+                 sd_module=None):
+        self.sd = sd_module if sd_module is not None else _sounddevice()
+        if self.sd is None:
+            raise RuntimeError(
+                "sounddevice/PortAudio is not available — install the "
+                "'sounddevice' extra or use runtime.dispatcher.SimulatedStream"
+            )
+        self.engine = engine
+        cfg = engine.cfg
+        kw = {} if queue_depth is None else {"queue_depth": queue_depth}
+        self.dispatcher = BlockDispatcher(engine, **kw)
+        self.channels = cfg.batch  # channel k ↔ stream k
+        self._stream = self.sd.Stream(
+            samplerate=cfg.source_samplerate or cfg.samplerate,
+            blocksize=cfg.blocksize,
+            channels=self.channels,
+            dtype="float32",
+            latency=latency,
+            device=device,
+            callback=self._callback,
+        )
+
+    # --- the PortAudio real-time contract ---
+
+    def _callback(self, indata, outdata, frames, time_info, status) -> None:
+        if status:  # under/overflow flags (`stream_process.py:83-85`)
+            self.engine.metrics.underruns += 1
+            logger.warning("Stream status: %s", status)
+        blk = np.ascontiguousarray(indata.T, dtype=np.float32)
+        if not self.dispatcher.submit(blk):
+            self.engine.metrics.drops += 1
+        out = self.dispatcher.fetch()  # nowait + underrun blend
+        n = min(frames, out.shape[-1])
+        outdata[:n, :] = out[:, :n].T
+        if n < frames:
+            outdata[n:, :] = 0.0
+
+    # --- lifecycle ---
+
+    def start(self) -> None:
+        self.dispatcher.start()
+        self._stream.start()
+
+    def stop(self) -> None:
+        self._stream.stop()
+        self.dispatcher.stop()
+
+    def close(self) -> None:
+        self._stream.close()
+
+    @property
+    def cpu_load(self) -> float:
+        """PortAudio's callback load estimate — the reference's watchdog
+        input (`stream_process_EQ_GUI.py:454-457`)."""
+        return float(getattr(self._stream, "cpu_load", 0.0))
+
+    def __enter__(self) -> "AudioStream":
+        self.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+        self.close()

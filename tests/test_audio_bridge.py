@@ -1,0 +1,120 @@
+"""AudioStream bridge tests against a mock sounddevice (VERDICT r1 #6).
+
+No PortAudio in CI: a fake `sd` module records the stream configuration and
+lets the test fire the real-time callback by hand, proving the bridge honors
+the reference's duplex contract (`/root/reference/stream_process.py:128-136`)
+and degrades cleanly when the backend is absent.
+"""
+import types
+
+import numpy as np
+import pytest
+
+from afp_tpu.engine import StreamConfig, StreamEngine
+from afp_tpu.runtime.audio import AudioStream, audio_available
+
+
+class _FakeStream:
+    def __init__(self, **kw):
+        self.kw = kw
+        self.started = self.stopped = self.closed = False
+        self.cpu_load = 0.1
+
+    def start(self):
+        self.started = True
+
+    def stop(self):
+        self.stopped = True
+
+    def close(self):
+        self.closed = True
+
+
+def _fake_sd():
+    sd = types.ModuleType("sounddevice")
+    sd.Stream = _FakeStream
+    sd.query_devices = lambda: []
+    return sd
+
+
+def make_engine(batch=1):
+    return StreamEngine(StreamConfig(
+        samplerate=44100, blocksize=512, upsample_factor=2, numtaps=65,
+        batch=batch, eq_enabled=True, agc_enabled=False, dither_kind="off",
+        downsample_mode="decimate", output_clip=None,
+    ))
+
+
+def test_stream_configured_per_reference_contract():
+    eng = make_engine()
+    bridge = AudioStream(eng, device=(1, 0), sd_module=_fake_sd())
+    kw = bridge._stream.kw
+    assert kw["latency"] == "high"  # `stream_process.py:134`
+    assert kw["device"] == (1, 0)
+    assert kw["blocksize"] == 512
+    assert kw["samplerate"] == 44100
+    assert kw["channels"] == 1
+
+
+def test_callback_duplex_roundtrip():
+    eng = make_engine()
+    bridge = AudioStream(eng, sd_module=_fake_sd())
+    bridge.start()
+    assert bridge._stream.started
+    rng = np.random.default_rng(0)
+    indata = rng.normal(size=(512, 1)).astype(np.float32) * 0.3
+    outdata = np.empty((512, 1), dtype=np.float32)
+    # prime: first callbacks return the silence-primed queue
+    bridge._callback(indata, outdata, 512, None, None)
+    np.testing.assert_array_equal(outdata, 0.0)
+    # let the DSP worker drain the submitted block, then fetch real output
+    import time
+
+    deadline = time.time() + 5
+    while eng.metrics.blocks_processed < 1 and time.time() < deadline:
+        time.sleep(0.01)
+    assert eng.metrics.blocks_processed >= 1
+    bridge.stop()
+    assert bridge._stream.stopped
+
+
+def test_callback_counts_status_flags():
+    eng = make_engine()
+    bridge = AudioStream(eng, sd_module=_fake_sd())
+    indata = np.zeros((512, 1), dtype=np.float32)
+    outdata = np.empty((512, 1), dtype=np.float32)
+    before = eng.metrics.underruns
+    bridge._callback(indata, outdata, 512, None, "input overflow")
+    assert eng.metrics.underruns == before + 1
+
+
+def test_multichannel_maps_to_batch():
+    eng = make_engine(batch=4)
+    bridge = AudioStream(eng, sd_module=_fake_sd())
+    assert bridge._stream.kw["channels"] == 4
+    indata = np.random.default_rng(1).normal(size=(512, 4)).astype(np.float32)
+    outdata = np.empty((512, 4), dtype=np.float32)
+    bridge._callback(indata, outdata, 512, None, None)  # no crash, primes
+
+
+def test_asrc_source_rate_drives_hardware_rate():
+    eng = StreamEngine(StreamConfig(
+        samplerate=44100, source_samplerate=48000, blocksize=512,
+        upsample_factor=1, numtaps=65, batch=1, eq_enabled=False,
+        dither_kind="off", downsample_mode="decimate", output_clip=None,
+    ))
+    bridge = AudioStream(eng, sd_module=_fake_sd())
+    assert bridge._stream.kw["samplerate"] == 48000  # hardware runs at source
+
+
+def test_missing_backend_raises_cleanly(monkeypatch):
+    import afp_tpu.runtime.audio as audio
+
+    monkeypatch.setattr(audio, "_sounddevice", lambda: None)
+    assert audio.audio_available() is False
+    with pytest.raises(RuntimeError, match="sounddevice"):
+        AudioStream(make_engine())
+
+
+def test_audio_available_is_bool():
+    assert isinstance(audio_available(), bool)

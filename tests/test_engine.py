@@ -219,3 +219,79 @@ def test_profile_context(tmp_path, rng):
     import os
 
     assert any(os.scandir(str(tmp_path / "trace")))  # trace files written
+
+
+class TestExactAsrcEngine:
+    """asrc_mode='exact' (VERDICT r1 #5): block-exact conversion through the
+    full engine for a NON-divisible (rate, block) pair — 48k→44.1k at block
+    2048 (reduced down-factor 160 does not divide 2048)."""
+
+    def _make(self):
+        return make_engine(
+            samplerate=44100, source_samplerate=48000, blocksize=2048,
+            upsample_factor=1, numtaps=65, batch=2, eq_enabled=False,
+        )
+
+    def test_chunking_invariance(self, rng):
+        sig = (rng.normal(size=(2, 48000)) * 0.3).astype(np.float32)
+        eng1 = self._make()
+        out1 = eng1.process_signal(sig)
+
+        eng2 = self._make()
+        outs, i = [], 0
+        rng2 = np.random.default_rng(1)
+        while i < sig.shape[1]:
+            n = int(rng2.integers(100, 4000))
+            blk = sig[:, i : i + n]
+            i += n
+            y = eng2.process_source_block(blk)
+            if y is not None:
+                outs.append(y)
+        out2 = np.concatenate(outs, axis=-1)
+        n = min(out1.shape[1], out2.shape[1])
+        np.testing.assert_array_equal(out1[:, :n], out2[:, :n])
+
+    def test_matches_zero_phase_oracle(self, rng):
+        """Streamed output == (group-delayed) resample_poly → direct engine
+        chain: no block-edge artifacts at ANY boundary (the reference's
+        stateless conversion fails this, `stream_process_AGC.py:126-129`)."""
+        from afp_tpu.ops.resample import resample_poly
+
+        sig = (rng.normal(size=(2, 48000)) * 0.3).astype(np.float32)
+        eng = self._make()
+        streamed = eng.process_signal(sig)
+        delay = eng._asrc_frontend.delay_outputs
+
+        ref_in = np.asarray(resample_poly(sig, 147, 160))
+        eng_direct = make_engine(
+            samplerate=44100, blocksize=2048, upsample_factor=1,
+            numtaps=65, batch=2, eq_enabled=False,
+        )
+        gold = eng_direct.process_signal(ref_in)
+        n = min(streamed.shape[1] - delay, gold.shape[1])
+        # skip the FIR warm-up: the direct chain is zero-primed while the
+        # streamed chain's first `delay` samples are the resampler transient
+        w = 64  # numtaps - 1
+        err = np.max(np.abs(streamed[:, delay + w : delay + n] - gold[:, w:n]))
+        scale = np.max(np.abs(gold[:, w:n]))
+        assert 20 * np.log10(err / scale + 1e-300) < -90
+
+    def test_process_block_blends_while_buffering(self, rng):
+        eng = self._make()
+        # tiny first push cannot fill an engine block → underrun blend
+        out = eng.process_block((rng.normal(size=(2, 64)) * 0.3).astype(np.float32))
+        assert out.shape == (2, 2048)
+
+    def test_checkpoint_roundtrip_with_frontend(self, tmp_path, rng):
+        sig = (rng.normal(size=(2, 9000)) * 0.3).astype(np.float32)
+        eng = self._make()
+        eng.process_source_block(sig)
+        path = str(tmp_path / "asrc.npz")
+        save_checkpoint(path, eng)
+        eng2 = load_checkpoint(path)
+        nxt = (rng.normal(size=(2, 5000)) * 0.3).astype(np.float32)
+        y1 = eng.process_source_block(nxt)
+        y2 = eng2.process_source_block(nxt)
+        assert (y1 is None) == (y2 is None)
+        if y1 is not None:
+            np.testing.assert_array_equal(y1, y2)

@@ -139,7 +139,8 @@ def test_dither_pipeline(rng):
 
 
 def test_asrc_pipeline(rng):
-    cfg = make_cfg(source_samplerate=48000, upsample_factor=1, eq_enabled=False)
+    cfg = make_cfg(source_samplerate=48000, upsample_factor=1,
+                   eq_enabled=False, asrc_mode="compat")
     pipe = Pipeline(cfg)
     params = pipe.device_params(PipelineParams.design(pipe.cfg))
     sig = rng.normal(size=(cfg.batch, cfg.blocksize * 2)).astype(np.float32)
