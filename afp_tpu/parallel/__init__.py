@@ -1,12 +1,15 @@
-"""Parallelism layer: stream-axis DP, time-axis halo exchange, mesh helpers."""
+"""Parallelism layer: stream-axis DP, time-axis halo exchange, kernel
+(tensor) parallelism for long FIRs, mesh helpers."""
 from .dp import ShardedPipeline
 from .halo import halo_convolve, halo_convolve_sharded
+from .kp import KernelParallelConv
 from .mesh import Mesh, NamedSharding, P, make_mesh
 
 __all__ = [
     "ShardedPipeline",
     "halo_convolve",
     "halo_convolve_sharded",
+    "KernelParallelConv",
     "make_mesh",
     "Mesh",
     "NamedSharding",

@@ -201,3 +201,52 @@ def test_sharded_multirate_chain_matches_single_device(rng, mesh):
     sstate = sp.init_state()
     _, out = sp.step(sp.device_params(design), sstate, blocks)
     np.testing.assert_allclose(np.asarray(out), np.asarray(gold), atol=1e-6)
+
+
+def test_kernel_parallel_conv_matches_overlap_save(rng):
+    """SURVEY §2.4 TP axis (VERDICT r1 #9): a long FIR sharded over 8
+    devices streams exactly like the single-device full-kernel conv."""
+    from afp_tpu.ops.convolve import OverlapSave
+    from afp_tpu.parallel.kp import KernelParallelConv
+
+    N, L, B, nblocks = 1000, 512, 3, 6
+    h = rng.normal(size=N).astype(np.float32)
+    sig = rng.normal(size=(B, L * nblocks)).astype(np.float32)
+    mesh = make_mesh(8, axis_names=("kernel",))
+
+    kp = KernelParallelConv(h, block=L, mesh=mesh, batch=B)
+    ref = OverlapSave.init(h, block=L, batch_shape=(B,))
+    st = kp.init_state()
+    for b in range(nblocks):
+        blk = sig[:, b * L : (b + 1) * L]
+        st, y = kp.step(st, blk)
+        ref, gold = ref.process(blk)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(gold),
+                                   atol=2e-4, rtol=1e-5)
+
+
+def test_kernel_parallel_swap_and_ragged_length(rng):
+    from afp_tpu.parallel.kp import KernelParallelConv
+    from afp_tpu.ops.convolve import OverlapSave
+
+    mesh = make_mesh(8, axis_names=("kernel",))
+    h1 = rng.normal(size=777).astype(np.float32)  # not divisible by 8
+    h2 = rng.normal(size=770).astype(np.float32)
+    sig = rng.normal(size=(2, 256 * 6)).astype(np.float32)
+    kp = KernelParallelConv(h1, block=256, mesh=mesh, batch=2)
+    st = kp.init_state()
+    st, _ = kp.step(st, sig[:, :256])
+    kp2 = kp.with_kernel(h2)  # glitch-free swap (shapes preserved)
+    # the delay FIFOs carry old-kernel partials for (D−1)·C samples; once
+    # they flush, output equals the h2 convolution of the full input stream
+    ref = OverlapSave.init(h2, block=256, batch_shape=(2,))
+    ref, _ = ref.process(sig[:, :256])
+    # transient spans samples 256..256+686=942 → fully flushed by block 4
+    y = gold = None
+    for b in range(1, 6):
+        st, y = kp2.step(st, sig[:, b * 256 : (b + 1) * 256])
+        ref, gold = ref.process(sig[:, b * 256 : (b + 1) * 256])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(gold),
+                               atol=2e-4, rtol=1e-5)
+    with pytest.raises(ValueError):
+        kp.with_kernel(np.zeros(5000, np.float32))
