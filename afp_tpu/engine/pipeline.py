@@ -329,6 +329,8 @@ class Pipeline:
                    block: jnp.ndarray):
         cfg = self.cfg
         x = jnp.asarray(block, dtype=jnp.float32)  # [B, L_in]
+        dither_done = False  # set when the conv kernel fused the dither
+        key0 = state.key
 
         # 1. ASRC: source rate → engine rate, padded/trimmed to blocksize
         #    (reference compat, `stream_process_AGC.py:126-129`)
@@ -392,6 +394,15 @@ class Pipeline:
             ext = jnp.concatenate([state.conv_tail, x], axis=-1)
             if self._use_td:
                 per_stream = has_eq and params.eq_gains.ndim == 2
+                # fuse the output dither into the conv kernel's store when
+                # nothing sits between them (saves one output r/w round
+                # trip, ~0.2 ms/block at the headline config)
+                fuse_dither = (
+                    cfg.dither_kind != "off"
+                    and cfg.output_clip is None
+                    and not per_stream
+                    and not self._pl_interpret
+                )
                 if per_stream:
                     # per-stream gain banks on the MXU: one wide dot per
                     # tile yields every band, mixed per stream in-kernel
@@ -408,7 +419,19 @@ class Pipeline:
                     band = jnp.where(
                         self._band_mask, jnp.take(k, self._band_idx), 0.0
                     )
-                    y = fir_td_mxu(ext, band, interpret=self._pl_interpret)
+                    if fuse_dither:
+                        from ..ops.pallas.dither_pl import fold_seed
+
+                        key0, sub = jax.random.split(state.key)
+                        dither_done = True
+                        y = fir_td_mxu(
+                            ext, band, interpret=self._pl_interpret,
+                            dither_seed=fold_seed(sub),
+                            dither_bits=cfg.dither_bits,
+                            dither_tpdf=(cfg.dither_kind == "tpdf"),
+                        )
+                    else:
+                        y = fir_td_mxu(ext, band, interpret=self._pl_interpret)
             else:
                 H = params.combined_response(has_eq, premultiplied=True)
                 Y = jnp.fft.rfft(ext, n=self.nfft) * H
@@ -442,11 +465,21 @@ class Pipeline:
         if cfg.output_clip is not None:
             y = jnp.clip(y, -cfg.output_clip, cfg.output_clip)
 
-        # 7. keyed dither
-        key = state.key
-        if cfg.dither_kind != "off":
-            key, sub = jax.random.split(key)
-            y = dither(sub, y, cfg.dither_bits, cfg.dither_kind)
+        # 7. keyed dither — fused into the conv kernel above when possible;
+        # otherwise the hardware-PRNG Pallas kernel on TPU (the XLA threefry
+        # path measured 62% of the whole block budget, r2 ablation)
+        if dither_done:
+            key = key0
+        else:
+            key = state.key
+            if cfg.dither_kind != "off":
+                key, sub = jax.random.split(key)
+                if not self._pl_interpret:
+                    from ..ops.pallas.dither_pl import dither_pallas
+
+                    y = dither_pallas(sub, y, cfg.dither_bits, cfg.dither_kind)
+                else:
+                    y = dither(sub, y, cfg.dither_bits, cfg.dither_kind)
 
         new_state = StreamState(
             asrc=asrc, up=up, conv_tail=conv_tail, down=down,

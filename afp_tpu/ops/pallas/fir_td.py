@@ -88,36 +88,63 @@ def band_matrix(h: np.ndarray, tile: int = LANE) -> np.ndarray:
     return T
 
 
-def _fir_kernel(x_ref, band_ref, o_ref, *, n_taps: int, t_tiles: int):
+def _tile_noise(shape, lsb: float, tpdf: bool):
+    """TPDF/RPDF noise tile off the hardware PRNG (seeded by the caller).
+    Successive calls draw fresh bits from the per-core PRNG stream."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    if tpdf:
+        b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+        return (u1 - u2) * lsb
+    return (u1 - 0.5) * lsb
+
+
+def _fir_kernel(x_ref, band_ref, o_ref, *, n_taps: int, t_tiles: int,
+                seed_ref=None, lsb: float = 0.0, tpdf: bool = True):
     """One batch-tile: x_ref [BT, T + N − 1] → o_ref [BT, T].
 
     precision=HIGHEST is load-bearing: the MXU's default f32 path rounds
     inputs to bf16 (measured −50 dB vs oracle); the multi-pass mode restores
-    fp32-equivalent accuracy for the −90 dB contract.
+    fp32-equivalent accuracy for the −90 dB contract.  With `seed_ref`,
+    requantization dither fuses into the output store (saves a full output
+    read+write round-trip vs a standalone dither pass).
     """
+    if seed_ref is not None:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
     for t in range(t_tiles):
         w = x_ref[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
-        o_ref[:, t * LANE : (t + 1) * LANE] = jnp.dot(
+        y = jnp.dot(
             w, band_ref[:, :],
             preferred_element_type=jnp.float32,
             precision=_PRECISION,
         )
+        if seed_ref is not None:
+            y = y + _tile_noise(y.shape, lsb, tpdf)
+        o_ref[:, t * LANE : (t + 1) * LANE] = y
 
 
 def _fir_kernel_b3(xhi_ref, xlo_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
-                   t_tiles: int):
+                   t_tiles: int, seed_ref=None, lsb: float = 0.0,
+                   tpdf: bool = True):
     """bf16×3 batch-tile kernel: three native bf16 MXU passes accumulate in
     fp32.  Both operand hi/lo splits happen OUTSIDE the kernel (the two bf16
     input blocks together cost exactly the bytes of one f32 block, keeping
-    the VMEM/double-buffering footprint identical to the HIGHEST path)."""
+    the VMEM/double-buffering footprint identical to the HIGHEST path).
+    Optional fused output dither as in :func:`_fir_kernel`."""
+    if seed_ref is not None:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
     for t in range(t_tiles):
         w_hi = xhi_ref[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
         w_lo = xlo_ref[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
-        o_ref[:, t * LANE : (t + 1) * LANE] = (
+        y = (
             jnp.dot(w_hi, bhi_ref[:, :], preferred_element_type=jnp.float32)
             + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
             + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
         )
+        if seed_ref is not None:
+            y = y + _tile_noise(y.shape, lsb, tpdf)
+        o_ref[:, t * LANE : (t + 1) * LANE] = y
 
 
 def _pick_b_tile(B: int, text: int, T: int) -> int:
@@ -141,9 +168,11 @@ def _pick_b_tile(B: int, text: int, T: int) -> int:
     return min(B, 8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "precision", "dither_bits", "dither_tpdf"))
 def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
-                 precision: str = PRECISION_MODE):
+                 precision: str = PRECISION_MODE, seed=None,
+                 dither_bits: int | None = None, dither_tpdf: bool = True):
     B, text = x_ext.shape
     n_taps = band.shape[0] - LANE + 1
     T = text - (n_taps - 1)
@@ -156,10 +185,22 @@ def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
     out_spec = pl.BlockSpec((b_tile, T), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, T), jnp.float32)
+    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    dkw = {}
+    if dither_bits is not None:
+        dkw = dict(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
     if precision == "B3":
         x_hi, x_lo = split_bf16(x_ext)
         b_hi, b_lo = split_bf16(band)
-        kernel = functools.partial(_fir_kernel_b3, n_taps=n_taps, t_tiles=t_tiles)
+        kernel = functools.partial(_fir_kernel_b3, n_taps=n_taps,
+                                   t_tiles=t_tiles, **dkw)
+        if dither_bits is not None:
+            kern = lambda s, a, b, c, d, o: kernel(a, b, c, d, o, seed_ref=s)
+            return pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[seed_spec, x_spec, x_spec, band_spec, band_spec],
+                out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+            )(seed, x_hi, x_lo, b_hi, b_lo)
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -168,7 +209,15 @@ def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
             out_shape=out_shape,
             interpret=interpret,
         )(x_hi, x_lo, b_hi, b_lo)
-    kernel = functools.partial(_fir_kernel, n_taps=n_taps, t_tiles=t_tiles)
+    kernel = functools.partial(_fir_kernel, n_taps=n_taps, t_tiles=t_tiles,
+                               **dkw)
+    if dither_bits is not None:
+        kern = lambda s, a, b, o: kernel(a, b, o, seed_ref=s)
+        return pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[seed_spec, x_spec, band_spec],
+            out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+        )(seed, x_ext, band)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -181,13 +230,17 @@ def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
 
 def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,
                interpret: bool = False,
-               precision: str | None = None) -> jnp.ndarray:
+               precision: str | None = None,
+               dither_seed=None, dither_bits: int | None = None,
+               dither_tpdf: bool = True) -> jnp.ndarray:
     """Causal/valid FIR conv of [B, T+N−1] against the band matrix → [B, T].
 
     `T` must be a multiple of 128 and `B` a multiple of the batch tile
     (≤256); the engine's static shapes guarantee both.  `interpret=True` runs
     the Pallas interpreter (CPU tests).  `precision` overrides
-    :data:`PRECISION_MODE` ('B3' | 'HIGHEST').
+    :data:`PRECISION_MODE` ('B3' | 'HIGHEST').  Passing `dither_seed`
+    (int32 [1,1]) + `dither_bits` fuses requantization dither into the
+    output store (TPU only — the hardware PRNG has no interpret lowering).
     """
     x_ext = jnp.asarray(x_ext, dtype=jnp.float32)
     band = jnp.asarray(band, dtype=jnp.float32)
@@ -199,7 +252,9 @@ def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,
     if B % _pick_b_tile(B, text, T):
         raise ValueError(f"batch {B} must be divisible by the batch tile")
     return _fir_td_call(x_ext, band, interpret=interpret,
-                        precision=precision or PRECISION_MODE)
+                        precision=precision or PRECISION_MODE,
+                        seed=dither_seed, dither_bits=dither_bits,
+                        dither_tpdf=dither_tpdf)
 
 
 def _fir_kernel_ps(x_ref, wide_ref, g_ref, o_ref, *, n_taps: int,

@@ -109,10 +109,13 @@ def write_wav(path: str, x: np.ndarray, rate: int, width: int = 2,
             f.write(data)
         return
     clipped = np.clip(x.T, -1.0, 1.0)  # interleave as [frames, channels]
+    # round-to-nearest, NOT truncation: astype() truncates toward zero,
+    # which silently deletes sub-LSB dither noise (found by driving the CLI
+    # with a silent input, round 2) and biases quantization by up to 1 LSB
     if width == 2:
-        data = (clipped * 32767.0).astype("<i2").tobytes()
+        data = np.round(clipped * 32767.0).astype("<i2").tobytes()
     elif width == 3:
-        ints = (clipped * float((1 << 23) - 1)).astype(np.int32)
+        ints = np.round(clipped * float((1 << 23) - 1)).astype(np.int32)
         b = np.empty((ints.size, 3), dtype=np.uint8)
         flat = ints.reshape(-1)
         b[:, 0] = flat & 0xFF
@@ -120,7 +123,9 @@ def write_wav(path: str, x: np.ndarray, rate: int, width: int = 2,
         b[:, 2] = (flat >> 16) & 0xFF
         data = b.tobytes()
     elif width == 4:
-        data = (clipped.astype(np.float64) * float((1 << 31) - 1)).astype("<i4").tobytes()
+        data = np.round(
+            clipped.astype(np.float64) * float((1 << 31) - 1)
+        ).astype("<i4").tobytes()
     else:
         raise ValueError(f"unsupported sample width {width}")
     with wave.open(path, "wb") as w:

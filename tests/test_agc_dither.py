@@ -253,3 +253,51 @@ def test_engine_agc_fast_mode(rng):
     out = np.asarray(out)
     assert np.all(np.isfinite(out))
     assert np.std(out[:, 1024:]) > np.std(sig) * 2  # AGC boosts quiet input
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu PRNG primitives have no CPU interpret "
+                           "lowering; covered by the on-hardware bench probe")
+class TestDitherPallas:
+    """The hardware-PRNG dither kernel: same distribution and determinism
+    contract as the threefry path (runs on real TPU only)."""
+
+    def test_determinism_and_bounds(self):
+        from afp_tpu.ops.pallas.dither_pl import dither_pallas
+
+        key = jax.random.PRNGKey(3)
+        x = np.zeros((4, 512), dtype=np.float32)
+        lsb = 2 / 2**24
+        tp = np.asarray(dither_pallas(key, x, 24, "tpdf"))
+        rp = np.asarray(dither_pallas(key, x, 24, "rpdf"))
+        tp2 = np.asarray(dither_pallas(key, x, 24, "tpdf"))
+        np.testing.assert_array_equal(tp, tp2)  # same key → same noise
+        assert np.max(np.abs(rp)) <= lsb / 2 + 1e-12
+        assert np.max(np.abs(tp)) <= lsb + 1e-12
+        assert np.max(np.abs(tp)) > lsb / 2  # triangular reaches further
+        # different key → different noise
+        tp3 = np.asarray(dither_pallas(jax.random.PRNGKey(4), x, 24, "tpdf"))
+        assert np.any(tp3 != tp)
+
+    def test_statistics(self):
+        from afp_tpu.ops.pallas.dither_pl import dither_pallas
+
+        key = jax.random.PRNGKey(0)
+        x = np.zeros((64, 2048), dtype=np.float32)
+        tp = np.asarray(dither_pallas(key, x, 24, "tpdf"))
+        rp = np.asarray(dither_pallas(key, x, 24, "rpdf"))
+        assert np.var(tp) == pytest.approx(2 * np.var(rp), rel=0.05)
+        assert abs(np.mean(tp)) < 2 / 2**24 / 50
+        # streams decorrelated
+        c = np.corrcoef(tp[0], tp[1])[0, 1]
+        assert abs(c) < 0.05
+
+    def test_off_passthrough_and_bad_kind(self):  # pragma: tpu-only
+        from afp_tpu.ops.pallas.dither_pl import dither_pallas
+
+        key = jax.random.PRNGKey(0)
+        x = np.linspace(-1, 1, 256).astype(np.float32)[None]
+        np.testing.assert_array_equal(
+            np.asarray(dither_pallas(key, x, 24, "off")), x)
+        with pytest.raises(ValueError):
+            dither_pallas(key, x, 24, "gauss")
