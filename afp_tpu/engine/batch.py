@@ -17,12 +17,17 @@ is a shape change, which the static-shape contract forbids mid-stream.
 """
 from __future__ import annotations
 
+import dataclasses
+from typing import Sequence
+
 import jax.numpy as jnp
 import numpy as np
 
+from .config import PipelineParams
 from .pipeline import DeviceParams, Pipeline
 
-__all__ = ["with_per_stream_gains", "broadcast_gains"]
+__all__ = ["with_per_stream_gains", "with_per_stream_filters",
+           "broadcast_gains"]
 
 
 def broadcast_gains(gains, batch: int, n_bands: int) -> jnp.ndarray:
@@ -53,3 +58,70 @@ def with_per_stream_gains(pipe: Pipeline, params: DeviceParams,
     n_bands = params.H_bands.shape[0]
     g = broadcast_gains(gains, pipe.batch, n_bands)
     return params._replace(eq_gains=g)
+
+
+def _batched_convolve(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Full linear conv of shared `a` [K] with each row of `b` [B, N]
+    (float64, one batched FFT — the cold design path for stream banks)."""
+    K, N = len(a), b.shape[-1]
+    n = 1 << (K + N - 2).bit_length()
+    out = np.fft.irfft(np.fft.rfft(a, n) * np.fft.rfft(b, n, axis=-1), n,
+                       axis=-1)
+    return out[..., : K + N - 1]
+
+
+def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict]
+                            ) -> DeviceParams:
+    """Per-stream MAIN-FILTER banks (SURVEY §7 step 5: "each stream can have
+    its own kernel"): design one main filter per stream from `variants`
+    (dicts of dynamic design-field overrides — cutoff, filter_type,
+    window_type, design_method) and upload a [B, F] response bank.  Each
+    stream is then filtered by its own kernel in the same fused FFT pass —
+    the response multiply broadcasts over the batch, so the hot path is
+    unchanged and swaps stay glitch-free.
+
+    Constraints (all enforced):
+    * one variant per stream (len == batch),
+    * overrides must be shape-preserving (numtaps/blocksize/… are static —
+      change them per stream and the batch no longer shares one program),
+    * requires ``conv_strategy='fft'`` (per-stream taps have no shared MXU
+      matmul operand) and ``eq_enabled=False`` (per-band × per-stream
+      cascade banks would be [B, n_bands, F] — design per-stream EQ by
+      folding band gains into the per-stream kernel instead).
+    """
+    cfg = pipe.cfg
+    if len(variants) != pipe.batch:
+        raise ValueError(f"need {pipe.batch} variants, got {len(variants)}")
+    if pipe._use_td:
+        raise NotImplementedError(
+            "per-stream filter banks require conv_strategy='fft'"
+        )
+    if cfg.eq_enabled and len(cfg.eq_bands):
+        raise NotImplementedError(
+            "per-stream filter banks require eq_enabled=False "
+            "(fold per-stream EQ into the kernel design instead)"
+        )
+    _STATIC = {"numtaps", "blocksize", "upsample_factor", "batch",
+               "samplerate", "min_phase", "agc_window_size"}
+    mains = []
+    for ov in variants:
+        bad = _STATIC.intersection(ov)
+        if bad:
+            raise ValueError(f"per-stream overrides cannot change {sorted(bad)}"
+                             " (shape-static fields)")
+        c = dataclasses.replace(cfg, **ov).validate()
+        mains.append(PipelineParams.design(c).main_taps.astype(np.float64))
+    mains = np.stack(mains)  # [B, n_kernel]
+
+    if pipe.fused:
+        casc = _batched_convolve(pipe._h_up_np, mains)
+        if pipe._h_down_np is not None:
+            casc = _batched_convolve(pipe._h_down_np, casc)
+        casc = casc[:, :: pipe.upf]  # phase-0 polyphase component
+        bank = np.zeros((pipe.batch, pipe.n_casc))
+        bank[:, : casc.shape[-1]] = casc[:, : pipe.n_casc]
+    else:
+        bank = mains
+    H_main = jnp.fft.rfft(jnp.asarray(bank, jnp.float32), n=pipe.nfft, axis=-1)
+    params = pipe.device_params(PipelineParams.design(cfg))
+    return params._replace(H_main=H_main)

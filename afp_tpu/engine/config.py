@@ -131,6 +131,11 @@ class StreamConfig:
     # the EQ gains).  Disable to run the literal multirate chain.
     fuse_rate_conversion: bool = True
 
+    # Capture the output spectrum ring inside the device scan (depth-50
+    # waterfall as part of the carried state — no host contact per block;
+    # costs [batch, 50, L/2+1] HBM, so meant for monitoring-scale batches)
+    waterfall_enabled: bool = False
+
     # Execution strategy for the fused convolution:
     #   'fft'    — overlap-save rfft/irfft (VPU/FFT units),
     #   'td_mxu' — Pallas banded-Toeplitz matmul on the MXU
@@ -213,6 +218,7 @@ class StreamConfig:
             self.output_clip is not None,
             self.fuse_rate_conversion,
             self.conv_strategy,
+            self.waterfall_enabled,
             self.agc_mode,
             self.agc_carry,
             self.output_rate,

@@ -224,6 +224,13 @@ class StreamEngine:
         self.metrics.fallback_silence += 1
         return np.zeros(self._out_shape, dtype=np.float32)
 
+    def waterfall_ring(self) -> np.ndarray:
+        """Fetch the scan-carried spectrum ring ([batch, 50, n_bins] dB;
+        requires ``waterfall_enabled=True``)."""
+        if self.state.wf is None:
+            raise ValueError("waterfall_enabled=False: no on-device ring")
+        return np.asarray(self.state.wf)
+
     def profile(self, logdir: str):
         """jax.profiler trace context (SURVEY.md §5.1): wraps a region of
         block processing; view with TensorBoard/xprof.  Usage::
@@ -241,15 +248,24 @@ class StreamEngine:
         if signal.ndim == 1:
             signal = signal[None, :]
         if self._asrc_frontend is not None:
+            # batched offline path: pull every complete engine block at once
+            # and run them through ONE lax.scan dispatch (per-block stepping
+            # costs a device round-trip each — ~26 ms on tunneled devices)
             self._asrc_frontend.push(signal)
-            outs = []
-            while True:
-                blk = self._asrc_frontend.pull(self.cfg.blocksize)
-                if blk is None:
-                    break
-                outs.append(self._process_engine_block(blk))
-            return (np.concatenate(outs, axis=-1) if outs
-                    else np.zeros((self.cfg.batch, 0), dtype=np.float32))
+            L = self.cfg.blocksize
+            nblocks = self._asrc_frontend.available() // L
+            if nblocks == 0:
+                return np.zeros((self.cfg.batch, 0), dtype=np.float32)
+            data = self._asrc_frontend.pull(nblocks * L)
+            blocks = data.reshape(self.cfg.batch, nblocks, L).swapaxes(0, 1)
+            t0 = time.monotonic()
+            state, outs = self.pipeline.run(self.params, self.state, blocks)
+            out = np.asarray(jax.block_until_ready(outs))
+            self.state = state
+            busy = time.monotonic() - t0
+            n = nblocks * out.shape[-1]
+            self.metrics.record_block(n, busy, n / self.cfg.samplerate)
+            return out.swapaxes(0, 1).reshape(self.cfg.batch, -1)
         t0 = time.monotonic()
         state, out = self.pipeline.process_signal(self.params, self.state, signal)
         out = np.asarray(jax.block_until_ready(out))

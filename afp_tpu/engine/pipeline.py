@@ -94,6 +94,8 @@ class StreamState(NamedTuple):
     down: Optional[PolyResampler]
     agc_gain: Optional[jnp.ndarray]  # [B] carried smoothed gain
     key: jax.Array
+    #: [B, 50, n_bins] scan-carried spectrum ring (waterfall_enabled)
+    wf: Optional[jnp.ndarray] = None
 
 
 class Pipeline:
@@ -314,6 +316,12 @@ class Pipeline:
         n_tail = (self.n_casc if self.fused else self.n_fused) - 1
         conv_tail = jnp.zeros((self.batch, n_tail), dtype=jnp.float32)
         agc_gain = jnp.ones((self.batch,), dtype=jnp.float32) if cfg.agc_enabled else None
+        wf = None
+        if cfg.waterfall_enabled:
+            from ..ops.spectrum import waterfall_init
+
+            out_len = self.up_block if self.upsampled_out else self.block
+            wf = waterfall_init(out_len // 2 + 1, batch_shape=(self.batch,))
         return StreamState(
             asrc=asrc,
             up=up,
@@ -321,6 +329,7 @@ class Pipeline:
             down=down,
             agc_gain=agc_gain,
             key=jax.random.PRNGKey(seed),
+            wf=wf,
         )
 
     # ---------------- the hot step ----------------
@@ -481,9 +490,16 @@ class Pipeline:
                 else:
                     y = dither(sub, y, cfg.dither_bits, cfg.dither_kind)
 
+        # 8. scan-carried waterfall capture (§5.5 observability on-device)
+        wf = state.wf
+        if wf is not None:
+            from ..ops.spectrum import spectrum_db, waterfall_push
+
+            wf = waterfall_push(wf, spectrum_db(y))
+
         new_state = StreamState(
             asrc=asrc, up=up, conv_tail=conv_tail, down=down,
-            agc_gain=agc_gain, key=key,
+            agc_gain=agc_gain, key=key, wf=wf,
         )
         return new_state, y
 

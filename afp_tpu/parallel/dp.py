@@ -43,6 +43,7 @@ def _state_spec(state: StreamState) -> StreamState:
         down=_resampler_spec(state.down),
         agc_gain=None if state.agc_gain is None else P("streams"),
         key=P(),
+        wf=None if state.wf is None else P("streams", None, None),
     )
 
 
@@ -51,9 +52,12 @@ def _param_spec_tree(params: DeviceParams) -> DeviceParams:
     except per-stream gain banks ([B, n_bands], structurally 2-D — shared
     banks are 1-D) which shard on 'streams'."""
     per_stream = getattr(params.eq_gains, "ndim", 1) == 2
+    # H_main is [F] shared or [B, F] per-stream-kernel banks (structurally
+    # 2-D); H_bands/casc_bands are [n_bands, ·] and always replicate
+    ps_main = getattr(params.H_main, "ndim", 1) == 2
     return DeviceParams(
         H_bands=P(),
-        H_main=P(),
+        H_main=P("streams", None) if ps_main else P(),
         eq_gains=P("streams", None) if per_stream else P(),
         agc_target=P(),
         agc_max_gain=P(),

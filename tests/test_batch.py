@@ -91,3 +91,62 @@ def test_per_stream_td_b3_meets_contract(rng):
                 x[b].astype(np.float64), kernels[k].astype(np.float64), "valid")
     err = np.max(np.abs(out - gold)) / np.max(np.abs(gold))
     assert 20 * np.log10(err + 1e-300) < -90
+
+
+def test_per_stream_filter_banks_match_individual_runs(rng):
+    """SURVEY §7 step 5 'each stream can have its own kernel': a [B, F]
+    main-filter bank equals B independent single-stream pipelines."""
+    variants = [
+        dict(cutoff=6000.0),
+        dict(cutoff=15000.0, window_type="hann"),
+        dict(cutoff=(500.0, 8000.0), filter_type="bandpass"),
+    ]
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    pipe, _ = make(batch=3, eq_enabled=False)
+    bank = with_per_stream_filters(pipe, variants)
+    sig = (rng.normal(size=(3, 512 * 3)) * 0.3).astype(np.float32)
+    _, batched = pipe.process_signal(bank, pipe.init_state(0), sig)
+    batched = np.asarray(batched)
+    import dataclasses
+
+    for b, ov in enumerate(variants):
+        pipe1, params1 = make(batch=1, eq_enabled=False, **ov)
+        _, single = pipe1.process_signal(params1, pipe1.init_state(0),
+                                         sig[b : b + 1])
+        np.testing.assert_allclose(batched[b], np.asarray(single)[0], atol=1e-6)
+
+
+def test_per_stream_filter_banks_unfused_path(rng):
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    variants = [dict(cutoff=4000.0), dict(cutoff=12000.0)]
+    pipe, _ = make(batch=2, eq_enabled=False, fuse_rate_conversion=False)
+    bank = with_per_stream_filters(pipe, variants)
+    sig = (rng.normal(size=(2, 512 * 2)) * 0.3).astype(np.float32)
+    _, out = pipe.process_signal(bank, pipe.init_state(0), sig)
+    import dataclasses
+
+    for b, ov in enumerate(variants):
+        pipe1, params1 = make(batch=1, eq_enabled=False,
+                              fuse_rate_conversion=False, **ov)
+        _, single = pipe1.process_signal(params1, pipe1.init_state(0),
+                                         sig[b : b + 1])
+        np.testing.assert_allclose(np.asarray(out)[b], np.asarray(single)[0],
+                                   atol=1e-6)
+
+
+def test_per_stream_filter_banks_guards():
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    pipe, _ = make(batch=2, eq_enabled=False)
+    with pytest.raises(ValueError, match="variants"):
+        with_per_stream_filters(pipe, [dict(cutoff=5000.0)])
+    with pytest.raises(ValueError, match="static"):
+        with_per_stream_filters(pipe, [dict(numtaps=33), dict(cutoff=1.0)])
+    pipe_eq, _ = make(batch=2, eq_enabled=True)
+    with pytest.raises(NotImplementedError, match="eq_enabled"):
+        with_per_stream_filters(pipe_eq, [dict(), dict()])
+    pipe_td, _ = make(batch=2, eq_enabled=False, conv_strategy="td_mxu")
+    with pytest.raises(NotImplementedError, match="fft"):
+        with_per_stream_filters(pipe_td, [dict(), dict()])

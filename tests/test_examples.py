@@ -14,6 +14,8 @@ EXAMPLES = [
     ["examples/presets_stream.py"],
     ["examples/waterfall_stream.py"],
     ["examples/baseline_stream.py", "--streams", "2", "--blocks", "5"],
+    ["examples/per_stream_banks.py", "--streams", "4", "--blocks", "4"],
+    ["examples/long_kernel_parallel.py", "--taps", "3000", "--block", "1024"],
 ]
 
 

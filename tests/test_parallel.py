@@ -250,3 +250,22 @@ def test_kernel_parallel_swap_and_ragged_length(rng):
                                atol=2e-4, rtol=1e-5)
     with pytest.raises(ValueError):
         kp.with_kernel(np.zeros(5000, np.float32))
+
+
+def test_sharded_per_stream_filter_banks(rng, mesh):
+    """Per-stream KERNEL banks ([B, F] H_main) shard on 'streams' and match
+    the unsharded pipeline."""
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    cfg = make_cfg(batch=8, eq_enabled=False)
+    pipe = Pipeline(cfg)
+    variants = [dict(cutoff=2000.0 * (i + 1)) for i in range(8)]
+    bank = with_per_stream_filters(pipe, variants)
+    blocks = rng.normal(size=(8, cfg.blocksize)).astype(np.float32)
+    _, gold = pipe.step(bank, pipe.init_state(), blocks)
+
+    sp = ShardedPipeline(cfg, mesh)
+    # the bank is built at GLOBAL batch; the structural spec shards its
+    # [B_global, F] H_main over 'streams'
+    _, out = sp.step(bank, sp.init_state(), blocks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold), atol=1e-6)

@@ -184,3 +184,38 @@ def test_controller_waterfall_from_own_history(ctl, tmp_path):
 def test_controller_waterfall_requires_history(ctl):
     with pytest.raises(ValueError):
         ctl.waterfall()
+
+
+def test_engine_scan_carried_waterfall(rng):
+    """waterfall_enabled=True: the depth-50 spectrum ring rides the device
+    scan (no host contact per block) and shows the tone."""
+    from afp_tpu.engine import StreamConfig, StreamEngine
+    from afp_tpu.ops.spectrum import spectrum_freqs
+
+    eng = StreamEngine(StreamConfig(
+        samplerate=44100, blocksize=512, upsample_factor=1, numtaps=65,
+        batch=2, eq_enabled=False, agc_enabled=False, dither_kind="off",
+        downsample_mode="decimate", output_clip=None, waterfall_enabled=True,
+        cutoff=11000.0,
+    ))
+    t = np.arange(512 * 6) / 44100
+    sig = np.stack([
+        0.5 * np.sin(2 * np.pi * 1000 * t),
+        0.5 * np.sin(2 * np.pi * 5000 * t),
+    ]).astype(np.float32)
+    eng.process_signal(sig)
+    ring = eng.waterfall_ring()
+    assert ring.shape == (2, 50, 257)
+    freqs = spectrum_freqs(512, 44100)
+    # newest rows carry the per-stream tones; oldest rows still primed
+    assert abs(freqs[np.argmax(ring[0, -1])] - 1000) < 200
+    assert abs(freqs[np.argmax(ring[1, -1])] - 5000) < 200
+    assert np.all(ring[0, 0] == -200.0)  # only 6 blocks pushed
+
+    eng2 = StreamEngine(StreamConfig(
+        samplerate=44100, blocksize=512, upsample_factor=1, numtaps=65,
+        batch=2, eq_enabled=False, agc_enabled=False, dither_kind="off",
+        downsample_mode="decimate", output_clip=None, cutoff=11000.0,
+    ))
+    with pytest.raises(ValueError):
+        eng2.waterfall_ring()
