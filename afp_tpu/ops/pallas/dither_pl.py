@@ -40,13 +40,15 @@ def _kernel(seed_ref, x_ref, o_ref, *, lsb: float, tpdf: bool):
     pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
     shape = x_ref.shape
     b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # >>8 keeps 24 bits (fits int32 — Mosaic lacks uint32→f32 casts)
-    u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    # int32 hops: Mosaic lacks uint32→f32 casts
     if tpdf:
-        b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
-        noise = (u1 - u2) * lsb
+        # two independent 16-bit halves of one draw (quantization 96 dB
+        # below the dither floor; halves the PRNG cost)
+        u1 = (b1 & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        u2 = (b1 >> 16).astype(jnp.int32).astype(jnp.float32)
+        noise = (u1 - u2) * (lsb / 65536.0)
     else:
+        u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
         noise = (u1 - 0.5) * lsb
     o_ref[...] = x_ref[...] + noise
 

@@ -90,13 +90,17 @@ def band_matrix(h: np.ndarray, tile: int = LANE) -> np.ndarray:
 
 def _tile_noise(shape, lsb: float, tpdf: bool):
     """TPDF/RPDF noise tile off the hardware PRNG (seeded by the caller).
-    Successive calls draw fresh bits from the per-core PRNG stream."""
+
+    TPDF uses the two independent 16-bit halves of ONE 32-bit draw (the
+    triangular distribution needs two uniforms; 16-bit granularity on a
+    ±1-LSB noise floor is 96 dB below the dither itself — one PRNG call
+    instead of two)."""
     b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
     if tpdf:
-        b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
-        return (u1 - u2) * lsb
+        u1 = (b1 & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        u2 = (b1 >> 16).astype(jnp.int32).astype(jnp.float32)
+        return (u1 - u2) * (lsb / 65536.0)
+    u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
     return (u1 - 0.5) * lsb
 
 
@@ -147,17 +151,51 @@ def _fir_kernel_b3(xhi_ref, xlo_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
         o_ref[:, t * LANE : (t + 1) * LANE] = y
 
 
-def _pick_b_tile(B: int, text: int, T: int) -> int:
+def _split_bf16_in_kernel(v):
+    """The integer-RN bf16 split, Mosaic-side (see :func:`split_bf16` for why
+    astype round-trips cannot be trusted)."""
+    u = pltpu.bitcast(v, jnp.uint32)
+    u = u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    hi32 = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi32.astype(jnp.bfloat16), (v - hi32).astype(jnp.bfloat16)
+
+
+def _fir_kernel_b3f(x_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
+                    t_tiles: int, seed_ref=None, lsb: float = 0.0,
+                    tpdf: bool = True):
+    """B3 with the input hi/lo split INSIDE the kernel: the x block arrives
+    as one f32 buffer and splits once in VMEM — removes the two materialized
+    bf16 copies of the extended signal from HBM (−128 MB of traffic per
+    headline block) at the cost of ~4.5 MB of in-kernel temporaries (the
+    batch tile is capped at 128 rows to fit)."""
+    if seed_ref is not None:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    x_hi, x_lo = _split_bf16_in_kernel(x_ref[:, :])
+    for t in range(t_tiles):
+        w_hi = x_hi[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
+        w_lo = x_lo[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
+        y = (
+            jnp.dot(w_hi, bhi_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
+        )
+        if seed_ref is not None:
+            y = y + _tile_noise(y.shape, lsb, tpdf)
+        o_ref[:, t * LANE : (t + 1) * LANE] = y
+
+
+def _pick_b_tile(B: int, text: int, T: int, cap: int = 256) -> int:
     """Batch tile choice.
 
     Empirical VMEM rule on v5e: a [256, text]+[256, T] tile pair
     (~17 MB double-buffered) compiles for grids ≤16 programs but trips the
     16 MB scoped-vmem limit at larger grids (Mosaic adds pipeline buffering).
     Use 256 rows up to grid 16, then halve until the footprint fits
-    ~12 MB double-buffered.
+    ~12 MB double-buffered.  `cap` lowers the ceiling for kernels with
+    in-kernel temporaries (the B3F split).
     """
     for b_tile in (256, 128, 64, 32, 16, 8):
-        if B % b_tile:
+        if b_tile > cap or B % b_tile:
             continue
         grid = B // b_tile
         foot = 2 * b_tile * (text + T) * 4
@@ -177,7 +215,7 @@ def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
     n_taps = band.shape[0] - LANE + 1
     T = text - (n_taps - 1)
     t_tiles = T // LANE
-    b_tile = _pick_b_tile(B, text, T)
+    b_tile = _pick_b_tile(B, text, T, cap=128 if precision == "B3F" else 256)
     grid = (B // b_tile,)
     x_spec = pl.BlockSpec((b_tile, text), lambda i: (i, 0), memory_space=pltpu.VMEM)
     band_spec = pl.BlockSpec((band.shape[0], LANE), lambda i: (0, 0),
@@ -189,6 +227,22 @@ def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
     dkw = {}
     if dither_bits is not None:
         dkw = dict(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
+    if precision == "B3F":
+        b_hi, b_lo = split_bf16(band)
+        kernel = functools.partial(_fir_kernel_b3f, n_taps=n_taps,
+                                   t_tiles=t_tiles, **dkw)
+        if dither_bits is not None:
+            kern = lambda s, a, c, d, o: kernel(a, c, d, o, seed_ref=s)
+            return pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[seed_spec, x_spec, band_spec, band_spec],
+                out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+            )(seed, x_ext, b_hi, b_lo)
+        return pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[x_spec, band_spec, band_spec],
+            out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+        )(x_ext, b_hi, b_lo)
     if precision == "B3":
         x_hi, x_lo = split_bf16(x_ext)
         b_hi, b_lo = split_bf16(band)
