@@ -176,6 +176,23 @@ class Pipeline:
             attack=cfg.agc_attack,
             release=cfg.agc_release,
         )
+        # AGC moving-RMS execution: the boxcar is just another FIR, and the
+        # FFT convolution it defaults to is the slowest op on TPU (XLA FFTs
+        # are matmul-emulated; measured 5.4 of the C8 chain's 5.6 ms/block,
+        # r2 ablation).  Route it through the MXU band-matrix kernel when
+        # shapes allow (block multiple of 128, batch divisible by a tile).
+        self._rms_band = None
+        if cfg.agc_enabled and cfg.agc_window_size > 1 and self.block % 128 == 0:
+            from ..ops.pallas.fir_td import _pick_b_tile, band_matrix
+
+            w = cfg.agc_window_size
+            if self.batch % _pick_b_tile(self.batch, self.block + w - 1,
+                                         self.block) == 0:
+                self._rms_band = jnp.asarray(
+                    band_matrix(np.full(w, 1.0 / w, dtype=np.float32))
+                )
+                # numpy 'same' centering: out[t] covers x[t−w//2 … t+w−1−w//2]
+                self._rms_pad = (w // 2, w - 1 - w // 2)
         # Device-side ASRC runs only in 'compat' mode (reference semantics);
         # in 'exact' mode the StreamEngine's host AsrcFrontend owns rate
         # conversion and the device pipeline sees engine-rate blocks.
@@ -360,7 +377,19 @@ class Pipeline:
         # 2. AGC (pre-upsample; `stream_process_AGC.py:132-144`) + clip ±0.99
         agc_gain = state.agc_gain
         if agc_gain is not None:
-            rms = moving_rms(x, self.agc.window_size)
+            if self._rms_band is not None:
+                # MXU boxcar: pad for 'same' centering (the reference's
+                # per-block np.convolve semantics), valid conv, sqrt
+                from ..ops.pallas.fir_td import fir_td_mxu
+
+                sq = jnp.square(x)
+                lp, rp = self._rms_pad
+                ext_sq = jnp.pad(sq, ((0, 0), (lp, rp)))
+                s = fir_td_mxu(ext_sq, self._rms_band,
+                               interpret=self._pl_interpret)
+                rms = jnp.sqrt(jnp.maximum(s, 0.0))
+            else:
+                rms = moving_rms(x, self.agc.window_size)
             d = desired_gain(rms, params.agc_target, params.agc_max_gain)
             carry = agc_gain if cfg.agc_carry else None
             if cfg.agc_mode == "fast":

@@ -301,3 +301,31 @@ class TestDitherPallas:
             np.asarray(dither_pallas(key, x, 24, "off")), x)
         with pytest.raises(ValueError):
             dither_pallas(key, x, 24, "gauss")
+
+
+@pytest.mark.parametrize("w", [512, 511, 64])
+def test_engine_mxu_rms_matches_fft_rms(rng, w):
+    """The MXU band-matrix moving-RMS path ≡ the FFT moving_rms path through
+    the full engine (guards the even-window 'same' centering — a 1-sample
+    boxcar shift measured −48 dB on hardware, round 2)."""
+    import dataclasses
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=512, upsample_factor=1, numtaps=65,
+        batch=2, eq_enabled=False, agc_enabled=True, agc_mode="exact",
+        agc_window_size=w, dither_kind="off", downsample_mode="decimate",
+        output_clip=0.99,
+    )
+    x = (rng.normal(size=(2, 512)) * 0.1).astype(np.float32)
+    p1 = Pipeline(cfg)
+    assert p1._rms_band is not None  # the MXU path must actually engage
+    pr1 = p1.device_params(PipelineParams.design(p1.cfg))
+    _, y1 = p1.step(pr1, p1.init_state(), x)
+    p2 = Pipeline(cfg)
+    p2._rms_band = None  # force the FFT path
+    pr2 = p2.device_params(PipelineParams.design(p2.cfg))
+    _, y2 = p2.step(pr2, p2.init_state(), x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=1e-6)
