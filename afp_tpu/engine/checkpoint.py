@@ -40,6 +40,8 @@ def save_checkpoint(path: str, engine: StreamEngine) -> None:
     if engine._asrc_frontend is not None:  # host ASRC accumulators
         meta["has_asrc"] = True
         arrays.update(engine._asrc_frontend.get_state())
+        if engine._asrc_outq:  # drained-but-undelivered engine blocks
+            arrays["asrc_outq"] = np.stack(list(engine._asrc_outq))
     arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
 
@@ -59,6 +61,8 @@ def load_checkpoint(path: str) -> StreamEngine:
             engine._asrc_frontend.set_state(
                 {k: z[k] for k in ("asrc_in", "asrc_out", "asrc_hist")}
             )
+            if "asrc_outq" in z:
+                engine._asrc_outq.extend(np.asarray(z["asrc_outq"]))
     _, state_tree = jax.tree_util.tree_flatten(engine.state)
     _, param_tree = jax.tree_util.tree_flatten(engine.params)
     engine.state = jax.tree_util.tree_unflatten(state_tree, state_leaves)

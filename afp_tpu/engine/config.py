@@ -93,8 +93,10 @@ class StreamConfig:
     # 'exact'    = per-sample recurrence (reference semantics): the Pallas
     #              hardware-loop kernel on TPU (measured 28k× RT at the C8
     #              point — as fast as 'fast'), lax.scan elsewhere;
-    # 'parallel' = branch-consistent associative-scan solver (≡ exact,
-    #              O(log T) depth — wins for very long T / non-TPU backends);
+    # 'parallel' = branch-consistent associative-scan solver (≡ exact once
+    #              its fixed-point iteration converges — guaranteed within
+    #              T iterations, capped at 24; see smooth_gain_parallel —
+    #              for very long T / non-TPU backends);
     # 'fast'     = chunked one-pole + interpolation (approximate)
     agc_mode: str = "exact"
     # carry the smoothed gain across blocks (block-size-invariant stream).

@@ -99,6 +99,7 @@ class StreamEngine:
             self._asrc_frontend = AsrcFrontend(
                 cfg.source_samplerate, cfg.samplerate, batch=cfg.batch
             )
+            self._asrc_outq: deque = deque(maxlen=64)
         self._last_good: deque = deque(maxlen=LAST_GOOD_DEPTH)
         self._block_seconds = self.cfg.blocksize / self.cfg.samplerate
         out_len = (self.cfg.upsampled_block if self.pipeline.upsampled_out
@@ -156,10 +157,14 @@ class StreamEngine:
         if block.ndim == 1:
             block = block[None, :]
         self._asrc_frontend.push(block)
-        pulled = self._asrc_frontend.pull(self.cfg.blocksize)
-        if pulled is None:
-            return None
-        return self._process_engine_block(pulled)
+        while True:  # drain (see process_block: bounds the frontend buffer)
+            pulled = self._asrc_frontend.pull(self.cfg.blocksize)
+            if pulled is None:
+                break
+            if len(self._asrc_outq) == self._asrc_outq.maxlen:
+                self.metrics.drops += 1
+            self._asrc_outq.append(self._process_engine_block(pulled))
+        return self._asrc_outq.popleft() if self._asrc_outq else None
 
     def process_block(self, block: np.ndarray) -> np.ndarray:
         """One [batch, blocksize] block in → [batch, blocksize] out.
@@ -174,11 +179,29 @@ class StreamEngine:
         if block.ndim == 1:
             block = block[None, :]
         if self._asrc_frontend is not None:
+            # batch coercion BEFORE the frontend (the never-raises contract);
+            # the time dimension is naturally variable on the source side
+            if block.shape[0] != self.cfg.batch:
+                fixed = np.zeros((self.cfg.batch, block.shape[1]), np.float32)
+                b = min(block.shape[0], self.cfg.batch)
+                fixed[:b] = block[:b]
+                block = fixed
             self._asrc_frontend.push(block)
-            pulled = self._asrc_frontend.pull(self.cfg.blocksize)
-            if pulled is None:
+            # drain EVERY completed engine block: up-conversion produces more
+            # engine blocks than calls, so pulling one per call would grow
+            # the frontend buffer without bound.  Extras queue host-side
+            # (bounded; overflow counts as drops, the reference's
+            # full-output-queue rung, `stream_process_AGC.py:198-199`).
+            while True:
+                pulled = self._asrc_frontend.pull(self.cfg.blocksize)
+                if pulled is None:
+                    break
+                if len(self._asrc_outq) == self._asrc_outq.maxlen:
+                    self.metrics.drops += 1
+                self._asrc_outq.append(self._process_engine_block(pulled))
+            if not self._asrc_outq:
                 return self.underrun_block()
-            block = pulled
+            return self._asrc_outq.popleft()
         return self._process_engine_block(block)
 
     def _process_engine_block(self, block: np.ndarray) -> np.ndarray:

@@ -25,7 +25,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["dither_pallas", "fold_seed"]
+__all__ = ["dither_pallas", "fold_seed", "tile_noise"]
+
+
+def tile_noise(shape, lsb: float, tpdf: bool):
+    """TPDF/RPDF noise tile off the hardware PRNG (caller seeds).
+
+    TPDF derives its two uniforms from the 16-bit halves of ONE 32-bit draw
+    (quantization 96 dB below the dither floor — half the PRNG cost); int32
+    hops because Mosaic lacks uint32→f32 casts.  This is the single source
+    of truth for the noise math (the conv-fused and standalone kernels both
+    call it)."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    if tpdf:
+        u1 = (b1 & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        u2 = (b1 >> 16).astype(jnp.int32).astype(jnp.float32)
+        return (u1 - u2) * (lsb / 65536.0)
+    u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    return (u1 - 0.5) * lsb
 
 
 def fold_seed(key: jax.Array) -> jnp.ndarray:
@@ -38,19 +55,7 @@ def fold_seed(key: jax.Array) -> jnp.ndarray:
 
 def _kernel(seed_ref, x_ref, o_ref, *, lsb: float, tpdf: bool):
     pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-    shape = x_ref.shape
-    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # int32 hops: Mosaic lacks uint32→f32 casts
-    if tpdf:
-        # two independent 16-bit halves of one draw (quantization 96 dB
-        # below the dither floor; halves the PRNG cost)
-        u1 = (b1 & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
-        u2 = (b1 >> 16).astype(jnp.int32).astype(jnp.float32)
-        noise = (u1 - u2) * (lsb / 65536.0)
-    else:
-        u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
-        noise = (u1 - 0.5) * lsb
-    o_ref[...] = x_ref[...] + noise
+    o_ref[...] = x_ref[...] + tile_noise(x_ref.shape, lsb, tpdf)
 
 
 def _pick_tile(B: int, T: int) -> int:

@@ -89,19 +89,10 @@ def band_matrix(h: np.ndarray, tile: int = LANE) -> np.ndarray:
 
 
 def _tile_noise(shape, lsb: float, tpdf: bool):
-    """TPDF/RPDF noise tile off the hardware PRNG (seeded by the caller).
+    """Shared noise math — single source of truth in dither_pl.tile_noise."""
+    from .dither_pl import tile_noise
 
-    TPDF uses the two independent 16-bit halves of ONE 32-bit draw (the
-    triangular distribution needs two uniforms; 16-bit granularity on a
-    ±1-LSB noise floor is 96 dB below the dither itself — one PRNG call
-    instead of two)."""
-    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    if tpdf:
-        u1 = (b1 & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
-        u2 = (b1 >> 16).astype(jnp.int32).astype(jnp.float32)
-        return (u1 - u2) * (lsb / 65536.0)
-    u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
-    return (u1 - 0.5) * lsb
+    return tile_noise(shape, lsb, tpdf)
 
 
 def _fir_kernel(x_ref, band_ref, o_ref, *, n_taps: int, t_tiles: int,
@@ -408,6 +399,15 @@ def fir_td_mxu_per_stream(x_ext: jnp.ndarray, kernels: jnp.ndarray,
     x_ext = jnp.asarray(x_ext, dtype=jnp.float32)
     gains = jnp.asarray(gains, dtype=jnp.float32)
     wide = wide_band_matrix(kernels)
+    B, text = x_ext.shape
+    n_taps = wide.shape[0] - LANE + 1
+    T = text - (n_taps - 1)
+    if T % LANE:
+        raise ValueError(f"output length {T} must be a multiple of {LANE}")
+    n_bands = gains.shape[-1]
+    if B % _pick_b_tile(B, text + n_bands * LANE, T):
+        # an unwritable tail of the grid would be silently-wrong audio
+        raise ValueError(f"batch {B} must be divisible by the batch tile")
     return _fir_td_ps_call(x_ext, wide, gains, interpret=interpret,
                            precision=precision or PRECISION_MODE)
 

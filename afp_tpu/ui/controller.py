@@ -158,11 +158,13 @@ class EqualizerController:
                                               dtype=np.float32)
             self.waterfall_ring = np.roll(self.waterfall_ring, -1, axis=0)
             self.waterfall_ring[-1] = row
-            # engine output is base-rate: these freqs equal the reference's
-            # upsampled-analysis axis after its 1/upf scaling (`:400-401`)
-            self._spectrum_freqs = spectrum_freqs(
-                block.shape[-1], self.engine.cfg.samplerate
-            )
+            # frequency axis from the ACTUAL block fed: base-rate output
+            # equals the reference's upsampled-analysis axis after its 1/upf
+            # scaling (`:400-401`); upsampled-rate output uses the high rate
+            cfg = self.engine.cfg
+            rate = (cfg.upsampled_rate
+                    if self.engine.pipeline.upsampled_out else cfg.samplerate)
+            self._spectrum_freqs = spectrum_freqs(block.shape[-1], rate)
             f, lvl = spectrum_peak(db[0] if db.ndim > 1 else db,
                                    self._spectrum_freqs)
             self.spectrum_peak = (float(f), float(lvl))
@@ -200,9 +202,21 @@ class EqualizerController:
                 "no spectrum history: enable show_spectrum and feed "
                 "update_spectrum, or pass a ring explicitly"
             )
+        ring = np.asarray(ring)
+        if ring.ndim == 3:  # engine's [batch, depth, bins] ring: first stream
+            ring = ring[0]
         cfg = self.engine.cfg
-        freqs = spectrum_freqs(cfg.blocksize, cfg.samplerate)
+        # axis sized from the RING rows (not blocksize — the output block may
+        # be upsampled-rate or externally sized)
+        n_time = 2 * (ring.shape[-1] - 1)
+        if (self._spectrum_freqs is not None
+                and len(self._spectrum_freqs) == ring.shape[-1]):
+            freqs = self._spectrum_freqs
+        else:
+            rate = (cfg.upsampled_rate if self.engine.pipeline.upsampled_out
+                    else cfg.samplerate)
+            freqs = spectrum_freqs(n_time, rate)
         return plot_waterfall(
-            ring, freqs, block_seconds=cfg.blocksize / cfg.samplerate,
+            ring, freqs, block_seconds=n_time / (freqs[-1] * 2),
             save_path=save_path,
         )

@@ -135,6 +135,11 @@ class EqualizerGUI:
             fig = self.ctl.plot_response()
             fig.set_size_inches(9, 6)
             if self._canvas is not None:
+                # close the superseded figure too — pyplot keeps every
+                # figure registered, so Apply-spam would leak MBs each
+                import matplotlib.pyplot as plt
+
+                plt.close(self._canvas.figure)
                 self._canvas.get_tk_widget().destroy()
             self._canvas = FigureCanvasTkAgg(fig, master=self._canvas_frame)
             self._canvas.draw()

@@ -150,3 +150,18 @@ def test_per_stream_filter_banks_guards():
     pipe_td, _ = make(batch=2, eq_enabled=False, conv_strategy="td_mxu")
     with pytest.raises(NotImplementedError, match="fft"):
         with_per_stream_filters(pipe_td, [dict(), dict()])
+
+
+def test_per_stream_td_rejects_untileable_batch(rng):
+    """Code-review r2 finding: a batch not divisible by the picked tile must
+    raise, not silently leave trailing streams unwritten."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas import fir_td_mxu_per_stream
+
+    kernels = rng.normal(size=(3, 33)).astype(np.float32) * 0.1
+    gains = np.ones((12, 3), dtype=np.float32)
+    x = rng.normal(size=(12, 256 + 32)).astype(np.float32)
+    with pytest.raises(ValueError, match="batch"):
+        fir_td_mxu_per_stream(jnp.asarray(x), jnp.asarray(kernels),
+                              jnp.asarray(gains), interpret=True)

@@ -295,3 +295,32 @@ class TestExactAsrcEngine:
         assert (y1 is None) == (y2 is None)
         if y1 is not None:
             np.testing.assert_array_equal(y1, y2)
+
+
+def test_exact_asrc_upconversion_bounded(rng):
+    """Code-review r2 finding: engine rate > source rate produces MORE
+    engine blocks than calls; the frontend buffer must stay bounded and the
+    extra blocks must drain through the host queue in order."""
+    eng = make_engine(
+        samplerate=48000, source_samplerate=44100, blocksize=512,
+        upsample_factor=1, numtaps=65, batch=2, eq_enabled=False,
+    )
+    blk = (rng.normal(size=(2, 512)) * 0.3).astype(np.float32)
+    for _ in range(200):
+        out = eng.process_block(blk)
+        assert out.shape == (2, 512)
+    # frontend accumulators bounded (was: ~56 samples/call unbounded growth)
+    assert eng._asrc_frontend._out.shape[1] < 512 * 4
+    assert len(eng._asrc_outq) <= eng._asrc_outq.maxlen
+
+
+def test_exact_asrc_never_raises_on_bad_shapes(rng):
+    """process_block's never-raises contract holds on the ASRC path too."""
+    eng = make_engine(
+        samplerate=44100, source_samplerate=48000, blocksize=512,
+        upsample_factor=1, numtaps=65, batch=2, eq_enabled=False,
+    )
+    out = eng.process_block(rng.normal(size=300).astype(np.float32))  # 1-D
+    assert out.shape == (2, 512)
+    out = eng.process_block(rng.normal(size=(5, 700)).astype(np.float32))
+    assert out.shape == (2, 512)

@@ -69,7 +69,7 @@ class _FakeCanvas:
     draws = 0
 
     def __init__(self, fig, master=None):
-        self.fig = fig
+        self.fig = self.figure = fig
 
     def draw(self):
         _FakeCanvas.draws += 1
