@@ -175,6 +175,40 @@ def _fir_kernel_b3f(x_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
         o_ref[:, t * LANE : (t + 1) * LANE] = y
 
 
+#: time-chunk width of the pair-chunk layout (must be a LANE multiple and
+#: ≥ n_taps−1 so every window fits in two consecutive chunks)
+T_CHUNK = 512
+
+
+def _fir_kernel_b3c(xa_ref, xb_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
+                    seed_ref=None, lsb: float = 0.0, tpdf: bool = True):
+    """Pair-chunk B3 kernel: the grid walks (batch-tile × time-chunk) and
+    each program reads TWO consecutive [bt, T_CHUNK] chunks of the f32
+    extended signal — Mosaic pipelines the small fetches, the window
+    stitches across the pair, and the hi/lo split happens on the narrow
+    concat in VMEM.  Versus the full-text layout this removes the
+    materialized bf16 signal copies AND the VMEM pressure that forced
+    batch-tile caps (blocks are ~0.5 MB instead of ~4.5 MB)."""
+    if seed_ref is not None:
+        pltpu.prng_seed(
+            seed_ref[0, 0]
+            + pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        )
+    x = jnp.concatenate([xa_ref[:, :], xb_ref[:, :]], axis=-1)
+    x_hi, x_lo = _split_bf16_in_kernel(x[:, : T_CHUNK + n_taps - 1])
+    for t in range(T_CHUNK // LANE):
+        w_hi = x_hi[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
+        w_lo = x_lo[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
+        y = (
+            jnp.dot(w_hi, bhi_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
+        )
+        if seed_ref is not None:
+            y = y + _tile_noise(y.shape, lsb, tpdf)
+        o_ref[:, t * LANE : (t + 1) * LANE] = y
+
+
 def _pick_b_tile(B: int, text: int, T: int, cap: int = 256) -> int:
     """Batch tile choice.
 
@@ -218,6 +252,40 @@ def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
     dkw = {}
     if dither_bits is not None:
         dkw = dict(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
+    if precision == "B3C":
+        # pair-chunk layout: usable when windows span ≤ 2 chunks, the output
+        # tiles evenly, and the batch supports 256-row tiles
+        bt = 256 if B % 256 == 0 else (B if B <= 8 else None)
+        if (n_taps - 1 <= T_CHUNK and T % T_CHUNK == 0 and bt is not None):
+            n_in_chunks = -(-text // T_CHUNK) + 1  # +1: j+1 fetch at the edge
+            x_pad = jnp.pad(
+                x_ext, ((0, 0), (0, n_in_chunks * T_CHUNK - text)))
+            b_hi, b_lo = split_bf16(band)
+            kernel = functools.partial(_fir_kernel_b3c, n_taps=n_taps, **dkw)
+            grid2 = (B // bt, T // T_CHUNK)
+            xa_spec = pl.BlockSpec((bt, T_CHUNK), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM)
+            xb_spec = pl.BlockSpec((bt, T_CHUNK), lambda i, j: (i, j + 1),
+                                   memory_space=pltpu.VMEM)
+            band2 = pl.BlockSpec((band.shape[0], LANE), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+            out2 = pl.BlockSpec((bt, T_CHUNK), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+            seed2 = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                 memory_space=pltpu.SMEM)
+            if dither_bits is not None:
+                kern = lambda s, a, b, c, d, o: kernel(a, b, c, d, o, seed_ref=s)
+                return pl.pallas_call(
+                    kern, grid=grid2,
+                    in_specs=[seed2, xa_spec, xb_spec, band2, band2],
+                    out_specs=out2, out_shape=out_shape, interpret=interpret,
+                )(seed, x_pad, x_pad, b_hi, b_lo)
+            return pl.pallas_call(
+                kernel, grid=grid2,
+                in_specs=[xa_spec, xb_spec, band2, band2],
+                out_specs=out2, out_shape=out_shape, interpret=interpret,
+            )(x_pad, x_pad, b_hi, b_lo)
+        precision = "B3"  # constraints unmet: fall through to the full layout
     if precision == "B3F":
         b_hi, b_lo = split_bf16(band)
         kernel = functools.partial(_fir_kernel_b3f, n_taps=n_taps,

@@ -61,3 +61,18 @@ def test_xla_conv_baseline_matches(rng):
     for b in range(3):
         gold = np.convolve(x[b].astype(np.float64), h.astype(np.float64), "valid")
         assert err_db(ours[b], gold) < -90
+
+
+@pytest.mark.parametrize("precision", ["B3F", "B3C"])
+def test_alternative_layouts_match_oracle(rng, precision):
+    """The in-kernel-split (B3F) and pair-chunk (B3C) layouts are measured
+    slower than B3 at the headline shape (see docs/BENCHMARKS.md) but must
+    stay numerically correct — chunk-edge stitching especially."""
+    N, T, B = 251, 1024, 4
+    h = (rng.normal(size=N) * 0.1).astype(np.float32)
+    x = (rng.normal(size=(B, T + N - 1)) * 0.5).astype(np.float32)
+    band = band_matrix(h)
+    ours = np.asarray(fir_td_mxu(x, band, interpret=True, precision=precision))
+    for b in range(B):
+        gold = np.convolve(x[b].astype(np.float64), h.astype(np.float64), "valid")
+        assert err_db(ours[b], gold) < -90
