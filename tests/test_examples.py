@@ -16,6 +16,7 @@ EXAMPLES = [
     ["examples/baseline_stream.py", "--streams", "2", "--blocks", "5"],
     ["examples/per_stream_banks.py", "--streams", "4", "--blocks", "4"],
     ["examples/long_kernel_parallel.py", "--taps", "3000", "--block", "1024"],
+    ["examples/live_audio.py"],  # no PortAudio in CI: prints devices, exits 0
 ]
 
 
