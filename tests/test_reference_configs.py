@@ -100,3 +100,38 @@ def test_remez_path_through_engine(rng):
     out = eng.process_signal((0.3 * rng.standard_normal((1, 4096))).astype(np.float32))
     assert np.all(np.isfinite(out))
     assert eng.metrics.design_fallbacks == 0  # remez really designed
+
+
+@pytest.mark.parametrize("strategy", ["fft", "td_mxu"])
+def test_config_clamp_extremes_full_chain(rng, strategy):
+    """The validated config space's hardest corner: minimum blocksize (256)
+    with maximum numtaps (2048), 4x upsample, EQ + AGC + dither + clip —
+    the filter tail dwarfs the block on every path."""
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=256, upsample_factor=4, numtaps=2048,
+        batch=2, cutoff=9000.0, eq_enabled=True, agc_enabled=True,
+        agc_window_size=64, dither_kind="tpdf", downsample_mode="decimate",
+        output_clip=0.99, conv_strategy=strategy,
+    )
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    sig = (rng.normal(size=(2, 256 * 6)) * 0.1).astype(np.float32)
+    _, out = pipe.process_signal(params, pipe.init_state(1), sig)
+    out = np.asarray(out)
+    assert out.shape == (2, 256 * 6)
+    assert np.all(np.isfinite(out))
+    assert np.max(np.abs(out)) <= 0.99 + 2 / 2**24
+    # both strategies agree through the whole chain (dither-off variant)
+    import dataclasses
+
+    c0 = dataclasses.replace(cfg, dither_kind="off")
+    outs = {}
+    for s in ("fft", "td_mxu"):
+        p = Pipeline(dataclasses.replace(c0, conv_strategy=s))
+        pr = p.device_params(PipelineParams.design(p.cfg))
+        _, y = p.process_signal(pr, p.init_state(1), sig)
+        outs[s] = np.asarray(y)
+    scale = np.max(np.abs(outs["fft"])) + 1e-12
+    assert np.max(np.abs(outs["fft"] - outs["td_mxu"])) / scale < 1e-4
