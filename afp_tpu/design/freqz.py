@@ -54,6 +54,7 @@ def freqz_jax(h, worN: int = 8000, fs: float = 2 * np.pi):
     ``len(h) <= 2·worN`` and direct evaluation for longer filters (the rfft
     of a too-long `h` would alias taps past ``2·worN`` back onto the grid).
     """
+    import jax
     import jax.numpy as jnp
 
     h = jnp.asarray(h)
@@ -62,9 +63,29 @@ def freqz_jax(h, worN: int = 8000, fs: float = 2 * np.pi):
     if h.shape[-1] <= n_fft:
         H = jnp.fft.rfft(h, n=n_fft)[..., :worN]
     else:
-        wn = jnp.linspace(0.0, jnp.pi, worN, endpoint=False)
-        n = jnp.arange(h.shape[-1])
-        E = jnp.exp(-1j * wn[:, None] * n[None, :])
-        H = jnp.einsum("wn,...n->...w", E, h.astype(E.dtype))
+        # direct evaluation, chunked over the frequency axis: the full
+        # [worN, n_taps] phase matrix for a 100k-tap kernel at worN=8000
+        # would be ~6.4 GB complex64 (r2 review) — cap the chunk at ~4M
+        # elements and scan.  The phase π·k·n/worN reaches ~1e5 rad for long
+        # filters (f32 trig args lose ~1e-2 there), so reduce it EXACTLY in
+        # integer space first: m = (k·(n mod 2·worN)) mod 2·worN stays
+        # < 2^24, making the f32 phase exact.
+        n_taps = h.shape[-1]
+        M = 2 * worN
+        chunk = max(8, min(worN, (1 << 22) // max(n_taps, 1)))
+        n_chunks = -(-worN // chunk)
+        k_pad = jnp.arange(n_chunks * chunk, dtype=jnp.int32)
+        n_mod = (jnp.arange(n_taps, dtype=jnp.int32) % M)
+        hc = h.astype(jnp.complex64)
+        scale = jnp.float32(np.pi / worN)
+
+        def eval_chunk(_, kc):
+            m = (kc[:, None] * n_mod[None, :]) % M  # exact int32 (< 2^31)
+            E = jnp.exp(-1j * (scale * m.astype(jnp.float32)))
+            return None, jnp.einsum("wn,...n->...w", E, hc)
+
+        _, Hs = jax.lax.scan(eval_chunk, None,
+                             k_pad.reshape(n_chunks, chunk))
+        H = jnp.moveaxis(Hs, 0, -2).reshape(h.shape[:-1] + (-1,))[..., :worN]
     w = jnp.linspace(0.0, fs / 2, worN, endpoint=False)
     return w, H

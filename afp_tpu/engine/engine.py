@@ -118,14 +118,26 @@ class StreamEngine:
                 logger.error("Filter design failed (%s); keeping previous parameters", e)
                 self.metrics.design_fallbacks += 1
                 return True
-            # atomic swap between blocks — the filter_lock analog.  The
-            # pipeline absorbs the dynamic fields FIRST so the new parameter
-            # bank is derived from the NEW AGC target/attack/release (and
-            # samplerate-dependent derived state is refreshed — a live
-            # 44.1k→48k change must re-price xRT/overrun metrics).
+            # Build the NEW bank entirely OUTSIDE the swap lock (host
+            # convolutions + device uploads take tens of ms — holding the
+            # lock would stall the real-time thread, r2 review finding),
+            # derived from the NEW config's dynamic fields via overrides.
+            from ..ops.agc import AGCParams
+
+            new_agc = AGCParams(
+                target_level=new_cfg.agc_target_level,
+                window_size=new_cfg.agc_window_size,
+                max_gain=new_cfg.agc_max_gain,
+                attack=new_cfg.agc_attack,
+                release=new_cfg.agc_release,
+            )
+            params = self.pipeline.device_params(design, cfg=new_cfg,
+                                                 agc=new_agc)
+            # atomic swap between blocks — the filter_lock analog (cheap:
+            # attribute stores only)
             with self._swap_lock:
                 self.pipeline.refresh_dynamic(new_cfg)
-                self.params = self.pipeline.device_params(design)
+                self.params = params
                 self.cfg = new_cfg
                 self._block_seconds = new_cfg.blocksize / new_cfg.samplerate
             return True
@@ -153,18 +165,35 @@ class StreamEngine:
         :meth:`process_block`."""
         if self._asrc_frontend is None:
             return self.process_block(block)
+        self._asrc_drain(block)
+        return self._asrc_outq.popleft() if self._asrc_outq else None
+
+    def _asrc_drain(self, block: np.ndarray) -> None:
+        """Push a source-rate block (any length; batch coerced — the
+        never-raises contract) and process EVERY completed engine block into
+        the bounded host queue.  Draining fully matters: up-conversion
+        produces more engine blocks than calls, so pulling one per call
+        would grow the frontend buffer without bound.  Queue overflow counts
+        as drops (the reference's full-output-queue rung,
+        `stream_process_AGC.py:198-199`)."""
         block = np.asarray(block, dtype=np.float32)
         if block.ndim == 1:
-            block = block[None, :]
+            block = np.broadcast_to(
+                block[None, :], (self.cfg.batch, block.shape[-1])
+            )
+        elif block.shape[0] != self.cfg.batch:
+            fixed = np.zeros((self.cfg.batch, block.shape[1]), np.float32)
+            b = min(block.shape[0], self.cfg.batch)
+            fixed[:b] = block[:b]
+            block = fixed
         self._asrc_frontend.push(block)
-        while True:  # drain (see process_block: bounds the frontend buffer)
+        while True:
             pulled = self._asrc_frontend.pull(self.cfg.blocksize)
             if pulled is None:
                 break
             if len(self._asrc_outq) == self._asrc_outq.maxlen:
                 self.metrics.drops += 1
             self._asrc_outq.append(self._process_engine_block(pulled))
-        return self._asrc_outq.popleft() if self._asrc_outq else None
 
     def process_block(self, block: np.ndarray) -> np.ndarray:
         """One [batch, blocksize] block in → [batch, blocksize] out.
@@ -176,32 +205,13 @@ class StreamEngine:
         Optional contract).
         """
         block = np.asarray(block, dtype=np.float32)
-        if block.ndim == 1:
-            block = block[None, :]
         if self._asrc_frontend is not None:
-            # batch coercion BEFORE the frontend (the never-raises contract);
-            # the time dimension is naturally variable on the source side
-            if block.shape[0] != self.cfg.batch:
-                fixed = np.zeros((self.cfg.batch, block.shape[1]), np.float32)
-                b = min(block.shape[0], self.cfg.batch)
-                fixed[:b] = block[:b]
-                block = fixed
-            self._asrc_frontend.push(block)
-            # drain EVERY completed engine block: up-conversion produces more
-            # engine blocks than calls, so pulling one per call would grow
-            # the frontend buffer without bound.  Extras queue host-side
-            # (bounded; overflow counts as drops, the reference's
-            # full-output-queue rung, `stream_process_AGC.py:198-199`).
-            while True:
-                pulled = self._asrc_frontend.pull(self.cfg.blocksize)
-                if pulled is None:
-                    break
-                if len(self._asrc_outq) == self._asrc_outq.maxlen:
-                    self.metrics.drops += 1
-                self._asrc_outq.append(self._process_engine_block(pulled))
+            self._asrc_drain(block)
             if not self._asrc_outq:
                 return self.underrun_block()
             return self._asrc_outq.popleft()
+        if block.ndim == 1:
+            block = block[None, :]
         return self._process_engine_block(block)
 
     def _process_engine_block(self, block: np.ndarray) -> np.ndarray:

@@ -55,6 +55,9 @@ class DeviceParams(NamedTuple):
     # time-domain cascade taps (fused path; for the 'td_mxu' strategy)
     casc_bands: Optional[jnp.ndarray] = None  # [n_bands, n_casc]
     casc_main: Optional[jnp.ndarray] = None  # [n_casc]
+    #: precomputed wide band matrix for per-stream td mixing (rebuilt at
+    #: parameter-swap time, not per block — r2 review finding)
+    casc_wide: Optional[jnp.ndarray] = None  # [n_casc-1+128, n_bands*128]
 
     def combined_response(self, eq_enabled: bool,
                           premultiplied: bool = False) -> jnp.ndarray:
@@ -238,19 +241,28 @@ class Pipeline:
 
     # ---------------- parameter bank ----------------
 
-    def device_params(self, p: PipelineParams) -> DeviceParams:
+    def device_params(self, p: PipelineParams,
+                      cfg: "StreamConfig | None" = None,
+                      agc: "AGCParams | None" = None) -> DeviceParams:
         """Upload a designed parameter bank (kernel spectra at the pipeline's
         static FFT length, so swaps never change shapes).
+
+        `cfg`/`agc` override the pipeline's current dynamic fields — this
+        lets a reconfig build the NEW bank entirely outside the swap lock
+        (host convolutions + device uploads take tens of ms; holding the
+        lock for them would stall the real-time thread).
 
         On the fused path, per-band kernels become full *cascade* kernels —
         float64 host convolution of upsampler ⊛ band ⊛ main [⊛ downsampler],
         decimated to the phase-0 polyphase component — keeping the response
         linear in the EQ gains (glitch-free live gain updates preserved).
         """
+        cfg = cfg if cfg is not None else self.cfg
+        agc = agc if agc is not None else self.agc
         # NOTE: zero-size device arrays are avoided everywhere — creating an
         # empty buffer hangs the tunneled TPU transport.  When the EQ bank is
         # unused, H_bands is a [1, F] zeros placeholder gated off statically.
-        n_b = p.eq_taps.shape[0] if (self.cfg.eq_enabled and len(self.cfg.eq_bands)) else 0
+        n_b = p.eq_taps.shape[0] if (cfg.eq_enabled and len(cfg.eq_bands)) else 0
         # unused-band placeholder: produced via an on-device rfft (complex
         # HOST constants and zero-size buffers both upset the tunneled TPU
         # transport; a device-computed spectrum avoids both)
@@ -293,11 +305,14 @@ class Pipeline:
         gains = np.asarray(p.eq_gains, dtype=np.float32)
         if gains.size == 0 or not n_b:
             gains = np.zeros(H_bands.shape[0], dtype=np.float32)
-        casc_bands = casc_main = None
+        casc_bands = casc_main = casc_wide = None
         if self._use_td:
             casc_main = jnp.asarray(cascade(None), dtype=jnp.float32)
             if n_b:
+                from ..ops.pallas.fir_td import wide_band_matrix
+
                 casc_bands = jnp.asarray(bands, dtype=jnp.float32)
+                casc_wide = wide_band_matrix(casc_bands)
             else:
                 casc_bands = jnp.zeros((1, self.n_casc), dtype=jnp.float32)
         return DeviceParams(
@@ -306,10 +321,11 @@ class Pipeline:
             eq_gains=jnp.asarray(gains),
             casc_bands=casc_bands,
             casc_main=casc_main,
-            agc_target=jnp.float32(self.cfg.agc_target_level),
-            agc_max_gain=jnp.float32(self.cfg.agc_max_gain),
-            agc_a_att=jnp.float32(self.agc.a_att),
-            agc_a_rel=jnp.float32(self.agc.a_rel),
+            casc_wide=casc_wide,
+            agc_target=jnp.float32(cfg.agc_target_level),
+            agc_max_gain=jnp.float32(cfg.agc_max_gain),
+            agc_a_att=jnp.float32(agc.a_att),
+            agc_a_rel=jnp.float32(agc.a_rel),
         )
 
     # ---------------- state ----------------
@@ -448,7 +464,7 @@ class Pipeline:
 
                     y = fir_td_mxu_per_stream(
                         ext, params.casc_bands, params.eq_gains,
-                        interpret=self._pl_interpret,
+                        interpret=self._pl_interpret, wide=params.casc_wide,
                     )
                 else:
                     from ..ops.pallas.fir_td import fir_td_mxu

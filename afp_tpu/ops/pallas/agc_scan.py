@@ -37,11 +37,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["smooth_gain_scan_pallas"]
 
-#: batch tile: SUBLANES × 128 lanes per time-step row.  32 sublanes = 4
+#: max batch tile: SUBLANES × 128 lanes per time-step row.  32 sublanes = 4
 #: independent (8×128) vregs per step — four parallel dependency chains hide
-#: the VPU result latency of the serial recurrence.
+#: the VPU result latency of the serial recurrence.  Small batches use
+#: smaller tiles (multiples of 8) so they don't pad up to 4096 streams.
 SUBLANES = 32
 LANES = 128
+
+
+def _pick_sublanes(B: int) -> int:
+    """Smallest multiple-of-8 sublane count whose tile covers the batch,
+    capped at SUBLANES — batch 256 runs a 2048-lane tile, not 4096."""
+    need = -(-B // LANES)  # lane-groups required
+    sub = -(-need // 8) * 8
+    return max(8, min(SUBLANES, sub))
 #: time-chunk rows per grid step; the time loop is STATICALLY UNROLLED
 #: (dynamic per-step VMEM indexing measured 12× slower than XLA's scan)
 T_CHUNK = 128
@@ -64,28 +73,28 @@ def _agc_kernel(a_ref, d_ref, g0_ref, o_ref, g_scr):
     g_scr[...] = g
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sub"))
 def _agc_scan_call(d3: jnp.ndarray, g03: jnp.ndarray, alphas: jnp.ndarray,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False, sub: int = SUBLANES) -> jnp.ndarray:
     """d3: [T, Bs, 128]; g03: [1, Bs, 128]; alphas: [1, 2] → [T, Bs, 128].
-    T must be a multiple of T_CHUNK and Bs of SUBLANES (wrapper pads)."""
+    T must be a multiple of T_CHUNK and Bs of `sub` (wrapper pads)."""
     T, Bs, _ = d3.shape
-    grid = (Bs // SUBLANES, T // T_CHUNK)  # time minor: sequential chunks
+    grid = (Bs // sub, T // T_CHUNK)  # time minor: sequential chunks
     return pl.pallas_call(
         _agc_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((T_CHUNK, SUBLANES, LANES), lambda i, j: (j, i, 0),
+            pl.BlockSpec((T_CHUNK, sub, LANES), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUBLANES, LANES), lambda i, j: (0, i, 0),
+            pl.BlockSpec((1, sub, LANES), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T_CHUNK, SUBLANES, LANES),
+        out_specs=pl.BlockSpec((T_CHUNK, sub, LANES),
                                lambda i, j: (j, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, Bs, LANES), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((SUBLANES, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((sub, LANES), jnp.float32)],
         interpret=interpret,
     )(alphas, d3, g03)
 
@@ -115,7 +124,8 @@ def smooth_gain_scan_pallas(desired: jnp.ndarray, a_att, a_rel,
             jnp.asarray(init, dtype=jnp.float32).reshape(-1), (B,)
         )
 
-    tile = SUBLANES * LANES
+    sub = _pick_sublanes(B)
+    tile = sub * LANES
     B_pad = -(-B // tile) * tile
     T_pad = -(-T // T_CHUNK) * T_CHUNK
     seq = d2
@@ -130,6 +140,6 @@ def smooth_gain_scan_pallas(desired: jnp.ndarray, a_att, a_rel,
     alphas = jnp.stack(
         [jnp.asarray(a_att, jnp.float32), jnp.asarray(a_rel, jnp.float32)]
     ).reshape(1, 2)
-    out3 = _agc_scan_call(d3, g03, alphas, interpret=interpret)
+    out3 = _agc_scan_call(d3, g03, alphas, interpret=interpret, sub=sub)
     out = out3.reshape(T_pad, B_pad).T[:B, :T]
     return out.reshape(lead + (T,))

@@ -455,7 +455,8 @@ def _fir_td_ps_call(x_ext, wide, gains, interpret=False,
 
 def fir_td_mxu_per_stream(x_ext: jnp.ndarray, kernels: jnp.ndarray,
                           gains: jnp.ndarray, interpret: bool = False,
-                          precision: str | None = None) -> jnp.ndarray:
+                          precision: str | None = None,
+                          wide: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-stream FIR mix on the MXU: ``y[b] = Σ_k gains[b,k]·(x[b] ⊛ h_k)``.
 
     `x_ext`: [B, T+N−1]; `kernels`: [K, N] shared band kernels; `gains`:
@@ -466,7 +467,8 @@ def fir_td_mxu_per_stream(x_ext: jnp.ndarray, kernels: jnp.ndarray,
     """
     x_ext = jnp.asarray(x_ext, dtype=jnp.float32)
     gains = jnp.asarray(gains, dtype=jnp.float32)
-    wide = wide_band_matrix(kernels)
+    if wide is None:  # callers on the hot path pass a precomputed matrix
+        wide = wide_band_matrix(kernels)
     B, text = x_ext.shape
     n_taps = wide.shape[0] - LANE + 1
     T = text - (n_taps - 1)

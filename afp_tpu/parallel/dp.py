@@ -65,6 +65,7 @@ def _param_spec_tree(params: DeviceParams) -> DeviceParams:
         agc_a_rel=P(),
         casc_bands=None if params.casc_bands is None else P(),
         casc_main=None if params.casc_main is None else P(),
+        casc_wide=None if params.casc_wide is None else P(),
     )
 
 

@@ -84,11 +84,25 @@ class AudioStream:
             )
         self.engine = engine
         cfg = engine.cfg
+        if (cfg.source_samplerate and cfg.source_samplerate != cfg.samplerate
+                and cfg.asrc_mode == "exact"):
+            # a duplex card runs ONE clock: exact-mode ASRC (variable block
+            # counts) cannot satisfy the 1-in-1-out callback contract — the
+            # output would pitch-shift and the queues diverge (r2 review).
+            # 'compat' reproduces the reference's per-block pad/trim, which
+            # is what its live-audio path actually did
+            # (`stream_process_AGC.py:126-129`).
+            raise ValueError(
+                "AudioStream requires asrc_mode='compat' when "
+                "source_samplerate differs: a duplex stream runs one clock "
+                "(use AsrcFrontend/process_source_block for offline exact "
+                "conversion)"
+            )
         kw = {} if queue_depth is None else {"queue_depth": queue_depth}
         self.dispatcher = BlockDispatcher(engine, **kw)
         self.channels = cfg.batch  # channel k ↔ stream k
         self._stream = self.sd.Stream(
-            samplerate=cfg.source_samplerate or cfg.samplerate,
+            samplerate=cfg.samplerate,  # the card clock = engine rate
             blocksize=cfg.blocksize,
             channels=self.channels,
             dtype="float32",

@@ -97,14 +97,20 @@ def test_multichannel_maps_to_batch():
     bridge._callback(indata, outdata, 512, None, None)  # no crash, primes
 
 
-def test_asrc_source_rate_drives_hardware_rate():
-    eng = StreamEngine(StreamConfig(
+def test_asrc_exact_rejected_compat_allowed():
+    """A duplex card runs one clock: exact-mode ASRC (variable block counts)
+    is rejected with guidance; 'compat' (the reference's own live-audio
+    behavior) opens the stream at the ENGINE rate."""
+    base = dict(
         samplerate=44100, source_samplerate=48000, blocksize=512,
         upsample_factor=1, numtaps=65, batch=1, eq_enabled=False,
         dither_kind="off", downsample_mode="decimate", output_clip=None,
-    ))
+    )
+    with pytest.raises(ValueError, match="compat"):
+        AudioStream(StreamEngine(StreamConfig(**base)), sd_module=_fake_sd())
+    eng = StreamEngine(StreamConfig(asrc_mode="compat", **base))
     bridge = AudioStream(eng, sd_module=_fake_sd())
-    assert bridge._stream.kw["samplerate"] == 48000  # hardware runs at source
+    assert bridge._stream.kw["samplerate"] == 44100  # one clock: engine rate
 
 
 def test_missing_backend_raises_cleanly(monkeypatch):
