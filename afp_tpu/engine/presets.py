@@ -6,6 +6,12 @@ snapshots of EQ gains + filter settings, explicitly *excluding* samplerate
 and blocksize (`:163-164` — those are deployment properties, not sound
 presets).  The reference keeps presets only in memory; here they also
 round-trip to JSON on disk, the promised upgrade.
+
+On-disk schema is versioned (``{"version": N, "presets": {...}}``) so
+long-lived preset files survive framework upgrades: version-0 files (the
+bare name→preset dict this store wrote before versioning) are migrated on
+read, and settings keys a *newer* writer added that this build doesn't know
+are dropped with a warning instead of crashing the load.
 """
 from __future__ import annotations
 
@@ -28,6 +34,9 @@ def _logger():
 #: deployment-shape fields that arrived with the TPU build.
 EXCLUDED_FIELDS = ("samplerate", "blocksize", "batch", "source_samplerate")
 
+#: on-disk schema version this build writes
+FORMAT_VERSION = 1
+
 
 class PresetStore:
     """Named preset snapshots with save/load/delete and JSON persistence."""
@@ -38,11 +47,33 @@ class PresetStore:
         if path and os.path.exists(path) and os.path.getsize(path) > 0:
             try:
                 with open(path) as f:
-                    self._presets = json.load(f)
+                    raw = json.load(f)
+                self._presets = self._migrate(raw)
             except (json.JSONDecodeError, OSError) as e:
                 # corrupt store: start empty rather than refuse to boot
                 _logger().warning("Preset store %s unreadable (%s); starting empty", path, e)
                 self._presets = {}
+
+    @staticmethod
+    def _migrate(raw: dict) -> Dict[str, dict]:
+        """Normalize any schema generation to the in-memory name→preset map.
+
+        * version-0 (pre-versioning): the file IS the preset map;
+        * version-1: ``{"version": 1, "presets": {...}}``;
+        * future versions: load what we understand, warn once.
+        """
+        if not isinstance(raw, dict):
+            _logger().warning("Preset store has non-dict root; starting empty")
+            return {}
+        if "version" not in raw:
+            return raw  # legacy flat map (version 0)
+        ver = raw.get("version")
+        if not isinstance(ver, int) or ver > FORMAT_VERSION:
+            _logger().warning(
+                "Preset store written by a newer schema (version %r > %d); "
+                "loading best-effort", ver, FORMAT_VERSION)
+        presets = raw.get("presets", {})
+        return presets if isinstance(presets, dict) else {}
 
     # --- reference-compatible surface ---
 
@@ -65,6 +96,17 @@ class PresetStore:
         settings = dict(p["settings"])
         for k in EXCLUDED_FIELDS:
             settings.pop(k, None)
+        # forward compatibility: a newer writer may have stored settings
+        # fields this build doesn't have — drop them (with a warning) rather
+        # than crash StreamConfig.from_dict
+        known = {f.name for f in dataclasses.fields(StreamConfig)}
+        unknown = [k for k in settings if k not in known]
+        for k in unknown:
+            settings.pop(k)
+        if unknown:
+            _logger().warning(
+                "Preset %r: dropping settings unknown to this build: %s",
+                name, sorted(unknown))
         bands = tuple(
             dataclasses.replace(EQBand(**b) if isinstance(b, dict) else b, gain=g)
             for b, g in zip(settings.pop("eq_bands", [dataclasses.asdict(x) for x in base.eq_bands]),
@@ -90,4 +132,5 @@ class PresetStore:
     def _flush(self) -> None:
         if self.path:
             with open(self.path, "w") as f:
-                json.dump(self._presets, f, indent=2)
+                json.dump({"version": FORMAT_VERSION, "presets": self._presets},
+                          f, indent=2)

@@ -164,6 +164,51 @@ def test_preset_store_roundtrip(tmp_path):
     assert "warm" not in store2
 
 
+def test_preset_store_schema_versioning(tmp_path):
+    import json
+
+    from afp_tpu.engine.presets import FORMAT_VERSION
+
+    # the store writes a versioned envelope
+    path = str(tmp_path / "presets.json")
+    store = PresetStore(path)
+    store.save_preset("flat", StreamConfig())
+    with open(path) as f:
+        raw = json.load(f)
+    assert raw["version"] == FORMAT_VERSION
+    assert "flat" in raw["presets"]
+
+    # version-0 (pre-versioning bare map) files migrate on read...
+    legacy = str(tmp_path / "legacy.json")
+    with open(legacy, "w") as f:
+        json.dump(raw["presets"], f)
+    s0 = PresetStore(legacy)
+    assert "flat" in s0
+    # ...and are rewritten in the current schema on the next flush
+    s0.save_preset("flat2", StreamConfig())
+    with open(legacy) as f:
+        assert json.load(f)["version"] == FORMAT_VERSION
+
+    # a NEWER writer's file loads best-effort: unknown settings keys are
+    # dropped instead of crashing StreamConfig.from_dict
+    future = {
+        "version": FORMAT_VERSION + 1,
+        "presets": {
+            "tomorrow": {
+                "gains": [1.0] * len(StreamConfig().eq_bands),
+                "settings": {"cutoff": 9876.0, "quantum_flux": 42},
+            }
+        },
+    }
+    fpath = str(tmp_path / "future.json")
+    with open(fpath, "w") as f:
+        json.dump(future, f)
+    sf = PresetStore(fpath)
+    loaded = sf.load_preset("tomorrow", StreamConfig())
+    assert loaded.cutoff == 9876.0
+    assert not hasattr(loaded, "quantum_flux")
+
+
 def test_config_validation_clamps():
     cfg = StreamConfig(blocksize=5000, numtaps=9999, samplerate=500,
                        upsample_factor=9, cutoff=1.0).validate()

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""On-hardware Pallas kernel validation sweep.
+
+CI (`tests/`) pins JAX to the CPU backend and exercises the Pallas kernels in
+interpret mode — which cannot catch compiled-lowering bugs (the −50 dB bf16
+rounding trap of round 1, the even-window centering off-by-one of round 2
+were both hardware-only).  `bench.py` asserts accuracy for the single primary
+config.  This script is the broad sweep: it runs EVERY Pallas kernel on the
+real TPU against a float64 host oracle and hard-fails on any contract break.
+
+Run from the repo root on a machine with a TPU attached:
+
+    python tools/hw_check.py            # full sweep, prints one JSON line
+
+Checks (each asserted, not just reported):
+  1. fir_td_mxu, all precision modes (B3 / B3F / B3C / HIGHEST), several
+     (taps, block, batch) shapes vs float64 np.convolve         < −90 dB
+  2. fir_td_mxu_per_stream (B3 + HIGHEST) vs per-stream oracle  < −90 dB
+  3. smooth_gain_scan_pallas vs the float64 per-sample recurrence
+     (the reference AGC semantics, stream_process_AGC.py:68-79) < −120 dB
+  4. dither_pallas distribution: mean ≈ 0, tpdf/rpdf variance ratio ≈ 2,
+     determinism under the key, cross-stream decorrelation
+  5. conv-fused dither: residual noise (fused − clean) has dither stats
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+# repo root importability without PYTHONPATH (env PYTHONPATH breaks the axon
+# TPU plugin discovery — docs/ROADMAP.md dev-environment note)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def db(err: float, scale: float) -> float:
+    return float(20 * np.log10(err / (scale + 1e-300) + 1e-300))
+
+
+def check_fir_td() -> dict:
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import band_matrix, fir_td_mxu
+
+    rng = np.random.default_rng(0)
+    results = {}
+    for taps, T, B in ((379, 4096, 256), (1001, 2048, 64), (129, 512, 512)):
+        h = (rng.standard_normal(taps) * (2.0 / taps)).astype(np.float32)
+        x = rng.standard_normal((B, T + taps - 1)).astype(np.float32) * 0.3
+        gold = np.stack(
+            [np.convolve(xi.astype(np.float64), h.astype(np.float64),
+                         mode="valid") for xi in x]
+        )
+        band = jnp.asarray(band_matrix(h))
+        xj = jnp.asarray(x)
+        for prec in ("B3", "B3F", "B3C", "HIGHEST"):
+            y = np.asarray(fir_td_mxu(xj, band, precision=prec))
+            e = db(np.max(np.abs(y - gold)), np.max(np.abs(gold)))
+            key = f"fir_{taps}t_{T}x{B}_{prec}"
+            results[key] = round(e, 1)
+            assert e < -90, f"{key}: {e:.1f} dB breaks the −90 dB contract"
+    return results
+
+
+def check_fir_per_stream() -> dict:
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import fir_td_mxu_per_stream
+
+    rng = np.random.default_rng(1)
+    taps, T, B, K = 257, 1024, 128, 4
+    kernels = (rng.standard_normal((K, taps)) * (2.0 / taps)).astype(np.float32)
+    gains = rng.uniform(0.2, 2.0, size=(B, K)).astype(np.float32)
+    x = rng.standard_normal((B, T + taps - 1)).astype(np.float32) * 0.3
+    gold = np.zeros((B, T))
+    for b in range(B):
+        for k in range(K):
+            gold[b] += gains[b, k] * np.convolve(
+                x[b].astype(np.float64), kernels[k].astype(np.float64),
+                mode="valid")
+    results = {}
+    for prec in ("B3", "HIGHEST"):
+        y = np.asarray(fir_td_mxu_per_stream(
+            jnp.asarray(x), jnp.asarray(kernels), jnp.asarray(gains),
+            precision=prec))
+        e = db(np.max(np.abs(y - gold)), np.max(np.abs(gold)))
+        results[f"fir_ps_{prec}"] = round(e, 1)
+        assert e < -90, f"fir_ps_{prec}: {e:.1f} dB"
+    return results
+
+
+def check_agc_scan() -> dict:
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.agc_scan import smooth_gain_scan_pallas
+
+    rng = np.random.default_rng(2)
+    B, T = 300, 2048  # deliberately not a tile multiple (padding path)
+    d = rng.uniform(0.1, 4.0, size=(B, T)).astype(np.float32)
+    a_att, a_rel = 0.15, 0.013
+    # float64 per-sample oracle (reference recurrence)
+    g64 = np.empty((B, T))
+    g = d[:, 0].astype(np.float64)
+    for t in range(T):
+        dt = d[:, t].astype(np.float64)
+        alpha = np.where(dt > g, a_att, a_rel)
+        g = alpha * dt + (1.0 - alpha) * g
+        g64[:, t] = g
+    y = np.asarray(smooth_gain_scan_pallas(jnp.asarray(d), a_att, a_rel))
+    e = db(np.max(np.abs(y - g64)), np.max(np.abs(g64)))
+    # carried-init variant
+    init = rng.uniform(0.5, 2.0, size=(B,)).astype(np.float32)
+    g = init.astype(np.float64)
+    g64i = np.empty((B, T))
+    for t in range(T):
+        dt = d[:, t].astype(np.float64)
+        alpha = np.where(dt > g, a_att, a_rel)
+        g = alpha * dt + (1.0 - alpha) * g
+        g64i[:, t] = g
+    yi = np.asarray(smooth_gain_scan_pallas(jnp.asarray(d), a_att, a_rel,
+                                            init=jnp.asarray(init)))
+    ei = db(np.max(np.abs(yi - g64i)), np.max(np.abs(g64i)))
+    assert e < -120 and ei < -120, f"agc scan: {e:.1f} / {ei:.1f} dB"
+    return {"agc_restart": round(e, 1), "agc_carried": round(ei, 1)}
+
+
+def check_dither() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.dither_pl import dither_pallas
+
+    bits = 24
+    lsb = 2.0 ** (1 - bits)
+    x = jnp.zeros((64, 8192), dtype=jnp.float32)
+    key = jax.random.PRNGKey(7)
+    tp = np.asarray(dither_pallas(key, x, bits, "tpdf"))
+    rp = np.asarray(dither_pallas(key, x, bits, "rpdf"))
+    tp2 = np.asarray(dither_pallas(key, x, bits, "tpdf"))
+    var_ratio = float(tp.var() / rp.var())
+    mean_lsb = float(abs(tp.mean()) / lsb)
+    # cross-stream decorrelation (adjacent rows)
+    c = np.corrcoef(tp[:-1].ravel(), tp[1:].ravel())[0, 1]
+    assert np.array_equal(tp, tp2), "dither must be deterministic under key"
+    assert 1.8 < var_ratio < 2.2, f"tpdf/rpdf var ratio {var_ratio:.3f}"
+    assert mean_lsb < 0.05, f"dither mean {mean_lsb:.4f} LSB"
+    assert abs(c) < 0.05, f"cross-stream corr {c:.4f}"
+    assert float(np.max(np.abs(tp))) <= lsb * (1 + 1e-6), "tpdf range"
+    return {"dither_var_ratio": round(var_ratio, 3),
+            "dither_mean_lsb": round(mean_lsb, 5),
+            "dither_xcorr": round(float(c), 4)}
+
+
+def check_fused_dither() -> dict:
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.dither_pl import fold_seed
+    from afp_tpu.ops.pallas.fir_td import band_matrix, fir_td_mxu
+    import jax
+
+    rng = np.random.default_rng(3)
+    taps, T, B = 129, 2048, 128
+    bits = 24
+    lsb = 2.0 ** (1 - bits)
+    h = (rng.standard_normal(taps) * (2.0 / taps)).astype(np.float32)
+    x = rng.standard_normal((B, T + taps - 1)).astype(np.float32) * 0.3
+    band = jnp.asarray(band_matrix(h))
+    xj = jnp.asarray(x)
+    clean = np.asarray(fir_td_mxu(xj, band))
+    seed = fold_seed(jax.random.PRNGKey(11))
+    noisy = np.asarray(fir_td_mxu(xj, band, dither_seed=seed,
+                                  dither_bits=bits, dither_tpdf=True))
+    res = noisy - clean
+    # residual must be TPDF noise: zero-mean, var = lsb²/6, bounded by ±lsb
+    var_norm = float(res.var() / (lsb * lsb / 6.0))
+    assert np.max(np.abs(res)) <= lsb * (1 + 1e-6), "fused dither range"
+    assert 0.9 < var_norm < 1.1, f"fused dither var {var_norm:.3f}× expected"
+    assert abs(res.mean()) < 0.05 * lsb, "fused dither mean"
+    return {"fused_dither_var_norm": round(var_norm, 3)}
+
+
+def main() -> None:
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        print(json.dumps({"ok": False,
+                          "error": f"needs a real TPU, got {dev.platform}"}))
+        sys.exit(2)
+    out = {"device": str(dev), "ok": True}
+    for fn in (check_fir_td, check_fir_per_stream, check_agc_scan,
+               check_dither, check_fused_dither):
+        print(f"hw_check: {fn.__name__}...", file=sys.stderr, flush=True)
+        out.update(fn())
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
