@@ -185,17 +185,33 @@ class Pipeline:
         # r2 ablation).  Route it through the MXU band-matrix kernel when
         # shapes allow (block multiple of 128, batch divisible by a tile).
         self._rms_band = None
+        self._rms_exact = False
+        self._agc_fused_apply = False
         if cfg.agc_enabled and cfg.agc_window_size > 1 and self.block % 128 == 0:
-            from ..ops.pallas.fir_td import _pick_b_tile, band_matrix
+            from ..ops.pallas.agc_rms import band_is_exact_bf16
+            from ..ops.pallas.fir_td import band_matrix
 
             w = cfg.agc_window_size
-            if self.batch % _pick_b_tile(self.batch, self.block + w - 1,
-                                         self.block) == 0:
-                self._rms_band = jnp.asarray(
-                    band_matrix(np.full(w, 1.0 / w, dtype=np.float32))
-                )
+            band_np = band_matrix(np.full(w, 1.0 / w, dtype=np.float32))
+            from ..ops.pallas.agc_rms import _pick_tile as _rms_tile
+
+            if self.batch % _rms_tile(self.batch, self.block + w - 1,
+                                      self.block) == 0:
+                self._rms_band = jnp.asarray(band_np)
                 # numpy 'same' centering: out[t] covers x[t−w//2 … t+w−1−w//2]
                 self._rms_pad = (w // 2, w - 1 - w // 2)
+                # power-of-two windows (the reference default min(512, bs//2))
+                # have an exactly-bf16 boxcar weight → the fused kernel skips
+                # its third MXU pass
+                self._rms_exact = band_is_exact_bf16(band_np)
+                # scan+clip+apply+carry fuse into one kernel when the batch
+                # tiles exactly (no pad round trip); block % 128 == 0 already
+                # guarantees the time axis
+                from ..ops.pallas.agc_scan import LANES, _pick_sublanes
+
+                self._agc_fused_apply = (
+                    self.batch % (_pick_sublanes(self.batch) * LANES) == 0
+                )
         # Device-side ASRC runs only in 'compat' mode (reference semantics);
         # in 'exact' mode the StreamEngine's host AsrcFrontend owns rate
         # conversion and the device pipeline sees engine-rate blocks.
@@ -393,49 +409,69 @@ class Pipeline:
         # 2. AGC (pre-upsample; `stream_process_AGC.py:132-144`) + clip ±0.99
         agc_gain = state.agc_gain
         if agc_gain is not None:
+            # exact mode on TPU consumes the desired gain time-major: the
+            # fused RMS kernel stores [T, B] directly and the scan kernel
+            # reads it without its input transpose (one array round trip)
+            exact_tpu = cfg.agc_mode not in ("fast", "parallel") and not self._pl_interpret
             if self._rms_band is not None:
-                # MXU boxcar: pad for 'same' centering (the reference's
-                # per-block np.convolve semantics), valid conv, sqrt
-                from ..ops.pallas.fir_td import fir_td_mxu
+                # fused MXU kernel: square → pad → boxcar dots → sqrt →
+                # desired gain in ONE pass straight from the raw block
+                # (saves ~240 MB/block of intermediate HBM traffic vs the
+                # staged version at the C8 operating point)
+                from ..ops.pallas.agc_rms import rms_desired_pallas
 
-                sq = jnp.square(x)
                 lp, rp = self._rms_pad
-                ext_sq = jnp.pad(sq, ((0, 0), (lp, rp)))
-                s = fir_td_mxu(ext_sq, self._rms_band,
-                               interpret=self._pl_interpret)
-                rms = jnp.sqrt(jnp.maximum(s, 0.0))
+                d = rms_desired_pallas(
+                    x, self._rms_band, lp, rp,
+                    params.agc_target, params.agc_max_gain,
+                    exact_band=self._rms_exact,
+                    interpret=self._pl_interpret,
+                    transposed=exact_tpu,
+                )
             else:
                 rms = moving_rms(x, self.agc.window_size)
-            d = desired_gain(rms, params.agc_target, params.agc_max_gain)
+                d = desired_gain(rms, params.agc_target, params.agc_max_gain)
             carry = agc_gain if cfg.agc_carry else None
-            if cfg.agc_mode == "fast":
-                from ..ops.agc import smooth_gain_blockwise
+            if exact_tpu and self._rms_band is not None and self._agc_fused_apply:
+                # fully fused back half: scan + clip + apply + carry in one
+                # kernel — the per-sample gain never round-trips through HBM
+                from ..ops.pallas.agc_scan import smooth_gain_apply_pallas
 
-                g = smooth_gain_blockwise(
-                    d, params.agc_a_att, params.agc_a_rel, init=carry
-                )
-            elif cfg.agc_mode == "parallel":
-                from ..ops.agc import smooth_gain_parallel
-
-                g = smooth_gain_parallel(
-                    d, params.agc_a_att, params.agc_a_rel, init=carry
-                )
-            elif not self._pl_interpret:
-                # exact mode on TPU: the Pallas hardware-loop scan kernel
-                # (identical per-sample semantics, none of the XLA loop
-                # overhead that made AGC the pipeline's serial ceiling)
-                from ..ops.pallas.agc_scan import smooth_gain_scan_pallas
-
-                g = smooth_gain_scan_pallas(
-                    d, params.agc_a_att, params.agc_a_rel, init=carry
+                x, agc_gain = smooth_gain_apply_pallas(
+                    d, x, params.agc_a_att, params.agc_a_rel,
+                    params.agc_max_gain, init=carry, out_clip=0.99,
                 )
             else:
-                g = smooth_gain_scan(
-                    d, params.agc_a_att, params.agc_a_rel, init=carry
-                )
-            g = jnp.clip(g, 0.1, params.agc_max_gain)
-            x = jnp.clip(x * g, -0.99, 0.99)
-            agc_gain = g[..., -1]
+                if cfg.agc_mode == "fast":
+                    from ..ops.agc import smooth_gain_blockwise
+
+                    g = smooth_gain_blockwise(
+                        d, params.agc_a_att, params.agc_a_rel, init=carry
+                    )
+                elif cfg.agc_mode == "parallel":
+                    from ..ops.agc import smooth_gain_parallel
+
+                    g = smooth_gain_parallel(
+                        d, params.agc_a_att, params.agc_a_rel, init=carry
+                    )
+                elif not self._pl_interpret:
+                    # exact mode on TPU: the Pallas hardware-loop scan kernel
+                    # (identical per-sample semantics, none of the XLA loop
+                    # overhead that made AGC the pipeline's serial ceiling)
+                    from ..ops.pallas.agc_scan import smooth_gain_scan_pallas
+
+                    g = smooth_gain_scan_pallas(
+                        d, params.agc_a_att, params.agc_a_rel, init=carry,
+                        time_major=(self._rms_band is not None),
+                        out_batch_major=True,
+                    )
+                else:
+                    g = smooth_gain_scan(
+                        d, params.agc_a_att, params.agc_a_rel, init=carry
+                    )
+                g = jnp.clip(g, 0.1, params.agc_max_gain)
+                x = jnp.clip(x * g, -0.99, 0.99)
+                agc_gain = g[..., -1]
 
         has_eq = cfg.eq_enabled and len(cfg.eq_bands) > 0
         # 3–5. the linear chain: upsample → EQ+main FIR → downsample.

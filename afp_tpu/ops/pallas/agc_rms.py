@@ -1,0 +1,147 @@
+"""Fused AGC front half: moving-RMS boxcar + desired gain in ONE kernel.
+
+The AGC stage is the C8 chain's biggest block cost after round 2's MXU boxcar
+(measured 0.37 of 0.71 ms/block at [4096×2048], w=512).  The pipeline used to
+run it as four XLA/Pallas passes — square(+pad), bf16-split, band-matrix dot,
+then sqrt and desired-gain elementwise — each a full [B, T]-array HBM round
+trip (~140 MB/block of pure intermediate traffic).  This kernel computes
+
+    d = clip(target / (sqrt(boxcar_w(x²)) + 1e-10), 0, max_gain)
+
+straight from the RAW block in a single pass: the 'same'-centering zero pad
+(reference ``np.convolve(x², ones(w)/w, 'same')`` semantics,
+`/root/reference/stream_process_AGC.py:60-62`) happens in VMEM (zeros square
+to zero, so padding before or after squaring is identical), then square,
+integer-RN bf16 split, 2–3 bf16 MXU dots (2 when the boxcar weight 1/w is
+exactly bf16-representable — every power-of-two window, including the
+reference's default ``min(512, bs//2)`` — because then band_lo ≡ 0), sqrt +
+clip on the way to the output store.
+
+With ``transposed=True`` the kernel stores the desired gain directly in the
+time-major ``[T, B]`` layout the AGC scan kernel consumes
+(:mod:`afp_tpu.ops.pallas.agc_scan`), saving that kernel's input transpose —
+another full array round trip.
+
+Numerics are identical to the unfused path (same split, same dots, same f32
+sqrt/divide), preserving the reference AGC semantics to < −90 dB.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fir_td import LANE, _split_bf16_in_kernel, split_bf16
+
+__all__ = ["rms_desired_pallas", "band_is_exact_bf16"]
+
+
+def band_is_exact_bf16(band: np.ndarray) -> bool:
+    """True iff every band entry survives an f32→bf16→f32 round trip — then
+    the lo half of the split is exactly zero and one MXU pass can be skipped."""
+    b = np.asarray(band, dtype=np.float32)
+    return bool(np.all(b.astype(jnp.bfloat16).astype(np.float32) == b))
+
+
+def _kernel(s_ref, x_ref, bhi_ref, o_ref, *, n_taps: int, t_tiles: int,
+            lp: int, rp: int, transposed: bool, blo_ref=None):
+    target = s_ref[0, 0]
+    max_gain = s_ref[0, 1]
+    sq = jnp.square(x_ref[:, :])
+    sq = jnp.pad(sq, ((0, 0), (lp, rp)))  # 'same' centering, in VMEM
+    sq_hi, sq_lo = _split_bf16_in_kernel(sq)
+    for t in range(t_tiles):
+        w_hi = sq_hi[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
+        w_lo = sq_lo[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
+        s = (
+            jnp.dot(w_hi, bhi_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
+        )
+        if blo_ref is not None:  # non-exact boxcar weight: third pass
+            s = s + jnp.dot(w_hi, blo_ref[:, :],
+                            preferred_element_type=jnp.float32)
+        rms = jnp.sqrt(jnp.maximum(s, 0.0))
+        d = jnp.clip(target / (rms + 1e-10), 0.0, max_gain)
+        if transposed:
+            o_ref[t * LANE : (t + 1) * LANE, :] = d.T
+        else:
+            o_ref[:, t * LANE : (t + 1) * LANE] = d
+
+
+def _pick_tile(B: int, T: int, W: int) -> int:
+    """Batch tile under the in-kernel temporaries (padded sq f32 + hi/lo bf16
+    = 8 B/elem over the extended width) plus double-buffered in/out."""
+    text = T + W - 1
+    for bt in (128, 64, 32, 16, 8):
+        if B % bt:
+            continue
+        foot = bt * text * 8 + 2 * bt * (T + T) * 4
+        if foot <= 12 * 2**20:
+            return bt
+    return min(B, 8)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lp", "rp", "interpret", "exact", "transposed"))
+def _call(x, b_hi, b_lo, scal, lp: int, rp: int, interpret: bool = False,
+          exact: bool = True, transposed: bool = False):
+    B, T = x.shape
+    n_taps = b_hi.shape[0] - LANE + 1
+    t_tiles = T // LANE
+    bt = _pick_tile(B, T, n_taps)
+    grid = (B // bt,)
+    x_spec = pl.BlockSpec((bt, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((b_hi.shape[0], LANE), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    if transposed:
+        out_spec = pl.BlockSpec((T, bt), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((T, B), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((bt, T), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, T), jnp.float32)
+    kw = dict(n_taps=n_taps, t_tiles=t_tiles, lp=lp, rp=rp,
+              transposed=transposed)
+    if exact:
+        kern = functools.partial(_kernel, **kw)
+        return pl.pallas_call(
+            kern, grid=grid, in_specs=[s_spec, x_spec, b_spec],
+            out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+        )(scal, x, b_hi)
+    kern3 = lambda s, xr, bh, bl, o: _kernel(s, xr, bh, o, blo_ref=bl, **kw)
+    return pl.pallas_call(
+        kern3, grid=grid, in_specs=[s_spec, x_spec, b_spec, b_spec],
+        out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+    )(scal, x, b_hi, b_lo)
+
+
+def rms_desired_pallas(x: jnp.ndarray, band: jnp.ndarray, lp: int, rp: int,
+                       target, max_gain, exact_band: bool,
+                       interpret: bool = False,
+                       transposed: bool = False) -> jnp.ndarray:
+    """Desired AGC gain from the raw block in one fused pass.
+
+    `x`: [B, T] f32 (UNPADDED — the 'same'-centering pad happens in VMEM);
+    `band`: [W−1+128, 128] boxcar band matrix
+    (:func:`afp_tpu.ops.pallas.fir_td.band_matrix` of ``ones(w)/w``);
+    `lp`/`rp`: the centering pad widths (static); `target`/`max_gain`:
+    runtime scalars (never recompile); `exact_band`: host-precomputed
+    :func:`band_is_exact_bf16` (static — selects the 2-pass kernel);
+    `transposed`: store ``[T, B]`` time-major for the scan kernel.
+    Returns the desired gain, equal to
+    ``desired_gain(sqrt(boxcar(x²)), target, max_gain)``.
+    """
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.shape[-1] % LANE:
+        raise ValueError(f"block length {x.shape[-1]} must be a multiple of {LANE}")
+    b_hi, b_lo = split_bf16(jnp.asarray(band, dtype=jnp.float32))
+    scal = jnp.stack([jnp.asarray(target, jnp.float32),
+                      jnp.asarray(max_gain, jnp.float32)]).reshape(1, 2)
+    return _call(x, b_hi, b_lo, scal, lp, rp, interpret=interpret,
+                 exact=bool(exact_band), transposed=transposed)

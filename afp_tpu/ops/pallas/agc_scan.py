@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["smooth_gain_scan_pallas"]
+__all__ = ["smooth_gain_scan_pallas", "smooth_gain_apply_pallas"]
 
 #: max batch tile: SUBLANES × 128 lanes per time-step row.  32 sublanes = 4
 #: independent (8×128) vregs per step — four parallel dependency chains hide
@@ -73,23 +73,62 @@ def _agc_kernel(a_ref, d_ref, g0_ref, o_ref, g_scr):
     g_scr[...] = g
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sub"))
+def _agc_kernel_bm(a_ref, d_ref, g0_ref, o_ref, g_scr, c_scr, *, sub: int):
+    """Batch-major-output variant: the recurrence accumulates its chunk in a
+    VMEM scratch, then stores ONE transposed tile — so the gain lands in the
+    [B, T] layout the clip/apply/conv stage consumes, removing the output
+    transpose round trip that a time-major store forces onto XLA."""
+    a_att = a_ref[0, 0]
+    a_rel = a_ref[0, 1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        g_scr[...] = g0_ref[0]
+
+    g = g_scr[...]
+    for t in range(T_CHUNK):
+        d_t = d_ref[t]
+        alpha = jnp.where(d_t > g, a_att, a_rel)
+        g = alpha * d_t + (1.0 - alpha) * g
+        c_scr[t] = g
+    g_scr[...] = g
+    chunk = c_scr[...].reshape(T_CHUNK, sub * LANES)
+    o_ref[...] = chunk.T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "sub", "batch_major"))
 def _agc_scan_call(d3: jnp.ndarray, g03: jnp.ndarray, alphas: jnp.ndarray,
-                   interpret: bool = False, sub: int = SUBLANES) -> jnp.ndarray:
-    """d3: [T, Bs, 128]; g03: [1, Bs, 128]; alphas: [1, 2] → [T, Bs, 128].
-    T must be a multiple of T_CHUNK and Bs of `sub` (wrapper pads)."""
+                   interpret: bool = False, sub: int = SUBLANES,
+                   batch_major: bool = False) -> jnp.ndarray:
+    """d3: [T, Bs, 128]; g03: [1, Bs, 128]; alphas: [1, 2] → [T, Bs, 128]
+    (time-major) or [Bs·128, T] (`batch_major=True`).  T must be a multiple
+    of T_CHUNK and Bs of `sub` (wrapper pads)."""
     T, Bs, _ = d3.shape
     grid = (Bs // sub, T // T_CHUNK)  # time minor: sequential chunks
+    in_specs = [
+        pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((T_CHUNK, sub, LANES), lambda i, j: (j, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sub, LANES), lambda i, j: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if batch_major:
+        return pl.pallas_call(
+            functools.partial(_agc_kernel_bm, sub=sub),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((sub * LANES, T_CHUNK),
+                                   lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bs * LANES, T), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((sub, LANES), jnp.float32),
+                            pltpu.VMEM((T_CHUNK, sub, LANES), jnp.float32)],
+            interpret=interpret,
+        )(alphas, d3, g03)
     return pl.pallas_call(
         _agc_kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((T_CHUNK, sub, LANES), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, LANES), lambda i, j: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((T_CHUNK, sub, LANES),
                                lambda i, j: (j, i, 0),
                                memory_space=pltpu.VMEM),
@@ -100,25 +139,37 @@ def _agc_scan_call(d3: jnp.ndarray, g03: jnp.ndarray, alphas: jnp.ndarray,
 
 
 def smooth_gain_scan_pallas(desired: jnp.ndarray, a_att, a_rel,
-                            init=None, interpret: bool = False) -> jnp.ndarray:
+                            init=None, interpret: bool = False,
+                            time_major: bool = False,
+                            out_batch_major: bool = False) -> jnp.ndarray:
     """Drop-in replacement for :func:`afp_tpu.ops.agc.smooth_gain_scan`.
 
-    `desired`: [..., T]; `init`: [...] previous smoothed gain or None
+    `desired`: [..., T] — or [T, B] when `time_major=True` (the layout the
+    fused RMS kernel emits with ``transposed=True``, which skips this
+    wrapper's input transpose).  `init`: [...] previous smoothed gain or None
     (restart at ``desired[..., 0]``, the reference's per-block behavior).
-    Batch and time are padded internally to the kernel's tile sizes (the
-    padded tail is causal — discarding it never perturbs valid outputs).
+    Output is always batch-major ([..., T] / [B, T]); with
+    `out_batch_major=True` the KERNEL stores it that way (in-kernel chunk
+    transpose) instead of leaving the layout flip to XLA — one less array
+    round trip on the hot path.  Batch and time are padded internally to the
+    kernel's tile sizes (the padded tail is causal — discarding it never
+    perturbs valid outputs).
     """
     d = jnp.asarray(desired, dtype=jnp.float32)
-    lead = d.shape[:-1]
-    T = d.shape[-1]
-    B = 1
-    for s in lead:
-        B *= s
-    d2 = d.reshape(B, T)
+    if time_major:
+        T, B = d.shape
+        lead = (B,)
+    else:
+        lead = d.shape[:-1]
+        T = d.shape[-1]
+        B = 1
+        for s in lead:
+            B *= s
+        d = d.reshape(B, T)
 
     if init is None:
         # g₋₁ = desired[0] ⇒ step 0 yields desired[0] under either branch
-        g0 = d2[:, 0]
+        g0 = d[0] if time_major else d[:, 0]
     else:
         g0 = jnp.broadcast_to(
             jnp.asarray(init, dtype=jnp.float32).reshape(-1), (B,)
@@ -128,18 +179,127 @@ def smooth_gain_scan_pallas(desired: jnp.ndarray, a_att, a_rel,
     tile = sub * LANES
     B_pad = -(-B // tile) * tile
     T_pad = -(-T // T_CHUNK) * T_CHUNK
-    seq = d2
+    seq = d if time_major else d.T  # [T, B] either way
     if B_pad != B:
-        seq = jnp.pad(seq, ((0, B_pad - B), (0, 0)))
+        seq = jnp.pad(seq, ((0, 0), (0, B_pad - B)))
         g0 = jnp.pad(g0, (0, B_pad - B))
     if T_pad != T:
-        seq = jnp.pad(seq, ((0, 0), (0, T_pad - T)))
+        seq = jnp.pad(seq, ((0, T_pad - T), (0, 0)))
 
-    d3 = seq.T.reshape(T_pad, B_pad // LANES, LANES)
+    d3 = seq.reshape(T_pad, B_pad // LANES, LANES)
     g03 = g0.reshape(1, B_pad // LANES, LANES)
     alphas = jnp.stack(
         [jnp.asarray(a_att, jnp.float32), jnp.asarray(a_rel, jnp.float32)]
     ).reshape(1, 2)
+    if out_batch_major:
+        out = _agc_scan_call(d3, g03, alphas, interpret=interpret, sub=sub,
+                             batch_major=True)[:B, :T]
+        return out.reshape(lead + (T,))
     out3 = _agc_scan_call(d3, g03, alphas, interpret=interpret, sub=sub)
     out = out3.reshape(T_pad, B_pad).T[:B, :T]
     return out.reshape(lead + (T,))
+
+
+def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
+                      c_scr, *, sub: int):
+    """Scan + gain application in one kernel: runs the recurrence over the
+    time-major desired gain, then stores ``clip(x · clip(g, 0.1, max_gain),
+    ±out_clip)`` batch-major AND the final clipped gain (the cross-block
+    carry) — the gain array itself never touches HBM."""
+    a_att = a_ref[0, 0]
+    a_rel = a_ref[0, 1]
+    max_gain = a_ref[0, 2]
+    out_clip = a_ref[0, 3]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        g_scr[...] = g0_ref[0]
+
+    g = g_scr[...]
+    for t in range(T_CHUNK):
+        d_t = d_ref[t]
+        alpha = jnp.where(d_t > g, a_att, a_rel)
+        g = alpha * d_t + (1.0 - alpha) * g
+        c_scr[t] = g
+    g_scr[...] = g
+    chunk = c_scr[...].reshape(T_CHUNK, sub * LANES)
+    gcl = jnp.clip(chunk.T, 0.1, max_gain)  # [sub·128, T_CHUNK]
+    y_ref[...] = jnp.clip(x_ref[...] * gcl, -out_clip, out_clip)
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        gl_ref[...] = jnp.clip(g_scr[...], 0.1, max_gain)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "sub"))
+def _agc_apply_call(d3, g03, x, scal, interpret: bool = False,
+                    sub: int = SUBLANES):
+    T, Bs, _ = d3.shape
+    B = Bs * LANES
+    grid = (Bs // sub, T // T_CHUNK)
+    return pl.pallas_call(
+        functools.partial(_agc_apply_kernel, sub=sub),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((T_CHUNK, sub, LANES), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, LANES), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub * LANES, T_CHUNK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((sub * LANES, T_CHUNK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANES), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T), jnp.float32),
+            jax.ShapeDtypeStruct((Bs, LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((sub, LANES), jnp.float32),
+                        pltpu.VMEM((T_CHUNK, sub, LANES), jnp.float32)],
+        interpret=interpret,
+    )(scal, d3, g03, x)
+
+
+def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
+                             a_att, a_rel, max_gain, init=None,
+                             out_clip: float = 0.99,
+                             interpret: bool = False):
+    """Fully fused AGC back half: scan + clip + apply + carry in one kernel.
+
+    `desired_tm`: [T, B] time-major desired gain (the layout
+    :func:`afp_tpu.ops.pallas.agc_rms.rms_desired_pallas` emits with
+    ``transposed=True``); `x`: [B, T] raw block; `init`: [B] previous
+    smoothed gain or None (per-block restart).  Returns
+    ``(clip(x · g_clipped, ±out_clip), g_clipped[:, −1])`` — identical to
+
+        g = smooth_gain_scan(d, a_att, a_rel, init)
+        g = clip(g, 0.1, max_gain)
+        (clip(x * g, -out_clip, out_clip), g[..., -1])
+
+    Requires B divisible by the kernel tile (`_pick_sublanes(B)·128`) and
+    T by T_CHUNK — the caller falls back to the unfused path otherwise
+    (padding x would cost the round trip this kernel exists to remove).
+    """
+    d = jnp.asarray(desired_tm, dtype=jnp.float32)
+    x = jnp.asarray(x, dtype=jnp.float32)
+    T, B = d.shape
+    sub = _pick_sublanes(B)
+    if B % (sub * LANES) or T % T_CHUNK:
+        raise ValueError(
+            f"shape [{B}, {T}] not tileable ({sub * LANES}, {T_CHUNK}); "
+            "use smooth_gain_scan_pallas + XLA apply instead")
+    g0 = d[0] if init is None else jnp.broadcast_to(
+        jnp.asarray(init, dtype=jnp.float32).reshape(-1), (B,))
+    d3 = d.reshape(T, B // LANES, LANES)
+    g03 = g0.reshape(1, B // LANES, LANES)
+    scal = jnp.stack([
+        jnp.asarray(a_att, jnp.float32), jnp.asarray(a_rel, jnp.float32),
+        jnp.asarray(max_gain, jnp.float32), jnp.asarray(out_clip, jnp.float32),
+    ]).reshape(1, 4)
+    y, gl = _agc_apply_call(d3, g03, x, scal, interpret=interpret, sub=sub)
+    return y, gl.reshape(B)

@@ -76,3 +76,98 @@ def test_alternative_layouts_match_oracle(rng, precision):
     for b in range(B):
         gold = np.convolve(x[b].astype(np.float64), h.astype(np.float64), "valid")
         assert err_db(ours[b], gold) < -90
+
+
+# ---------------- fused AGC kernels (round 2: RMS front half + scan+apply) --
+
+
+@pytest.mark.parametrize("W,B,T", [(512, 16, 2048), (500, 16, 1024),
+                                   (64, 8, 256), (511, 8, 512)])
+@pytest.mark.parametrize("transposed", [False, True])
+def test_rms_desired_fused_matches_oracle(rng, W, B, T, transposed):
+    """Fused square→pad→boxcar→sqrt→desired kernel ≡ the staged
+    moving_rms + desired_gain path (reference AGC front half,
+    `stream_process_AGC.py:60-65`), for exact-bf16 (power-of-two) and
+    general window widths, both output layouts."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.agc import desired_gain, moving_rms
+    from afp_tpu.ops.pallas.agc_rms import band_is_exact_bf16, rms_desired_pallas
+
+    x = (rng.normal(size=(B, T)) * 0.1).astype(np.float32)
+    band = band_matrix(np.full(W, 1.0 / W, dtype=np.float32))
+    exact = band_is_exact_bf16(band)
+    assert exact == (W & (W - 1) == 0)  # powers of two are exactly bf16
+    lp, rp = W // 2, W - 1 - W // 2
+    d = np.asarray(rms_desired_pallas(
+        jnp.asarray(x), jnp.asarray(band), lp, rp, 0.1, 10.0,
+        exact_band=exact, interpret=True, transposed=transposed))
+    if transposed:
+        assert d.shape == (T, B)
+        d = d.T
+    gold = np.asarray(desired_gain(moving_rms(jnp.asarray(x), W), 0.1, 10.0))
+    assert err_db(d, gold.astype(np.float64)) < -90
+
+
+@pytest.mark.parametrize("B,T", [(300, 1024), (128, 2048), (17, 256)])
+@pytest.mark.parametrize("time_major", [False, True])
+def test_scan_layout_variants_match(rng, B, T, time_major):
+    """time-major input / batch-major output layouts of the Pallas scan are
+    bit-compatible with the lax.scan recurrence (incl. padding shapes)."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.agc import smooth_gain_scan
+    from afp_tpu.ops.pallas.agc_scan import smooth_gain_scan_pallas
+
+    d = rng.uniform(0.1, 4.0, size=(B, T)).astype(np.float32)
+    din = jnp.asarray(d.T) if time_major else jnp.asarray(d)
+    gold = np.asarray(smooth_gain_scan(jnp.asarray(d), 0.15, 0.013))
+    y = np.asarray(smooth_gain_scan_pallas(
+        din, 0.15, 0.013, interpret=True, time_major=time_major,
+        out_batch_major=True))
+    assert y.shape == (B, T)
+    np.testing.assert_allclose(y, gold, atol=1e-6)
+    init = rng.uniform(0.5, 2.0, size=(B,)).astype(np.float32)
+    gold_i = np.asarray(smooth_gain_scan(jnp.asarray(d), 0.15, 0.013,
+                                         init=jnp.asarray(init)))
+    y_i = np.asarray(smooth_gain_scan_pallas(
+        din, 0.15, 0.013, init=jnp.asarray(init), interpret=True,
+        time_major=time_major, out_batch_major=True))
+    np.testing.assert_allclose(y_i, gold_i, atol=1e-6)
+
+
+@pytest.mark.parametrize("B,T", [(1024, 256), (2048, 512)])
+def test_fused_scan_apply_matches_staged(rng, B, T):
+    """smooth_gain_apply_pallas ≡ scan → clip(0.1, max_gain) → clip(x·g,
+    ±0.99) → carry — the gain array never materializing must not change
+    any output or the cross-block carry."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.agc import smooth_gain_scan
+    from afp_tpu.ops.pallas.agc_scan import smooth_gain_apply_pallas
+
+    d = rng.uniform(0.05, 8.0, size=(B, T)).astype(np.float32)
+    x = (rng.normal(size=(B, T)) * 0.5).astype(np.float32)
+    for init in (None, rng.uniform(0.5, 2.0, size=(B,)).astype(np.float32)):
+        ij = None if init is None else jnp.asarray(init)
+        g = np.asarray(smooth_gain_scan(jnp.asarray(d), 0.15, 0.013, init=ij))
+        g = np.clip(g, 0.1, 4.0)
+        y_gold = np.clip(x * g, -0.99, 0.99)
+        y, gl = smooth_gain_apply_pallas(
+            jnp.asarray(d.T), jnp.asarray(x), 0.15, 0.013, 4.0, init=ij,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(y), y_gold, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gl), g[:, -1], atol=1e-6)
+
+
+def test_fused_scan_apply_rejects_untileable():
+    """Non-tileable shapes must raise (the pipeline gate falls back) rather
+    than silently pad — padding would corrupt the final-gain carry."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.agc_scan import smooth_gain_apply_pallas
+
+    d = jnp.ones((256, 100), dtype=jnp.float32)
+    x = jnp.ones((100, 256), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="not tileable"):
+        smooth_gain_apply_pallas(d, x, 0.1, 0.01, 4.0, interpret=True)

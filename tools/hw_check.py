@@ -33,6 +33,9 @@ import numpy as np
 # repo root importability without PYTHONPATH (env PYTHONPATH breaks the axon
 # TPU plugin discovery — docs/ROADMAP.md dev-environment note)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# persistent compile cache: the sweep compiles ~20 kernel variants; cold
+# compiles through the tunneled device dominate the run time otherwise
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/afp_jax_cache")
 
 
 def db(err: float, scale: float) -> float:
@@ -181,6 +184,55 @@ def check_fused_dither() -> dict:
     return {"fused_dither_var_norm": round(var_norm, 3)}
 
 
+def check_agc_fused() -> dict:
+    """The fused RMS front half and the fused scan+apply back half vs the
+    staged float64 oracle, through realistic C8-like shapes."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.agc_rms import band_is_exact_bf16, rms_desired_pallas
+    from afp_tpu.ops.pallas.agc_scan import smooth_gain_apply_pallas
+    from afp_tpu.ops.pallas.fir_td import band_matrix
+
+    rng = np.random.default_rng(5)
+    results = {}
+    for W, B, T in ((512, 4096, 2048), (500, 256, 1024)):
+        x = (rng.standard_normal((B, T)) * 0.1).astype(np.float32)
+        band = band_matrix(np.full(W, 1.0 / W, dtype=np.float32))
+        lp, rp = W // 2, W - 1 - W // 2
+        # float64 oracle of the reference front half
+        sq = (x.astype(np.float64)) ** 2
+        box = np.full(W, 1.0 / W)
+        rms = np.stack([np.sqrt(np.maximum(
+            np.convolve(r, box, "same"), 0.0)) for r in sq])
+        gold_d = np.clip(0.1 / (rms + 1e-10), 0.0, 10.0)
+        d = np.asarray(rms_desired_pallas(
+            jnp.asarray(x), jnp.asarray(band), lp, rp, 0.1, 10.0,
+            exact_band=band_is_exact_bf16(band), transposed=True))
+        e = db(np.max(np.abs(d.T - gold_d)), np.max(np.abs(gold_d)))
+        results[f"agc_rms_fused_w{W}"] = round(e, 1)
+        assert e < -90, f"agc_rms_fused_w{W}: {e:.1f} dB"
+        # back half on the oracle's d (isolates the kernel)
+        a_att, a_rel = 0.15, 0.013
+        g = gold_d[:, 0].copy()
+        g64 = np.empty_like(gold_d)
+        for t in range(T):
+            dt = gold_d[:, t]
+            alpha = np.where(dt > g, a_att, a_rel)
+            g = alpha * dt + (1.0 - alpha) * g
+            g64[:, t] = g
+        g64 = np.clip(g64, 0.1, 10.0)
+        y_gold = np.clip(x * g64, -0.99, 0.99)
+        y, gl = smooth_gain_apply_pallas(
+            jnp.asarray(gold_d.astype(np.float32).T), jnp.asarray(x),
+            a_att, a_rel, 10.0, out_clip=0.99)
+        ey = db(np.max(np.abs(np.asarray(y) - y_gold)),
+                np.max(np.abs(y_gold)) + 1e-300)
+        eg = float(np.max(np.abs(np.asarray(gl) - g64[:, -1])))
+        results[f"agc_apply_fused_w{W}"] = round(ey, 1)
+        assert ey < -100 and eg < 1e-5, f"apply {ey:.1f} dB / carry {eg}"
+    return results
+
+
 def main() -> None:
     import jax
 
@@ -191,7 +243,7 @@ def main() -> None:
         sys.exit(2)
     out = {"device": str(dev), "ok": True}
     for fn in (check_fir_td, check_fir_per_stream, check_agc_scan,
-               check_dither, check_fused_dither):
+               check_dither, check_fused_dither, check_agc_fused):
         print(f"hw_check: {fn.__name__}...", file=sys.stderr, flush=True)
         out.update(fn())
     print(json.dumps(out))
