@@ -388,6 +388,7 @@ class Pipeline:
         cfg = self.cfg
         x = jnp.asarray(block, dtype=jnp.float32)  # [B, L_in]
         dither_done = False  # set when the conv kernel fused the dither
+        clip_done = False  # set when the conv kernel fused the output clip
         key0 = state.key
 
         # 1. ASRC: source rate → engine rate, padded/trimmed to blocksize
@@ -484,15 +485,18 @@ class Pipeline:
             ext = jnp.concatenate([state.conv_tail, x], axis=-1)
             if self._use_td:
                 per_stream = has_eq and params.eq_gains.ndim == 2
-                # fuse the output dither into the conv kernel's store when
-                # nothing sits between them (saves one output r/w round
-                # trip, ~0.2 ms/block at the headline config)
+                # fuse the output stage (±clip, then dither — the reference
+                # order) into the conv kernel's store when nothing else sits
+                # between them (saves one full output r/w round trip per
+                # fused op, ~0.2 ms/block at the headline config)
                 fuse_dither = (
                     cfg.dither_kind != "off"
-                    and cfg.output_clip is None
                     and not per_stream
                     and not self._pl_interpret
                 )
+                # (clip involves no PRNG, so it fuses in interpret mode too —
+                # CPU tests then cover the fused store path)
+                fuse_clip = cfg.output_clip is not None and not per_stream
                 if per_stream:
                     # per-stream gain banks on the MXU: one wide dot per
                     # tile yields every band, mixed per stream in-kernel
@@ -509,6 +513,8 @@ class Pipeline:
                     band = jnp.where(
                         self._band_mask, jnp.take(k, self._band_idx), 0.0
                     )
+                    oc = cfg.output_clip if fuse_clip else None
+                    clip_done = fuse_clip
                     if fuse_dither:
                         from ..ops.pallas.dither_pl import fold_seed
 
@@ -519,9 +525,11 @@ class Pipeline:
                             dither_seed=fold_seed(sub),
                             dither_bits=cfg.dither_bits,
                             dither_tpdf=(cfg.dither_kind == "tpdf"),
+                            out_clip=oc,
                         )
                     else:
-                        y = fir_td_mxu(ext, band, interpret=self._pl_interpret)
+                        y = fir_td_mxu(ext, band, interpret=self._pl_interpret,
+                                       out_clip=oc)
             else:
                 H = params.combined_response(has_eq, premultiplied=True)
                 Y = jnp.fft.rfft(ext, n=self.nfft) * H
@@ -552,7 +560,8 @@ class Pipeline:
                     down, y = down.process(y)
 
         # 6. output clip (AGC engine clamps ±0.99, `stream_process_AGC.py:180`)
-        if cfg.output_clip is not None:
+        # — skipped when already fused into the conv kernel's store
+        if cfg.output_clip is not None and not clip_done:
             y = jnp.clip(y, -cfg.output_clip, cfg.output_clip)
 
         # 7. keyed dither — fused into the conv kernel above when possible;

@@ -95,15 +95,28 @@ def _tile_noise(shape, lsb: float, tpdf: bool):
     return tile_noise(shape, lsb, tpdf)
 
 
+def _finish_tile(y, seed_ref, lsb, tpdf, out_clip):
+    """Shared output-stage epilogue: optional output clip (the reference's
+    ±0.99 clamp, `stream_process_AGC.py:180`) THEN optional requantization
+    dither — the pipeline's stage order (clip, then dither)."""
+    if out_clip is not None:
+        y = jnp.clip(y, -out_clip, out_clip)
+    if seed_ref is not None:
+        y = y + _tile_noise(y.shape, lsb, tpdf)
+    return y
+
+
 def _fir_kernel(x_ref, band_ref, o_ref, *, n_taps: int, t_tiles: int,
-                seed_ref=None, lsb: float = 0.0, tpdf: bool = True):
+                seed_ref=None, lsb: float = 0.0, tpdf: bool = True,
+                out_clip=None):
     """One batch-tile: x_ref [BT, T + N − 1] → o_ref [BT, T].
 
     precision=HIGHEST is load-bearing: the MXU's default f32 path rounds
     inputs to bf16 (measured −50 dB vs oracle); the multi-pass mode restores
-    fp32-equivalent accuracy for the −90 dB contract.  With `seed_ref`,
-    requantization dither fuses into the output store (saves a full output
-    read+write round-trip vs a standalone dither pass).
+    fp32-equivalent accuracy for the −90 dB contract.  With `seed_ref` /
+    `out_clip`, requantization dither and the output clamp fuse into the
+    output store (saves full output read+write round-trips vs standalone
+    passes).
     """
     if seed_ref is not None:
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
@@ -114,19 +127,18 @@ def _fir_kernel(x_ref, band_ref, o_ref, *, n_taps: int, t_tiles: int,
             preferred_element_type=jnp.float32,
             precision=_PRECISION,
         )
-        if seed_ref is not None:
-            y = y + _tile_noise(y.shape, lsb, tpdf)
-        o_ref[:, t * LANE : (t + 1) * LANE] = y
+        o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
+            y, seed_ref, lsb, tpdf, out_clip)
 
 
 def _fir_kernel_b3(xhi_ref, xlo_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
                    t_tiles: int, seed_ref=None, lsb: float = 0.0,
-                   tpdf: bool = True):
+                   tpdf: bool = True, out_clip=None):
     """bf16×3 batch-tile kernel: three native bf16 MXU passes accumulate in
     fp32.  Both operand hi/lo splits happen OUTSIDE the kernel (the two bf16
     input blocks together cost exactly the bytes of one f32 block, keeping
     the VMEM/double-buffering footprint identical to the HIGHEST path).
-    Optional fused output dither as in :func:`_fir_kernel`."""
+    Optional fused output clip + dither as in :func:`_fir_kernel`."""
     if seed_ref is not None:
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
     for t in range(t_tiles):
@@ -137,9 +149,8 @@ def _fir_kernel_b3(xhi_ref, xlo_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
             + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
             + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
         )
-        if seed_ref is not None:
-            y = y + _tile_noise(y.shape, lsb, tpdf)
-        o_ref[:, t * LANE : (t + 1) * LANE] = y
+        o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
+            y, seed_ref, lsb, tpdf, out_clip)
 
 
 def _split_bf16_in_kernel(v):
@@ -153,7 +164,7 @@ def _split_bf16_in_kernel(v):
 
 def _fir_kernel_b3f(x_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
                     t_tiles: int, seed_ref=None, lsb: float = 0.0,
-                    tpdf: bool = True):
+                    tpdf: bool = True, out_clip=None):
     """B3 with the input hi/lo split INSIDE the kernel: the x block arrives
     as one f32 buffer and splits once in VMEM — removes the two materialized
     bf16 copies of the extended signal from HBM (−128 MB of traffic per
@@ -170,9 +181,8 @@ def _fir_kernel_b3f(x_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
             + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
             + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
         )
-        if seed_ref is not None:
-            y = y + _tile_noise(y.shape, lsb, tpdf)
-        o_ref[:, t * LANE : (t + 1) * LANE] = y
+        o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
+            y, seed_ref, lsb, tpdf, out_clip)
 
 
 #: time-chunk width of the pair-chunk layout (must be a LANE multiple and
@@ -181,7 +191,8 @@ T_CHUNK = 512
 
 
 def _fir_kernel_b3c(xa_ref, xb_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
-                    seed_ref=None, lsb: float = 0.0, tpdf: bool = True):
+                    seed_ref=None, lsb: float = 0.0, tpdf: bool = True,
+                    out_clip=None):
     """Pair-chunk B3 kernel: the grid walks (batch-tile × time-chunk) and
     each program reads TWO consecutive [bt, T_CHUNK] chunks of the f32
     extended signal — Mosaic pipelines the small fetches, the window
@@ -204,9 +215,8 @@ def _fir_kernel_b3c(xa_ref, xb_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
             + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
             + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
         )
-        if seed_ref is not None:
-            y = y + _tile_noise(y.shape, lsb, tpdf)
-        o_ref[:, t * LANE : (t + 1) * LANE] = y
+        o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
+            y, seed_ref, lsb, tpdf, out_clip)
 
 
 def _pick_b_tile(B: int, text: int, T: int, cap: int = 256) -> int:
@@ -232,10 +242,11 @@ def _pick_b_tile(B: int, text: int, T: int, cap: int = 256) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "precision", "dither_bits", "dither_tpdf"))
+    "interpret", "precision", "dither_bits", "dither_tpdf", "out_clip"))
 def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
                  precision: str = PRECISION_MODE, seed=None,
-                 dither_bits: int | None = None, dither_tpdf: bool = True):
+                 dither_bits: int | None = None, dither_tpdf: bool = True,
+                 out_clip: float | None = None):
     B, text = x_ext.shape
     n_taps = band.shape[0] - LANE + 1
     T = text - (n_taps - 1)
@@ -249,9 +260,9 @@ def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, T), jnp.float32)
     seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    dkw = {}
+    dkw = {"out_clip": out_clip}
     if dither_bits is not None:
-        dkw = dict(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
+        dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
     if precision == "B3C":
         # pair-chunk layout: usable when windows span ≤ 2 chunks, the output
         # tiles evenly, and the batch supports 256-row tiles
@@ -345,7 +356,8 @@ def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,
                interpret: bool = False,
                precision: str | None = None,
                dither_seed=None, dither_bits: int | None = None,
-               dither_tpdf: bool = True) -> jnp.ndarray:
+               dither_tpdf: bool = True,
+               out_clip: float | None = None) -> jnp.ndarray:
     """Causal/valid FIR conv of [B, T+N−1] against the band matrix → [B, T].
 
     `T` must be a multiple of 128 and `B` a multiple of the batch tile
@@ -354,6 +366,8 @@ def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,
     :data:`PRECISION_MODE` ('B3' | 'HIGHEST').  Passing `dither_seed`
     (int32 [1,1]) + `dither_bits` fuses requantization dither into the
     output store (TPU only — the hardware PRNG has no interpret lowering).
+    `out_clip` fuses the reference's ±clip output clamp BEFORE the dither
+    (the pipeline's stage order), saving a standalone clip pass.
     """
     x_ext = jnp.asarray(x_ext, dtype=jnp.float32)
     band = jnp.asarray(band, dtype=jnp.float32)
@@ -367,7 +381,7 @@ def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,
     return _fir_td_call(x_ext, band, interpret=interpret,
                         precision=precision or PRECISION_MODE,
                         seed=dither_seed, dither_bits=dither_bits,
-                        dither_tpdf=dither_tpdf)
+                        dither_tpdf=dither_tpdf, out_clip=out_clip)
 
 
 def _fir_kernel_ps(x_ref, wide_ref, g_ref, o_ref, *, n_taps: int,

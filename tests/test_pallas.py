@@ -171,3 +171,16 @@ def test_fused_scan_apply_rejects_untileable():
     x = jnp.ones((100, 256), dtype=jnp.float32)
     with pytest.raises(ValueError, match="not tileable"):
         smooth_gain_apply_pallas(d, x, 0.1, 0.01, 4.0, interpret=True)
+
+
+def test_fused_out_clip_matches_staged(rng):
+    """fir_td_mxu(out_clip=c) ≡ clip(fir_td_mxu(...), ±c) — the fused output
+    clamp (reference ±0.99, `stream_process_AGC.py:180`) must be a pure
+    store-stage epilogue."""
+    h = (rng.normal(size=129) * 0.2).astype(np.float32)
+    x = (rng.normal(size=(4, 512 + 128)) * 2.0).astype(np.float32)
+    band = band_matrix(h)
+    plain = np.asarray(fir_td_mxu(x, band, interpret=True))
+    assert np.max(np.abs(plain)) > 0.99  # the clip must actually bite
+    fused = np.asarray(fir_td_mxu(x, band, interpret=True, out_clip=0.99))
+    np.testing.assert_allclose(fused, np.clip(plain, -0.99, 0.99), atol=0)

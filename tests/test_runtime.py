@@ -54,7 +54,10 @@ def test_pacer_rate():
     for _ in range(5):
         p.wait()
     dt = time.monotonic() - t0
-    assert 0.08 <= dt <= 0.3
+    # lower bound is the real contract (the pacer must not run fast); the
+    # upper bound only guards against a hang and must tolerate a loaded
+    # CI host (observed 0.57 s under full-suite contention)
+    assert 0.08 <= dt <= 2.0
     assert p.ticks == 5
 
 

@@ -195,7 +195,7 @@ def check_agc_fused() -> dict:
 
     rng = np.random.default_rng(5)
     results = {}
-    for W, B, T in ((512, 4096, 2048), (500, 256, 1024)):
+    for W, B, T in ((512, 4096, 2048), (500, 1024, 1024)):
         x = (rng.standard_normal((B, T)) * 0.1).astype(np.float32)
         band = band_matrix(np.full(W, 1.0 / W, dtype=np.float32))
         lp, rp = W // 2, W - 1 - W // 2
