@@ -171,3 +171,31 @@ def test_upsampled_rate_output(rng):
     lparams = lo.device_params(PipelineParams.design(lo.cfg))
     _, out_lo = lo.process_signal(lparams, lo.init_state(), sig)
     np.testing.assert_allclose(out_hi[:, ::4], np.asarray(out_lo), atol=1e-6)
+
+
+def test_fused_output_clip_matches_staged(rng):
+    """cfg.output_clip through td_mxu (clip fused into the Pallas store,
+    `pipeline.py` clip_done path) must be bit-exact against clipping an
+    unclipped run — no double clip, no skipped clip."""
+    import dataclasses
+
+    base = make_cfg(
+        blocksize=512, upsample_factor=1, numtaps=129, batch=4,
+        eq_enabled=False, conv_strategy="td_mxu", output_clip=0.2,
+    )
+    sig = (rng.normal(size=(4, 512 * 4)) * 0.6).astype(np.float32)
+
+    def run(cfg):
+        pipe = Pipeline(cfg)
+        params = pipe.device_params(PipelineParams.design(pipe.cfg))
+        _, out = pipe.process_signal(params, pipe.init_state(), sig)
+        return np.asarray(out)
+
+    clipped = run(base)
+    unclipped = run(dataclasses.replace(base, output_clip=None))
+    assert np.max(np.abs(unclipped)) > 0.2  # the clip must actually bite
+    np.testing.assert_array_equal(clipped, np.clip(unclipped, -0.2, 0.2))
+
+    # and the fft strategy (XLA jnp.clip path) agrees on the same scale
+    fft_clipped = run(dataclasses.replace(base, conv_strategy="fft"))
+    assert err_db(clipped, fft_clipped) < -84  # clipped-scale denominator

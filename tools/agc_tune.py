@@ -15,9 +15,15 @@ Run from the repo root (NO PYTHONPATH — it breaks axon plugin discovery):
 
     python tools/agc_tune.py [B] [T]
 """
+import os
 import signal
 import sys
 import time
+
+# repo-root importability without PYTHONPATH (env PYTHONPATH breaks the axon
+# TPU plugin discovery — docs/ROADMAP.md dev-environment note)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/afp_jax_cache")
 
 
 def _alarm(seconds: int):
@@ -57,25 +63,42 @@ def main() -> None:
 
     base = (mod.SUBLANES, mod.T_CHUNK)
     results = []
-    for sub, tc in ((8, 128), (16, 128), (32, 128), (32, 64), (64, 64),
-                    (64, 32), (128, 32), (16, 256), (32, 256)):
+    # T_CHUNK must be a multiple of 128 (it is the minor dim of the
+    # batch-major output block); (32, 256) exceeds scoped VMEM
+    for sub, tc in ((8, 128), (16, 128), (32, 128), (8, 256), (16, 256)):
         if T % tc or B % (sub * mod.LANES):
             continue
         mod.SUBLANES, mod.T_CHUNK = sub, tc
         jax.clear_caches()
+
+        # marginal per-block cost, measured the way the engine runs it: a
+        # lax.scan of K kernel invocations inside ONE jitted dispatch (an
+        # unjitted per-block wrapper call measures tunnel dispatch overhead,
+        # ~13 ms, not the ~0.2 ms kernel)
+        K = 32
+
+        @jax.jit
+        def fn(d, xx):
+            def body(carry, _):
+                y, gl = mod.smooth_gain_apply_pallas(
+                    d, xx, a_att, a_rel, mg, init=carry)
+                return gl, jnp.sum(y)
+            gl, ys = jax.lax.scan(body, d[0], None, length=K)
+            return gl, ys
+
         try:
             _alarm(240)
             y, gl = mod.smooth_gain_apply_pallas(d_tm, x, a_att, a_rel, mg)
             float(jnp.sum(y))  # force + tunnel sync
             err = float(np.max(np.abs(np.asarray(y, np.float64) - gold_y)))
+            gl2, ys = fn(d_tm, x)  # compile
+            float(jnp.sum(ys))
             times = []
             for _ in range(5):
                 t0 = time.perf_counter()
-                for _ in range(16):
-                    y, gl = mod.smooth_gain_apply_pallas(
-                        d_tm, x, a_att, a_rel, mg)
-                float(jnp.sum(y) + jnp.sum(gl))
-                times.append((time.perf_counter() - t0) / 16)
+                gl2, ys = fn(d_tm, x)
+                float(jnp.sum(ys) + jnp.sum(gl2))
+                times.append((time.perf_counter() - t0) / K)
             signal.alarm(0)
             ms = min(times) * 1e3
             results.append((sub, tc, ms, err))

@@ -184,6 +184,28 @@ def check_fused_dither() -> dict:
     return {"fused_dither_var_norm": round(var_norm, 3)}
 
 
+def check_fused_clip() -> dict:
+    """The fused output clamp (`fir_td_mxu(out_clip=c)`) must be bit-exact
+    against clipping the plain kernel's output — on the compiled lowering,
+    not just interpret mode (tests/test_pallas.py covers that)."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import band_matrix, fir_td_mxu
+
+    rng = np.random.default_rng(4)
+    taps, T, B = 129, 1024, 256
+    h = (rng.standard_normal(taps) * 0.2).astype(np.float32)
+    x = rng.standard_normal((B, T + taps - 1)).astype(np.float32) * 2.0
+    band = jnp.asarray(band_matrix(h))
+    xj = jnp.asarray(x)
+    plain = np.asarray(fir_td_mxu(xj, band))
+    assert np.max(np.abs(plain)) > 0.99, "clip must bite for this check"
+    fused = np.asarray(fir_td_mxu(xj, band, out_clip=0.99))
+    assert np.array_equal(fused, np.clip(plain, -0.99, 0.99)), \
+        "fused out_clip diverges from staged clip on hardware"
+    return {"fused_clip_exact": True}
+
+
 def check_agc_fused() -> dict:
     """The fused RMS front half and the fused scan+apply back half vs the
     staged float64 oracle, through realistic C8-like shapes."""
@@ -243,7 +265,8 @@ def main() -> None:
         sys.exit(2)
     out = {"device": str(dev), "ok": True}
     for fn in (check_fir_td, check_fir_per_stream, check_agc_scan,
-               check_dither, check_fused_dither, check_agc_fused):
+               check_dither, check_fused_dither, check_fused_clip,
+               check_agc_fused):
         print(f"hw_check: {fn.__name__}...", file=sys.stderr, flush=True)
         out.update(fn())
     print(json.dumps(out))
