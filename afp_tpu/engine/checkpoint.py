@@ -24,19 +24,36 @@ __all__ = ["save_checkpoint", "load_checkpoint"]
 _FORMAT_VERSION = 1
 
 
+def _store(leaf) -> tuple[np.ndarray, bool]:
+    """npz-safe view of a leaf: bfloat16 (the conv-pair overlap tail;
+    numpy cannot serialize ml_dtypes) round-trips as a uint16 bit view."""
+    a = np.asarray(leaf)
+    if a.dtype == np.dtype("bfloat16"):
+        return a.view(np.uint16), True
+    return a, False
+
+
 def save_checkpoint(path: str, engine: StreamEngine) -> None:
     """Snapshot a StreamEngine to `path` (.npz)."""
     state_leaves, state_tree = jax.tree_util.tree_flatten(engine.state)
     param_leaves, param_tree = jax.tree_util.tree_flatten(engine.params)
+    arrays, bf16 = {}, []
+    for i, l in enumerate(state_leaves):
+        arrays[f"state_{i}"], is_bf16 = _store(l)
+        if is_bf16:
+            bf16.append(f"state_{i}")
+    for i, l in enumerate(param_leaves):
+        arrays[f"param_{i}"], is_bf16 = _store(l)
+        if is_bf16:
+            bf16.append(f"param_{i}")
     meta = {
         "version": _FORMAT_VERSION,
         "config": engine.cfg.to_dict(),
         "seed": engine._seed,
         "n_state_leaves": len(state_leaves),
         "n_param_leaves": len(param_leaves),
+        "bf16_leaves": bf16,
     }
-    arrays = {f"state_{i}": np.asarray(l) for i, l in enumerate(state_leaves)}
-    arrays.update({f"param_{i}": np.asarray(l) for i, l in enumerate(param_leaves)})
     if engine._asrc_frontend is not None:  # host ASRC accumulators
         meta["has_asrc"] = True
         arrays.update(engine._asrc_frontend.get_state())
@@ -55,8 +72,14 @@ def load_checkpoint(path: str) -> StreamEngine:
             raise ValueError(f"unsupported checkpoint version {meta['version']}")
         cfg = StreamConfig.from_dict(meta["config"])
         engine = StreamEngine(cfg, seed=meta["seed"])
-        state_leaves = [z[f"state_{i}"] for i in range(meta["n_state_leaves"])]
-        param_leaves = [z[f"param_{i}"] for i in range(meta["n_param_leaves"])]
+        bf16 = set(meta.get("bf16_leaves", ()))
+
+        def _load(name):
+            a = z[name]
+            return a.view(np.dtype("bfloat16")) if name in bf16 else a
+
+        state_leaves = [_load(f"state_{i}") for i in range(meta["n_state_leaves"])]
+        param_leaves = [_load(f"param_{i}") for i in range(meta["n_param_leaves"])]
         if meta.get("has_asrc") and engine._asrc_frontend is not None:
             engine._asrc_frontend.set_state(
                 {k: z[k] for k in ("asrc_in", "asrc_out", "asrc_hist")}

@@ -22,6 +22,7 @@ same contract as the reference's sounddevice callback.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -93,7 +94,9 @@ class StreamState(NamedTuple):
 
     asrc: Optional[PolyResampler]
     up: Optional[PolyResampler]
-    conv_tail: jnp.ndarray  # [B, N_f - 1] overlap-save input history
+    #: [B, N_f − 1] overlap-save input history — f32 array, or the bf16
+    #: (hi, lo) pair in conv-pair mode (`Pipeline._conv_pair`)
+    conv_tail: jnp.ndarray
     down: Optional[PolyResampler]
     agc_gain: Optional[jnp.ndarray]  # [B] carried smoothed gain
     key: jax.Array
@@ -212,6 +215,28 @@ class Pipeline:
                 self._agc_fused_apply = (
                     self.batch % (_pick_sublanes(self.batch) * LANES) == 0
                 )
+        # Test hook: the fused AGC kernels normally run only on the TPU
+        # backend; this forces them (in interpret mode) so CPU CI covers the
+        # fused/pair code paths end-to-end.
+        self._force_fused = os.environ.get("AFP_AGC_FUSED_FORCE", "0") == "1"
+        # Pair mode: the fused AGC apply kernel emits the bf16 hi/lo pair and
+        # the conv kernel consumes it (plus the pair-carried overlap tail)
+        # directly — the conv input staging pass (concat + split, a full HBM
+        # round trip) disappears.  Only meaningful for bf16-class conv.
+        from ..ops.pallas.fir_td import PRECISION_MODE as _td_prec
+
+        self._conv_pair = (
+            self._agc_fused_apply and self._use_td
+            and _td_prec in ("B3", "B3F", "B3C")
+            and cfg.agc_mode not in ("fast", "parallel")
+            and (not self._pl_interpret or self._force_fused)
+        )
+        if self._conv_pair:
+            # pair tail is carried padded to a LANE multiple so every window
+            # slice in the pair kernel is lane-aligned (fir_td.py:_fir_kernel_b3t)
+            from ..ops.pallas.fir_td import LANE as _lane
+
+            self._k_pad = -(-max(self.n_casc - 1, 1) // _lane) * _lane
         # Device-side ASRC runs only in 'compat' mode (reference semantics);
         # in 'exact' mode the StreamEngine's host AsrcFrontend owns rate
         # conversion and the device pipeline sees engine-rate blocks.
@@ -363,7 +388,16 @@ class Pipeline:
                 and not self.fused and not self.upsampled_out):
             down = PolyResampler.init(1, self.upf, block=self.up_block, batch_shape=B)
         n_tail = (self.n_casc if self.fused else self.n_fused) - 1
-        conv_tail = jnp.zeros((self.batch, n_tail), dtype=jnp.float32)
+        if self._conv_pair:
+            # pair mode: the overlap tail is carried as its bf16 hi/lo split
+            # (bit-identical conv inputs to the staged path — the split is
+            # elementwise, so slicing/concatenating pairs commutes with it),
+            # padded to a LANE multiple for aligned kernel windows
+            kp = self._k_pad
+            conv_tail = (jnp.zeros((self.batch, kp), dtype=jnp.bfloat16),
+                         jnp.zeros((self.batch, kp), dtype=jnp.bfloat16))
+        else:
+            conv_tail = jnp.zeros((self.batch, n_tail), dtype=jnp.float32)
         agc_gain = jnp.ones((self.batch,), dtype=jnp.float32) if cfg.agc_enabled else None
         wf = None
         if cfg.waterfall_enabled:
@@ -413,7 +447,8 @@ class Pipeline:
             # exact mode on TPU consumes the desired gain time-major: the
             # fused RMS kernel stores [T, B] directly and the scan kernel
             # reads it without its input transpose (one array round trip)
-            exact_tpu = cfg.agc_mode not in ("fast", "parallel") and not self._pl_interpret
+            exact_tpu = cfg.agc_mode not in ("fast", "parallel") and (
+                not self._pl_interpret or self._force_fused)
             if self._rms_band is not None:
                 # fused MXU kernel: square → pad → boxcar dots → sqrt →
                 # desired gain in ONE pass straight from the raw block
@@ -438,9 +473,15 @@ class Pipeline:
                 # kernel — the per-sample gain never round-trips through HBM
                 from ..ops.pallas.agc_scan import smooth_gain_apply_pallas
 
+                # pair mode: emit the bf16 hi/lo pair for the pair-input conv
+                # kernel — unless the params carry per-stream banks, whose
+                # kernel consumes f32 (rare; falls back to staged input)
+                emit = self._conv_pair and not (
+                    cfg.eq_enabled and params.eq_gains.ndim == 2)
                 x, agc_gain = smooth_gain_apply_pallas(
                     d, x, params.agc_a_att, params.agc_a_rel,
                     params.agc_max_gain, init=carry, out_clip=0.99,
+                    interpret=self._pl_interpret, emit_split=emit,
                 )
             else:
                 if cfg.agc_mode == "fast":
@@ -482,7 +523,22 @@ class Pipeline:
         down = state.down
         if self.fused:
             n_conv = self.n_casc
-            ext = jnp.concatenate([state.conv_tail, x], axis=-1)
+            x_pair = isinstance(x, tuple)
+            if self._conv_pair:
+                # pair-carried tail: reconstruct f32 views only where a
+                # consumer needs them (per-stream banks, fft fallback)
+                tail_hi, tail_lo = state.conv_tail
+                if not x_pair:
+                    # fused apply fell back to f32 (per-stream banks or AGC
+                    # disabled at runtime is impossible — gate is static —
+                    # so this is the per-stream case): stage classically,
+                    # using the REAL n_conv−1 history columns of the padded
+                    # pair tail
+                    tail_f32 = (tail_hi.astype(jnp.float32)
+                                + tail_lo.astype(jnp.float32))[:, -(n_conv - 1):]
+                    ext = jnp.concatenate([tail_f32, x], axis=-1)
+            else:
+                ext = jnp.concatenate([state.conv_tail, x], axis=-1)
             if self._use_td:
                 per_stream = has_eq and params.eq_gains.ndim == 2
                 # fuse the output stage (±clip, then dither — the reference
@@ -515,21 +571,30 @@ class Pipeline:
                     )
                     oc = cfg.output_clip if fuse_clip else None
                     clip_done = fuse_clip
+                    dkw = {}
                     if fuse_dither:
                         from ..ops.pallas.dither_pl import fold_seed
 
                         key0, sub = jax.random.split(state.key)
                         dither_done = True
-                        y = fir_td_mxu(
-                            ext, band, interpret=self._pl_interpret,
+                        dkw = dict(
                             dither_seed=fold_seed(sub),
                             dither_bits=cfg.dither_bits,
                             dither_tpdf=(cfg.dither_kind == "tpdf"),
-                            out_clip=oc,
+                        )
+                    if x_pair:
+                        # pair-input kernel: no staging pass at all — the
+                        # AGC kernel emitted the pair, the tail is carried
+                        # as a pair, the concat happens in VMEM
+                        from ..ops.pallas.fir_td import fir_td_mxu_pair
+
+                        y = fir_td_mxu_pair(
+                            x[0], x[1], tail_hi, tail_lo, band,
+                            interpret=self._pl_interpret, out_clip=oc, **dkw,
                         )
                     else:
                         y = fir_td_mxu(ext, band, interpret=self._pl_interpret,
-                                       out_clip=oc)
+                                       out_clip=oc, **dkw)
             else:
                 H = params.combined_response(has_eq, premultiplied=True)
                 Y = jnp.fft.rfft(ext, n=self.nfft) * H
@@ -537,9 +602,34 @@ class Pipeline:
                 y = jax.lax.slice_in_dim(
                     y, n_conv - 1, n_conv - 1 + self.block, axis=-1
                 )
-            conv_tail = jax.lax.slice_in_dim(
-                ext, ext.shape[-1] - (n_conv - 1), ext.shape[-1], axis=-1
-            )
+            if self._conv_pair:
+                kp = self._k_pad
+                if x_pair:
+                    xh, xl = x
+                    T = xh.shape[-1]
+                    if kp <= T:
+                        conv_tail = (xh[:, T - kp:], xl[:, T - kp:])
+                    else:
+                        conv_tail = (
+                            jnp.concatenate([tail_hi[:, T - kp:], xh], axis=-1),
+                            jnp.concatenate([tail_lo[:, T - kp:], xl], axis=-1),
+                        )
+                else:
+                    # per-stream fallback staged through f32 ext: re-split
+                    # the (padded-width) tail slice — split is elementwise,
+                    # so this matches the pair the fused path would carry.
+                    # ext holds n_conv−1 history columns; prepend the extra
+                    # pad history from the carried pair (inert in the conv,
+                    # but keeps the carry self-consistent).
+                    from ..ops.pallas.fir_td import split_bf16
+
+                    # ext width T + n_conv−1 ≥ kp always (T ≥ LANE)
+                    conv_tail = split_bf16(jax.lax.slice_in_dim(
+                        ext, ext.shape[-1] - kp, ext.shape[-1], axis=-1))
+            else:
+                conv_tail = jax.lax.slice_in_dim(
+                    ext, ext.shape[-1] - (n_conv - 1), ext.shape[-1], axis=-1
+                )
         else:
             if up is not None:
                 up, x = up.process(x)  # [B, L*upf]

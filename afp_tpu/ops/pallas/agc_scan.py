@@ -201,11 +201,13 @@ def smooth_gain_scan_pallas(desired: jnp.ndarray, a_att, a_rel,
 
 
 def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
-                      c_scr, *, sub: int):
+                      c_scr, *, sub: int, yl_ref=None):
     """Scan + gain application in one kernel: runs the recurrence over the
     time-major desired gain, then stores ``clip(x · clip(g, 0.1, max_gain),
     ±out_clip)`` batch-major AND the final clipped gain (the cross-block
-    carry) — the gain array itself never touches HBM."""
+    carry) — the gain array itself never touches HBM.  With ``yl_ref`` the
+    store is the bf16 hi/lo PAIR (y_ref=hi, yl_ref=lo) for the pair-input
+    conv kernel."""
     a_att = a_ref[0, 0]
     a_rel = a_ref[0, 1]
     max_gain = a_ref[0, 2]
@@ -224,43 +226,70 @@ def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
     g_scr[...] = g
     chunk = c_scr[...].reshape(T_CHUNK, sub * LANES)
     gcl = jnp.clip(chunk.T, 0.1, max_gain)  # [sub·128, T_CHUNK]
-    y_ref[...] = jnp.clip(x_ref[...] * gcl, -out_clip, out_clip)
+    y = jnp.clip(x_ref[...] * gcl, -out_clip, out_clip)
+    if yl_ref is None:
+        y_ref[...] = y
+    else:
+        # emit the bf16 hi/lo pair of y straight from VMEM: the downstream
+        # pair-input conv kernel (`fir_td.py:_fir_kernel_b3t`) then needs no
+        # staging pass at all (same bitmask split the XLA path uses)
+        from .fir_td import _split_bf16_in_kernel
+
+        y_hi, y_lo = _split_bf16_in_kernel(y)
+        y_ref[...] = y_hi
+        yl_ref[...] = y_lo
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
         gl_ref[...] = jnp.clip(g_scr[...], 0.1, max_gain)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sub"))
+@functools.partial(jax.jit, static_argnames=("interpret", "sub", "emit_split"))
 def _agc_apply_call(d3, g03, x, scal, interpret: bool = False,
-                    sub: int = SUBLANES):
+                    sub: int = SUBLANES, emit_split: bool = False):
     T, Bs, _ = d3.shape
     B = Bs * LANES
     grid = (Bs // sub, T // T_CHUNK)
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((T_CHUNK, sub, LANES), lambda i, j: (j, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sub, LANES), lambda i, j: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((sub * LANES, T_CHUNK), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    y_spec = pl.BlockSpec((sub * LANES, T_CHUNK), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM)
+    gl_spec = pl.BlockSpec((sub, LANES), lambda i, j: (i, 0),
+                           memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((sub, LANES), jnp.float32),
+               pltpu.VMEM((T_CHUNK, sub, LANES), jnp.float32)]
+    if emit_split:
+        kern = lambda a, d, g0, xx, yh, gl, yl, g_scr, c_scr: (
+            _agc_apply_kernel(a, d, g0, xx, yh, gl, g_scr, c_scr,
+                              sub=sub, yl_ref=yl))
+        return pl.pallas_call(
+            kern, grid=grid, in_specs=in_specs,
+            out_specs=[y_spec, gl_spec, y_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, T), jnp.bfloat16),
+                jax.ShapeDtypeStruct((Bs, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((B, T), jnp.bfloat16),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(scal, d3, g03, x)
     return pl.pallas_call(
         functools.partial(_agc_apply_kernel, sub=sub),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((T_CHUNK, sub, LANES), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, LANES), lambda i, j: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub * LANES, T_CHUNK), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((sub * LANES, T_CHUNK), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, LANES), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=[y_spec, gl_spec],
         out_shape=[
             jax.ShapeDtypeStruct((B, T), jnp.float32),
             jax.ShapeDtypeStruct((Bs, LANES), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((sub, LANES), jnp.float32),
-                        pltpu.VMEM((T_CHUNK, sub, LANES), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(scal, d3, g03, x)
 
@@ -268,7 +297,8 @@ def _agc_apply_call(d3, g03, x, scal, interpret: bool = False,
 def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
                              a_att, a_rel, max_gain, init=None,
                              out_clip: float = 0.99,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             emit_split: bool = False):
     """Fully fused AGC back half: scan + clip + apply + carry in one kernel.
 
     `desired_tm`: [T, B] time-major desired gain (the layout
@@ -284,6 +314,12 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
     Requires B divisible by the kernel tile (`_pick_sublanes(B)·128`) and
     T by T_CHUNK — the caller falls back to the unfused path otherwise
     (padding x would cost the round trip this kernel exists to remove).
+
+    With ``emit_split=True`` the first return value is the bf16 hi/lo PAIR
+    ``(y_hi, y_lo)`` (``split_bf16`` semantics, done in VMEM on the way to
+    the store) for the pair-input conv kernel
+    (:func:`afp_tpu.ops.pallas.fir_td.fir_td_mxu_pair`) — y never exists in
+    HBM as f32.
     """
     d = jnp.asarray(desired_tm, dtype=jnp.float32)
     x = jnp.asarray(x, dtype=jnp.float32)
@@ -301,5 +337,9 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
         jnp.asarray(a_att, jnp.float32), jnp.asarray(a_rel, jnp.float32),
         jnp.asarray(max_gain, jnp.float32), jnp.asarray(out_clip, jnp.float32),
     ]).reshape(1, 4)
+    if emit_split:
+        y_hi, gl, y_lo = _agc_apply_call(d3, g03, x, scal, interpret=interpret,
+                                         sub=sub, emit_split=True)
+        return (y_hi, y_lo), gl.reshape(B)
     y, gl = _agc_apply_call(d3, g03, x, scal, interpret=interpret, sub=sub)
     return y, gl.reshape(B)

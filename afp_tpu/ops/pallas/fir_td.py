@@ -27,7 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["band_matrix", "wide_band_matrix", "fir_td_mxu",
-           "fir_td_mxu_per_stream", "fir_conv_xla", "PRECISION_MODE"]
+           "fir_td_mxu_pair", "fir_td_mxu_per_stream", "fir_conv_xla",
+           "PRECISION_MODE"]
 
 import os as _os
 
@@ -176,6 +177,44 @@ def _fir_kernel_b3f(x_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
     for t in range(t_tiles):
         w_hi = x_hi[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
         w_lo = x_lo[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
+        y = (
+            jnp.dot(w_hi, bhi_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
+        )
+        o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
+            y, seed_ref, lsb, tpdf, out_clip)
+
+
+def _fir_kernel_b3t(xhi_ref, xlo_ref, thi_ref, tlo_ref, bhi_ref, blo_ref,
+                    o_ref, *, k_pad: int, t_tiles: int, seed_ref=None,
+                    lsb: float = 0.0, tpdf: bool = True, out_clip=None):
+    """Pair-input B3 kernel: the extended signal arrives as FOUR refs — the
+    current block's bf16 hi/lo pair plus the carried overlap tail's pair —
+    so the conv stage needs NO input staging pass at all when the upstream
+    producer (the fused AGC apply kernel, `agc_scan.py` ``emit_split``)
+    already stores the pair: no XLA concat materialization, no standalone
+    hi/lo split round trip.
+
+    The tail is padded to ``k_pad`` (a LANE multiple; the padded band's top
+    rows are zero, so the extra leading history is numerically inert) —
+    every window slice is then lane-ALIGNED, and only the first
+    ``k_pad/LANE`` tiles stitch their window from two aligned pieces.  (A
+    first version concatenated the full extended rows in VMEM; the bulk
+    copy ate the staging savings — measured flat at the C8 point.)"""
+    if seed_ref is not None:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    for t in range(t_tiles):
+        off = t * LANE
+        if off < k_pad:  # window straddles the tail/block boundary
+            w_hi = jnp.concatenate(
+                [thi_ref[:, off:], xhi_ref[:, : off + LANE]], axis=-1)
+            w_lo = jnp.concatenate(
+                [tlo_ref[:, off:], xlo_ref[:, : off + LANE]], axis=-1)
+        else:
+            s = off - k_pad
+            w_hi = xhi_ref[:, s : s + k_pad + LANE]
+            w_lo = xlo_ref[:, s : s + k_pad + LANE]
         y = (
             jnp.dot(w_hi, bhi_ref[:, :], preferred_element_type=jnp.float32)
             + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
@@ -350,6 +389,103 @@ def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
         out_shape=out_shape,
         interpret=interpret,
     )(x_ext, band)
+
+
+def _pick_b_tile_b3t(B: int, k_pad: int, T: int) -> int:
+    """Batch tile for the pair-input kernel: double-buffered in pair
+    (T·4 B/row across the two bf16 halves) + tail pair + out, no bulk
+    scratch (windows slice the refs in place)."""
+    for b_tile in (256, 128, 64, 32, 16, 8):
+        if B % b_tile:
+            continue
+        foot = (2 * b_tile * T * 4 + 2 * b_tile * k_pad * 4
+                + 2 * b_tile * T * 4)
+        if foot <= 12 * 2**20:
+            return b_tile
+    return min(B, 8)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "dither_bits", "dither_tpdf", "out_clip"))
+def _fir_td_pair_call(x_hi, x_lo, tail_hi, tail_lo, band,
+                      interpret: bool = False, seed=None,
+                      dither_bits: int | None = None, dither_tpdf: bool = True,
+                      out_clip: float | None = None):
+    B, T = x_hi.shape
+    k_pad = tail_hi.shape[1]  # LANE multiple ≥ n_taps − 1
+    n_taps = band.shape[0] - LANE + 1
+    assert k_pad % LANE == 0 and k_pad >= n_taps - 1, (k_pad, n_taps)
+    # zero top rows align the padded-tail geometry (numerically inert:
+    # the extra leading history multiplies zeros)
+    band_p = jnp.pad(band, ((k_pad - (n_taps - 1), 0), (0, 0)))
+    t_tiles = T // LANE
+    b_hi, b_lo = split_bf16(band_p)
+    bt = _pick_b_tile_b3t(B, k_pad, T)
+    grid = (B // bt,)
+    x_spec = pl.BlockSpec((bt, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((bt, k_pad), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((band_p.shape[0], LANE), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bt, T), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, T), jnp.float32)
+    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    dkw = {"out_clip": out_clip}
+    if dither_bits is not None:
+        dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
+    kernel = functools.partial(_fir_kernel_b3t, k_pad=k_pad,
+                               t_tiles=t_tiles, **dkw)
+    if dither_bits is not None:
+        kern = lambda s, a, b, c, d, e, f, o: kernel(a, b, c, d, e, f, o,
+                                                     seed_ref=s)
+        return pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[seed_spec, x_spec, x_spec, t_spec, t_spec,
+                      band_spec, band_spec],
+            out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+        )(seed, x_hi, x_lo, tail_hi, tail_lo, b_hi, b_lo)
+    return pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[x_spec, x_spec, t_spec, t_spec, band_spec, band_spec],
+        out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+    )(x_hi, x_lo, tail_hi, tail_lo, b_hi, b_lo)
+
+
+def fir_td_mxu_pair(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
+                    tail_hi: jnp.ndarray, tail_lo: jnp.ndarray,
+                    band: jnp.ndarray, interpret: bool = False,
+                    dither_seed=None, dither_bits: int | None = None,
+                    dither_tpdf: bool = True,
+                    out_clip: float | None = None) -> jnp.ndarray:
+    """Causal/valid FIR conv consuming the bf16 hi/lo PAIR of the block and
+    of the carried overlap tail → [B, T] f32.
+
+    Numerically ≡ ``fir_td_mxu(concat([tail, x]), band, precision='B3')``
+    when the pairs are :func:`split_bf16` of the f32 inputs (the kernel
+    stitches lane-aligned window slices and runs the same three bf16 MXU
+    passes).  Producers that already hold the block in VMEM (the fused AGC
+    apply kernel) can emit the pair directly, eliminating the conv input
+    staging round trip — see `docs/BENCHMARKS.md`.
+
+    The tail pair provides ≥ N−1 trailing samples of history.  Its width is
+    padded up to a LANE multiple (extra LEADING samples — any content — are
+    numerically inert against the padded band's zero rows); a width of
+    exactly N−1 is accepted and zero-padded here for one-shot use.
+    """
+    assert x_hi.dtype == jnp.bfloat16 and tail_hi.dtype == jnp.bfloat16
+    band = jnp.asarray(band, dtype=jnp.float32)
+    k = band.shape[0] - LANE  # n_taps − 1
+    k_pad = -(-max(k, 1) // LANE) * LANE
+    if tail_hi.shape[1] != k_pad:
+        pad = k_pad - tail_hi.shape[1]
+        assert pad > 0, (tail_hi.shape, k_pad)
+        tail_hi = jnp.pad(tail_hi, ((0, 0), (pad, 0)))
+        tail_lo = jnp.pad(tail_lo, ((0, 0), (pad, 0)))
+    return _fir_td_pair_call(x_hi, x_lo, tail_hi, tail_lo, band,
+                             interpret=interpret, seed=dither_seed,
+                             dither_bits=dither_bits, dither_tpdf=dither_tpdf,
+                             out_clip=out_clip)
 
 
 def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,

@@ -329,3 +329,40 @@ def test_engine_mxu_rms_matches_fft_rms(rng, w):
     _, y2 = p2.step(pr2, p2.init_state(), x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_conv_pair_path_bitexact(rng, monkeypatch):
+    """The zero-staging conv-pair path (fused AGC apply emits the bf16 hi/lo
+    pair, `fir_td_mxu_pair` consumes it with the pair-carried tail) must be
+    BIT-identical to the staged path across carried blocks — the split is
+    elementwise, so slicing/concatenating pairs commutes with it."""
+    import dataclasses
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=256, upsample_factor=2, numtaps=33,
+        batch=1024, eq_enabled=True, agc_enabled=True, agc_mode="exact",
+        agc_window_size=64, agc_carry=True, dither_kind="off",
+        downsample_mode="decimate", output_clip=0.99, conv_strategy="td_mxu",
+    )
+    sig = (rng.normal(size=(3, 1024, 256)) * 0.1).astype(np.float32)
+
+    p_ref = Pipeline(cfg)
+    assert not p_ref._conv_pair  # CPU default: staged path
+    pr = p_ref.device_params(PipelineParams.design(p_ref.cfg))
+    st = p_ref.init_state()
+    ref = []
+    for b in sig:
+        st, y = p_ref._step_impl(pr, st, b)
+        ref.append(np.asarray(y))
+
+    monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    p_pair = Pipeline(cfg)
+    assert p_pair._conv_pair, "pair mode must engage under the force hook"
+    pp = p_pair.device_params(PipelineParams.design(p_pair.cfg))
+    sp = p_pair.init_state()
+    assert isinstance(sp.conv_tail, tuple)  # pair-carried overlap tail
+    for i, b in enumerate(sig):
+        sp, y = p_pair._step_impl(pp, sp, b)
+        np.testing.assert_array_equal(np.asarray(y), ref[i])

@@ -369,3 +369,30 @@ def test_exact_asrc_never_raises_on_bad_shapes(rng):
     assert out.shape == (2, 512)
     out = eng.process_block(rng.normal(size=(5, 700)).astype(np.float32))
     assert out.shape == (2, 512)
+
+
+def test_checkpoint_roundtrip_pair_state(tmp_path, rng, monkeypatch):
+    """Checkpoint must round-trip the bf16 pair-carried overlap tail
+    (numpy cannot serialize ml_dtypes bfloat16 — stored as a uint16 bit
+    view, `checkpoint.py:_store`)."""
+    monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    eng = make_engine(
+        batch=1024, blocksize=256, numtaps=33, agc_enabled=True,
+        agc_mode="exact", agc_window_size=64, agc_carry=True,
+        output_clip=0.99, conv_strategy="td_mxu",
+    )
+    assert eng.pipeline._conv_pair  # the pair path must actually engage
+    sig = rng.normal(size=(1024, 256 * 2)).astype(np.float32) * 0.1
+    for i in range(2):
+        eng.process_block(sig[:, i * 256 : (i + 1) * 256])
+    assert isinstance(eng.state.conv_tail, tuple)
+    path = str(tmp_path / "ckpt_pair.npz")
+    save_checkpoint(path, eng)
+
+    eng2 = load_checkpoint(path)
+    import jax.numpy as jnp
+
+    assert eng2.state.conv_tail[0].dtype == jnp.bfloat16
+    nxt = rng.normal(size=(1024, 256)).astype(np.float32) * 0.1
+    np.testing.assert_array_equal(eng.process_block(nxt),
+                                  eng2.process_block(nxt))

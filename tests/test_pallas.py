@@ -184,3 +184,53 @@ def test_fused_out_clip_matches_staged(rng):
     assert np.max(np.abs(plain)) > 0.99  # the clip must actually bite
     fused = np.asarray(fir_td_mxu(x, band, interpret=True, out_clip=0.99))
     np.testing.assert_allclose(fused, np.clip(plain, -0.99, 0.99), atol=0)
+
+
+def test_fir_td_pair_matches_b3(rng):
+    """fir_td_mxu_pair on split inputs must be BIT-identical to the B3 path
+    on the concatenated extended signal (the VMEM concat + same three bf16
+    passes)."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import fir_td_mxu_pair, split_bf16
+
+    for taps, T, B in ((129, 512, 8), (257, 256, 16)):
+        h = (rng.normal(size=taps) * 0.1).astype(np.float32)
+        x = (rng.normal(size=(B, T)) * 0.4).astype(np.float32)
+        tail = (rng.normal(size=(B, taps - 1)) * 0.4).astype(np.float32)
+        ext = np.concatenate([tail, x], axis=1)
+        band = band_matrix(h)
+        ref = np.asarray(fir_td_mxu(jnp.asarray(ext), jnp.asarray(band),
+                                    interpret=True, precision="B3"))
+        xh, xl = split_bf16(jnp.asarray(x))
+        th, tl = split_bf16(jnp.asarray(tail))
+        got = np.asarray(fir_td_mxu_pair(xh, xl, th, tl, jnp.asarray(band),
+                                         interpret=True))
+        np.testing.assert_array_equal(got, ref)
+        # fused clip rides along
+        got_c = np.asarray(fir_td_mxu_pair(xh, xl, th, tl, jnp.asarray(band),
+                                           interpret=True, out_clip=0.05))
+        np.testing.assert_array_equal(got_c, np.clip(ref, -0.05, 0.05))
+
+
+def test_agc_apply_emit_split_matches_plain(rng):
+    """emit_split=True must return exactly (split_bf16(y), carry) of the
+    plain fused apply."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.agc_scan import smooth_gain_apply_pallas
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    B, T = 1024, 256
+    d = rng.uniform(0.2, 4.0, size=(T, B)).astype(np.float32)
+    x = (rng.normal(size=(B, T)) * 0.3).astype(np.float32)
+    y, gl = smooth_gain_apply_pallas(jnp.asarray(d), jnp.asarray(x),
+                                     0.2, 0.02, 4.0, interpret=True)
+    (yh, yl), gl2 = smooth_gain_apply_pallas(
+        jnp.asarray(d), jnp.asarray(x), 0.2, 0.02, 4.0, interpret=True,
+        emit_split=True)
+    rh, rl = split_bf16(y)
+    assert yh.dtype == jnp.bfloat16 and yl.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(yh), np.asarray(rh))
+    np.testing.assert_array_equal(np.asarray(yl), np.asarray(rl))
+    np.testing.assert_array_equal(np.asarray(gl), np.asarray(gl2))

@@ -206,6 +206,44 @@ def check_fused_clip() -> dict:
     return {"fused_clip_exact": True}
 
 
+def check_conv_pair() -> dict:
+    """The zero-staging pair path (AGC apply emits the bf16 hi/lo pair,
+    `fir_td_mxu_pair` consumes it with the pair-carried tail) must be
+    bit-identical to the staged path on the compiled lowering, through the
+    full pipeline across carried blocks."""
+    import jax.numpy as jnp
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=2048, upsample_factor=2, numtaps=129,
+        batch=1024, eq_enabled=True, agc_enabled=True, agc_mode="exact",
+        agc_window_size=512, agc_carry=True, dither_kind="off",
+        downsample_mode="decimate", output_clip=0.99, conv_strategy="td_mxu",
+    )
+    rng = np.random.default_rng(6)
+    sig = (rng.standard_normal((3, 1024, 2048)) * 0.1).astype(np.float32)
+
+    p = Pipeline(cfg)
+    assert p._conv_pair, "pair mode must engage on TPU"
+    params = p.device_params(PipelineParams.design(p.cfg))
+    st = p.init_state()
+    assert isinstance(st.conv_tail, tuple)
+    pair_out = []
+    for b in sig:
+        st, y = p.step(params, st, jnp.asarray(b))
+        pair_out.append(np.asarray(y))
+
+    p._conv_pair = False  # force the staged path on the same Pipeline
+    st = p.init_state()
+    assert not isinstance(st.conv_tail, tuple)
+    for i, b in enumerate(sig):
+        st, y = p.step(params, st, jnp.asarray(b))
+        d = float(np.max(np.abs(np.asarray(y) - pair_out[i])))
+        assert d == 0.0, f"pair vs staged diverge at block {i}: {d}"
+    return {"conv_pair_exact": True}
+
+
 def check_agc_fused() -> dict:
     """The fused RMS front half and the fused scan+apply back half vs the
     staged float64 oracle, through realistic C8-like shapes."""
@@ -266,7 +304,7 @@ def main() -> None:
     out = {"device": str(dev), "ok": True}
     for fn in (check_fir_td, check_fir_per_stream, check_agc_scan,
                check_dither, check_fused_dither, check_fused_clip,
-               check_agc_fused):
+               check_agc_fused, check_conv_pair):
         print(f"hw_check: {fn.__name__}...", file=sys.stderr, flush=True)
         out.update(fn())
     print(json.dumps(out))
