@@ -208,9 +208,12 @@ def check_fused_clip() -> dict:
 
 def check_conv_pair() -> dict:
     """The zero-staging pair path (AGC apply emits the bf16 hi/lo pair,
-    `fir_td_mxu_pair` consumes it with the pair-carried tail) must be
-    bit-identical to the staged path on the compiled lowering, through the
-    full pipeline across carried blocks."""
+    `fir_td_mxu_pair` consumes it with the pair-carried tail) vs the staged
+    path on the compiled lowering, through the full pipeline across carried
+    blocks.  On the MXU the padded band changes the K-dimension tiling, so
+    f32 accumulation order differs by ~1 ulp (interpret mode is bit-exact,
+    tests/test_agc_dither.py); the bound here is ulp-scale, far below the
+    −90 dB contract."""
     import jax.numpy as jnp
 
     from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
@@ -237,11 +240,13 @@ def check_conv_pair() -> dict:
     p._conv_pair = False  # force the staged path on the same Pipeline
     st = p.init_state()
     assert not isinstance(st.conv_tail, tuple)
+    worst = 0.0
     for i, b in enumerate(sig):
         st, y = p.step(params, st, jnp.asarray(b))
         d = float(np.max(np.abs(np.asarray(y) - pair_out[i])))
-        assert d == 0.0, f"pair vs staged diverge at block {i}: {d}"
-    return {"conv_pair_exact": True}
+        worst = max(worst, d)
+        assert d < 1e-6, f"pair vs staged diverge at block {i}: {d}"
+    return {"conv_pair_max_abs_diff": worst}
 
 
 def check_agc_fused() -> dict:
