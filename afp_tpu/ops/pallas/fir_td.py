@@ -48,8 +48,11 @@ LANE = int(_os.environ.get("AFP_TD_TILE", "128"))
 #:               This is the Precision.HIGH algorithm Mosaic doesn't expose,
 #:               implemented manually.
 PRECISION_MODE = _os.environ.get("AFP_TD_PRECISION", "B3").upper()
+# every bf16-split mode (B3/B3F/B3C) uses explicit bf16 operands, so the
+# jax-level dot precision only matters for the HIGHEST path
 _PRECISION = getattr(__import__("jax").lax.Precision,
-                     "HIGHEST" if PRECISION_MODE == "B3" else PRECISION_MODE)
+                     "HIGHEST" if PRECISION_MODE.startswith("B3")
+                     else PRECISION_MODE)
 
 
 def split_bf16(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
