@@ -53,6 +53,10 @@ def save_checkpoint(path: str, engine: StreamEngine) -> None:
         "n_state_leaves": len(state_leaves),
         "n_param_leaves": len(param_leaves),
         "bf16_leaves": bf16,
+        # conv-pair mode (TPU AGC-exact td_mxu) carries the overlap tail as
+        # a bf16 hi/lo pair — recorded so a host whose pipeline uses the
+        # other layout can still restore (see load_checkpoint)
+        "conv_pair": isinstance(engine.state.conv_tail, tuple),
     }
     if engine._asrc_frontend is not None:  # host ASRC accumulators
         meta["has_asrc"] = True
@@ -65,7 +69,15 @@ def save_checkpoint(path: str, engine: StreamEngine) -> None:
 
 def load_checkpoint(path: str) -> StreamEngine:
     """Restore a StreamEngine (config re-validated, pipeline re-jitted,
-    streaming state restored bit-exactly)."""
+    streaming state restored bit-exactly).
+
+    Cross-backend portability: a checkpoint saved where the conv-pair mode
+    was engaged (TPU, AGC-exact td_mxu — overlap tail carried as a bf16
+    hi/lo pair) restores on a host whose pipeline uses the plain f32 tail,
+    and vice versa; the tail is converted (pair→f32 reconstruct / f32→pair
+    split).  Same-layout restore stays bit-exact; cross-layout restore
+    carries the tail at combined-bf16 precision (~1e-7 relative, far below
+    the −90 dB contract)."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta_json"]).decode())
         if meta["version"] != _FORMAT_VERSION:
@@ -86,8 +98,31 @@ def load_checkpoint(path: str) -> StreamEngine:
             )
             if "asrc_outq" in z:
                 engine._asrc_outq.extend(np.asarray(z["asrc_outq"]))
-    _, state_tree = jax.tree_util.tree_flatten(engine.state)
+    saved_pair = bool(meta.get("conv_pair", False))
+    eng_pair = isinstance(engine.state.conv_tail, tuple)
+    # unflatten against a template matching the SAVED structure (treedef
+    # depends only on structure, not shapes)
+    dummy = np.zeros(0, np.float32)
+    template = engine.state._replace(
+        conv_tail=(dummy, dummy) if saved_pair else dummy)
+    _, state_tree = jax.tree_util.tree_flatten(template)
     _, param_tree = jax.tree_util.tree_flatten(engine.params)
-    engine.state = jax.tree_util.tree_unflatten(state_tree, state_leaves)
+    state = jax.tree_util.tree_unflatten(state_tree, state_leaves)
+    if saved_pair != eng_pair:
+        import jax.numpy as jnp
+
+        from ..ops.pallas.fir_td import split_bf16
+
+        ct = state.conv_tail
+        if saved_pair:  # pair on disk → this host wants the f32 tail
+            n_tail = engine.state.conv_tail.shape[-1]
+            ct = (jnp.asarray(ct[0]).astype(jnp.float32)
+                  + jnp.asarray(ct[1]).astype(jnp.float32))[:, -n_tail:]
+        else:  # f32 on disk → this host wants the padded pair
+            kp = engine.state.conv_tail[0].shape[-1]
+            pad = kp - ct.shape[-1]
+            ct = split_bf16(jnp.pad(jnp.asarray(ct), ((0, 0), (pad, 0))))
+        state = state._replace(conv_tail=ct)
+    engine.state = state
     engine.params = jax.tree_util.tree_unflatten(param_tree, param_leaves)
     return engine

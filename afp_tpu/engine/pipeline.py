@@ -496,16 +496,20 @@ class Pipeline:
                     g = smooth_gain_parallel(
                         d, params.agc_a_att, params.agc_a_rel, init=carry
                     )
-                elif not self._pl_interpret:
+                elif not self._pl_interpret or self._force_fused:
                     # exact mode on TPU: the Pallas hardware-loop scan kernel
                     # (identical per-sample semantics, none of the XLA loop
-                    # overhead that made AGC the pipeline's serial ceiling)
+                    # overhead that made AGC the pipeline's serial ceiling).
+                    # Under the force hook this also covers the case where
+                    # the fused apply is not tileable but the RMS kernel
+                    # already emitted d time-major.
                     from ..ops.pallas.agc_scan import smooth_gain_scan_pallas
 
                     g = smooth_gain_scan_pallas(
                         d, params.agc_a_att, params.agc_a_rel, init=carry,
-                        time_major=(self._rms_band is not None),
+                        time_major=exact_tpu and self._rms_band is not None,
                         out_batch_major=True,
+                        interpret=self._pl_interpret,
                     )
                 else:
                     g = smooth_gain_scan(

@@ -265,32 +265,22 @@ def _agc_apply_call(d3, g03, x, scal, interpret: bool = False,
                            memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((sub, LANES), jnp.float32),
                pltpu.VMEM((T_CHUNK, sub, LANES), jnp.float32)]
+    gl_shape = jax.ShapeDtypeStruct((Bs, LANES), jnp.float32)
     if emit_split:
         kern = lambda a, d, g0, xx, yh, gl, yl, g_scr, c_scr: (
             _agc_apply_kernel(a, d, g0, xx, yh, gl, g_scr, c_scr,
                               sub=sub, yl_ref=yl))
-        return pl.pallas_call(
-            kern, grid=grid, in_specs=in_specs,
-            out_specs=[y_spec, gl_spec, y_spec],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, T), jnp.bfloat16),
-                jax.ShapeDtypeStruct((Bs, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((B, T), jnp.bfloat16),
-            ],
-            scratch_shapes=scratch,
-            interpret=interpret,
-        )(scal, d3, g03, x)
+        out_specs = [y_spec, gl_spec, y_spec]
+        out_shape = [jax.ShapeDtypeStruct((B, T), jnp.bfloat16), gl_shape,
+                     jax.ShapeDtypeStruct((B, T), jnp.bfloat16)]
+    else:
+        kern = functools.partial(_agc_apply_kernel, sub=sub)
+        out_specs = [y_spec, gl_spec]
+        out_shape = [jax.ShapeDtypeStruct((B, T), jnp.float32), gl_shape]
     return pl.pallas_call(
-        functools.partial(_agc_apply_kernel, sub=sub),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[y_spec, gl_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, T), jnp.float32),
-            jax.ShapeDtypeStruct((Bs, LANES), jnp.float32),
-        ],
-        scratch_shapes=scratch,
-        interpret=interpret,
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=scratch, interpret=interpret,
     )(scal, d3, g03, x)
 
 

@@ -36,10 +36,13 @@ def _state_spec(state: StreamState) -> StreamState:
     """PartitionSpec pytree for a StreamState, tagged STRUCTURALLY by field
     (not by shape coincidence — a PRNG key at batch=2 or a kernel whose
     length equals the batch must not land on the 'streams' axis)."""
+    tail_spec = P("streams", None)
+    if isinstance(state.conv_tail, tuple):  # conv-pair mode: bf16 hi/lo pair
+        tail_spec = (tail_spec, tail_spec)
     return StreamState(
         asrc=_resampler_spec(state.asrc),
         up=_resampler_spec(state.up),
-        conv_tail=P("streams", None),
+        conv_tail=tail_spec,
         down=_resampler_spec(state.down),
         agc_gain=None if state.agc_gain is None else P("streams"),
         key=P(),

@@ -310,7 +310,7 @@ def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
     xrt = chain * batch * nblocks * cfg.blocksize / cfg.samplerate / best
     print(f"bench: agc mode={agc_mode} xrt={xrt:.0f}", file=sys.stderr, flush=True)
     sustained = _sustained_xrt(pipe, params, blocks, reps)
-    return max(float(round(xrt, 1)), sustained or 0.0)
+    return {"chained": float(round(xrt, 1)), "sustained": sustained}
 
 
 def agc_parallel_vs_exact_db(strategy: str) -> float:
@@ -382,9 +382,14 @@ def main() -> None:
         key = f"agc_{mode}_xrt"
         try:
             _alarm(600)
-            result[key] = run_agc_config(batch, agc_nblocks, max(2, reps - 2),
-                                         agc_strategy, mode)
+            r = run_agc_config(batch, agc_nblocks, max(2, reps - 2),
+                               agc_strategy, mode)
             signal.alarm(0)
+            # headline per mode = sustained (the serving number) when it was
+            # measured; the chained value is kept under its own key so the
+            # two methodologies never mix silently
+            result[key] = r["sustained"] if r["sustained"] else r["chained"]
+            result[f"agc_{mode}_chained_xrt"] = r["chained"]
         except (BenchTimeout, Exception) as e:  # noqa: BLE001
             signal.alarm(0)
             print(f"bench: agc {mode} failed ({e})", file=sys.stderr, flush=True)

@@ -336,8 +336,6 @@ def test_conv_pair_path_bitexact(rng, monkeypatch):
     pair, `fir_td_mxu_pair` consumes it with the pair-carried tail) must be
     BIT-identical to the staged path across carried blocks — the split is
     elementwise, so slicing/concatenating pairs commutes with it."""
-    import dataclasses
-
     from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
 
     cfg = StreamConfig(

@@ -396,3 +396,48 @@ def test_checkpoint_roundtrip_pair_state(tmp_path, rng, monkeypatch):
     nxt = rng.normal(size=(1024, 256)).astype(np.float32) * 0.1
     np.testing.assert_array_equal(eng.process_block(nxt),
                                   eng2.process_block(nxt))
+
+
+def test_checkpoint_cross_layout_restore(tmp_path, rng, monkeypatch):
+    """A checkpoint saved with the conv-pair tail (TPU layout) must restore
+    on a host whose pipeline carries the plain f32 tail, and vice versa
+    (`checkpoint.py:load_checkpoint` structure adaptation)."""
+    kw = dict(
+        batch=1024, blocksize=256, numtaps=33, agc_enabled=True,
+        agc_mode="exact", agc_window_size=64, agc_carry=True,
+        output_clip=0.99, conv_strategy="td_mxu",
+    )
+    sig = rng.normal(size=(1024, 256 * 2)).astype(np.float32) * 0.1
+
+    monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    eng_pair = make_engine(**kw)
+    assert eng_pair.pipeline._conv_pair
+    for i in range(2):
+        eng_pair.process_block(sig[:, i * 256 : (i + 1) * 256])
+    p1 = str(tmp_path / "pair.npz")
+    save_checkpoint(p1, eng_pair)
+
+    monkeypatch.delenv("AFP_AGC_FUSED_FORCE")
+    eng_f32 = make_engine(**kw)
+    assert not eng_f32.pipeline._conv_pair
+    for i in range(2):
+        eng_f32.process_block(sig[:, i * 256 : (i + 1) * 256])
+    p2 = str(tmp_path / "f32.npz")
+    save_checkpoint(p2, eng_f32)
+
+    # pair-saved → f32 host
+    restored = load_checkpoint(p1)
+    assert not restored.pipeline._conv_pair
+    nxt = rng.normal(size=(1024, 256)).astype(np.float32) * 0.1
+    ref = eng_f32.process_block(nxt)
+    got = restored.process_block(nxt)
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-300)
+    assert 20 * np.log10(err + 1e-300) < -90  # tail at combined-bf16 precision
+
+    # f32-saved → pair host
+    monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    restored2 = load_checkpoint(p2)
+    assert restored2.pipeline._conv_pair
+    got2 = restored2.process_block(nxt)
+    err2 = np.max(np.abs(got2 - ref)) / (np.max(np.abs(ref)) + 1e-300)
+    assert 20 * np.log10(err2 + 1e-300) < -90

@@ -269,3 +269,21 @@ def test_sharded_per_stream_filter_banks(rng, mesh):
     # [B_global, F] H_main over 'streams'
     _, out = sp.step(bank, sp.init_state(), blocks)
     np.testing.assert_allclose(np.asarray(out), np.asarray(gold), atol=1e-6)
+
+
+def test_state_spec_pair_tail():
+    """_state_spec must mirror the conv-pair tail's tuple structure (a
+    single P leaf crashes ShardedPipeline.init_state's tree_map)."""
+    import jax.numpy as jnp
+
+    from jax.sharding import PartitionSpec as P
+
+    from afp_tpu.engine.pipeline import StreamState
+    from afp_tpu.parallel.dp import _state_spec
+
+    z = jnp.zeros((4, 8), jnp.bfloat16)
+    st = StreamState(asrc=None, up=None, conv_tail=(z, z), down=None,
+                     agc_gain=jnp.ones(4), key=None, wf=None)
+    spec = _state_spec(st)
+    assert isinstance(spec.conv_tail, tuple) and len(spec.conv_tail) == 2
+    assert spec.conv_tail[0] == P("streams", None)
