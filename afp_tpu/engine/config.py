@@ -144,6 +144,19 @@ class StreamConfig:
     #              (wins for short cascade kernels).
     conv_strategy: str = "fft"
 
+    # Input format at the Pipeline boundary:
+    #   'f32'  — each block is a [B, L] float32 array (the reference's
+    #            contract; default),
+    #   'pair' — each block is the bf16 (hi, lo) pair of the float32 block
+    #            (`ops.pallas.fir_td.split_bf16` semantics).  When the
+    #            td_mxu strategy runs a bf16-class precision mode and no
+    #            AGC/ASRC stage precedes the conv, the pair feeds the
+    #            pair-input conv kernel directly — the on-device input
+    #            staging pass (34% of headline device time, BENCHMARKS.md)
+    #            disappears; the split happens wherever ingest lives (host
+    #            CPU during DMA staging, or an upstream producer kernel).
+    ingest: str = "f32"
+
     @property
     def upsampled_rate(self) -> int:
         return self.samplerate * self.upsample_factor
@@ -187,6 +200,15 @@ class StreamConfig:
             raise ValueError(f"invalid conv_strategy {self.conv_strategy!r}")
         if self.conv_strategy == "td_mxu" and not self.fuse_rate_conversion:
             raise ValueError("conv_strategy='td_mxu' requires fuse_rate_conversion")
+        if self.ingest not in ("f32", "pair"):
+            raise ValueError(f"invalid ingest {self.ingest!r}")
+        if self.ingest == "pair":
+            if self.conv_strategy != "td_mxu":
+                raise ValueError("ingest='pair' requires conv_strategy='td_mxu'")
+            if self.agc_enabled or self.source_samplerate:
+                raise ValueError(
+                    "ingest='pair' requires agc/asrc disabled (those stages "
+                    "consume the f32 block before the conv)")
         agc_window = max(1, min(int(self.agc_window_size), blocksize // 2))
         return dataclasses.replace(
             self,
@@ -224,6 +246,7 @@ class StreamConfig:
             self.agc_mode,
             self.agc_carry,
             self.output_rate,
+            self.ingest,
         )
 
     # --- (de)serialization for presets/checkpoints ---

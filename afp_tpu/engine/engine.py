@@ -75,6 +75,13 @@ class StreamEngine:
     # ---------------- construction / reconfig ----------------
 
     def _build(self, cfg: StreamConfig) -> None:
+        if cfg.ingest == "pair":
+            # the engine's degradation ladder (pad/trim, replay, silence)
+            # operates on f32 blocks; pair ingest is a Pipeline-level
+            # feature for callers that own their ingest path
+            raise NotImplementedError(
+                "StreamEngine requires ingest='f32'; drive Pipeline "
+                "directly for pair ingest")
         self.pipeline = Pipeline(cfg)
         self.cfg = self.pipeline.cfg
         try:

@@ -231,6 +231,20 @@ class Pipeline:
             and cfg.agc_mode not in ("fast", "parallel")
             and (not self._pl_interpret or self._force_fused)
         )
+        # Pair ingest (cfg.ingest='pair'): blocks arrive as the bf16 hi/lo
+        # pair and feed the pair-input conv kernel directly — no on-device
+        # input staging at all (the split lives wherever ingest does).
+        # Validate() guarantees td_mxu + no agc/asrc; bf16-class precision
+        # is required because the pair IS the bf16 operand split.
+        self._pair_ingest = (
+            cfg.ingest == "pair" and self._use_td
+            and _td_prec in ("B3", "B3F", "B3C")
+        )
+        if cfg.ingest == "pair" and not self._pair_ingest:
+            raise ValueError(
+                "ingest='pair' requires a bf16-class conv precision "
+                f"(AFP_TD_PRECISION is {_td_prec!r})")
+        self._conv_pair = self._conv_pair or self._pair_ingest
         if self._conv_pair:
             # pair tail is carried padded to a LANE multiple so every window
             # slice in the pair kernel is lane-aligned (fir_td.py:_fir_kernel_b3t)
@@ -420,7 +434,13 @@ class Pipeline:
     def _step_impl(self, params: DeviceParams, state: StreamState,
                    block: jnp.ndarray):
         cfg = self.cfg
-        x = jnp.asarray(block, dtype=jnp.float32)  # [B, L_in]
+        if self._pair_ingest:
+            # block is the bf16 (hi, lo) pair of the f32 block — flows
+            # straight into the pair-input conv path (no staging pass)
+            x = (jnp.asarray(block[0], jnp.bfloat16),
+                 jnp.asarray(block[1], jnp.bfloat16))
+        else:
+            x = jnp.asarray(block, dtype=jnp.float32)  # [B, L_in]
         dither_done = False  # set when the conv kernel fused the dither
         clip_done = False  # set when the conv kernel fused the output clip
         key0 = state.key
@@ -562,6 +582,18 @@ class Pipeline:
                     # tile yields every band, mixed per stream in-kernel
                     from ..ops.pallas.fir_td import fir_td_mxu_per_stream
 
+                    if x_pair:
+                        # pair ingest + per-stream banks: the wide-dot
+                        # kernel consumes f32 — reconstruct (combined-bf16
+                        # precision, ~1e-7 relative)
+                        xh_, xl_ = x
+                        tail_f32 = (
+                            tail_hi.astype(jnp.float32)
+                            + tail_lo.astype(jnp.float32))[:, -(n_conv - 1):]
+                        ext = jnp.concatenate(
+                            [tail_f32,
+                             xh_.astype(jnp.float32) + xl_.astype(jnp.float32)],
+                            axis=-1)
                     y = fir_td_mxu_per_stream(
                         ext, params.casc_bands, params.eq_gains,
                         interpret=self._pl_interpret, wide=params.casc_wide,

@@ -113,7 +113,8 @@ def _sustained_xrt(pipe, params, blocks, reps: int):
     n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
     if not n_sust:
         return None
-    K, batch, blocksize = blocks.shape
+    pair = isinstance(blocks, tuple)  # pair-ingest pipelines take (hi, lo)
+    K, batch, blocksize = (blocks[0] if pair else blocks).shape
 
     # blocks passed as an ARGUMENT: closure capture would serialize the
     # multi-GB input ring as a lowering constant (and ship it through the
@@ -122,8 +123,12 @@ def _sustained_xrt(pipe, params, blocks, reps: int):
     def sustained(state, ring, blk):
         def body(carry, i):
             st, rg = carry
-            xb = jax.lax.dynamic_index_in_dim(
-                blk, jnp.mod(i, K), keepdims=False)
+            if pair:
+                xb = tuple(jax.lax.dynamic_index_in_dim(
+                    b, jnp.mod(i, K), keepdims=False) for b in blk)
+            else:
+                xb = jax.lax.dynamic_index_in_dim(
+                    blk, jnp.mod(i, K), keepdims=False)
             st, y = pipe._step_impl(params, st, xb)
             rg = jax.lax.dynamic_update_index_in_dim(
                 rg, y, jnp.mod(i, K), axis=0)
@@ -205,6 +210,32 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
     # profile shows the chip idle ~40% of wall time there (BENCHMARKS.md).
     sustained_xrt = _sustained_xrt(pipe, params, blocks, reps)
 
+    # Pair-ingest variant (cfg.ingest='pair'): the bf16 hi/lo split happens
+    # at ingest (host/DMA side), the device runs ZERO staging passes.  Extra
+    # metric, not the headline — the headline keeps the reference's f32
+    # input contract.
+    sustained_pair_xrt = None
+    if (strategy == "td_mxu" and precision.startswith("B3")
+            and os.environ.get("AFP_BENCH_PAIR", "1") != "0"):
+        import dataclasses
+
+        from afp_tpu.ops.pallas.fir_td import split_bf16
+
+        try:
+            pcfg = dataclasses.replace(cfg, ingest="pair")
+            ppipe = Pipeline(pcfg)
+            pparams = ppipe.device_params(PipelineParams.design(ppipe.cfg))
+            pblocks = split_bf16(blocks)
+            jax.block_until_ready(pblocks)
+            del blocks  # free the f32 ring: ~13 GB would not fit otherwise
+            print("bench: pair-ingest variant compiling...",
+                  file=sys.stderr, flush=True)
+            sustained_pair_xrt = _sustained_xrt(ppipe, pparams, pblocks, reps)
+            del pblocks
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: pair-ingest variant failed ({e})",
+                  file=sys.stderr, flush=True)
+
     # MFU: useful MACs of the fused single-rate cascade (n_casc taps per
     # output sample) vs the chip's native matmul peak — computed from the
     # best (sustained, if measured) throughput
@@ -263,6 +294,7 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
         "chained_dispatches": chain,
         "chained_xrt": float(round(xrt, 1)),
         "sustained_xrt": sustained_xrt,
+        "sustained_pair_xrt": sustained_pair_xrt,
         "strategy": strategy,
         "precision": precision if strategy == "td_mxu" else None,
         "mfu": mfu,

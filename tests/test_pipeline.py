@@ -199,3 +199,55 @@ def test_fused_output_clip_matches_staged(rng):
     # and the fft strategy (XLA jnp.clip path) agrees on the same scale
     fft_clipped = run(dataclasses.replace(base, conv_strategy="fft"))
     assert err_db(clipped, fft_clipped) < -84  # clipped-scale denominator
+
+
+def test_pair_ingest_matches_f32(rng):
+    """cfg.ingest='pair' (blocks arrive as the bf16 hi/lo split, no on-device
+    staging) must be BIT-identical to the f32 path across carried blocks —
+    same argument as the AGC conv-pair path: the split is elementwise."""
+    import dataclasses
+
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    base = make_cfg(
+        blocksize=512, upsample_factor=2, numtaps=65, batch=4,
+        eq_enabled=True, conv_strategy="td_mxu", output_clip=0.5,
+    )
+    sig = (rng.normal(size=(3, 4, 512)) * 0.4).astype(np.float32)
+
+    p_ref = Pipeline(base)
+    pr = p_ref.device_params(PipelineParams.design(p_ref.cfg))
+    st = p_ref.init_state()
+    ref = []
+    for b in sig:
+        st, y = p_ref._step_impl(pr, st, b)
+        ref.append(np.asarray(y))
+
+    cfgp = dataclasses.replace(base, ingest="pair")
+    p = Pipeline(cfgp)
+    assert p._pair_ingest and p._conv_pair
+    pp = p.device_params(PipelineParams.design(p.cfg))
+    sp = p.init_state()
+    assert isinstance(sp.conv_tail, tuple)
+    import jax.numpy as jnp
+
+    for i, b in enumerate(sig):
+        sp, y = p._step_impl(pp, sp, split_bf16(jnp.asarray(b)))
+        np.testing.assert_array_equal(np.asarray(y), ref[i])
+
+
+def test_pair_ingest_rejected_on_engine_and_bad_configs():
+    import dataclasses
+
+    import pytest as _pytest
+
+    from afp_tpu.engine import StreamEngine
+
+    cfg = make_cfg(conv_strategy="td_mxu", ingest="pair",
+                   blocksize=512, upsample_factor=1, batch=4)
+    with _pytest.raises(NotImplementedError):
+        StreamEngine(cfg)
+    with _pytest.raises(ValueError, match="conv_strategy"):
+        dataclasses.replace(cfg, conv_strategy="fft").validate()
+    with _pytest.raises(ValueError, match="agc"):
+        dataclasses.replace(cfg, agc_enabled=True).validate()
