@@ -210,32 +210,6 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
     # profile shows the chip idle ~40% of wall time there (BENCHMARKS.md).
     sustained_xrt = _sustained_xrt(pipe, params, blocks, reps)
 
-    # Pair-ingest variant (cfg.ingest='pair'): the bf16 hi/lo split happens
-    # at ingest (host/DMA side), the device runs ZERO staging passes.  Extra
-    # metric, not the headline — the headline keeps the reference's f32
-    # input contract.
-    sustained_pair_xrt = None
-    if (strategy == "td_mxu" and precision.startswith("B3")
-            and os.environ.get("AFP_BENCH_PAIR", "1") != "0"):
-        import dataclasses
-
-        from afp_tpu.ops.pallas.fir_td import split_bf16
-
-        try:
-            pcfg = dataclasses.replace(cfg, ingest="pair")
-            ppipe = Pipeline(pcfg)
-            pparams = ppipe.device_params(PipelineParams.design(ppipe.cfg))
-            pblocks = split_bf16(blocks)
-            jax.block_until_ready(pblocks)
-            del blocks  # free the f32 ring: ~13 GB would not fit otherwise
-            print("bench: pair-ingest variant compiling...",
-                  file=sys.stderr, flush=True)
-            sustained_pair_xrt = _sustained_xrt(ppipe, pparams, pblocks, reps)
-            del pblocks
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: pair-ingest variant failed ({e})",
-                  file=sys.stderr, flush=True)
-
     # MFU: useful MACs of the fused single-rate cascade (n_casc taps per
     # output sample) vs the chip's native matmul peak — computed from the
     # best (sustained, if measured) throughput
@@ -281,6 +255,33 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
                 f"{strategy}/{precision}: {err_db} dB vs oracle breaks the "
                 f"−90 dB contract"
             )
+
+    # Pair-ingest variant (cfg.ingest='pair'): the bf16 hi/lo split happens
+    # at ingest (host/DMA side), the device runs ZERO staging passes.  Extra
+    # metric, not the headline — the headline keeps the reference's f32
+    # input contract.
+    sustained_pair_xrt = None
+    if (strategy == "td_mxu" and precision.startswith("B3")
+            and os.environ.get("AFP_BENCH_PAIR", "1") != "0"):
+        import dataclasses
+
+        from afp_tpu.ops.pallas.fir_td import split_bf16
+
+        try:
+            pcfg = dataclasses.replace(cfg, ingest="pair")
+            ppipe = Pipeline(pcfg)
+            pparams = ppipe.device_params(PipelineParams.design(ppipe.cfg))
+            # a 16-block cycled ring keeps the pair variant inside HBM
+            # alongside the f32 ring (the full-size pair OOM'd at 16 GB)
+            pblocks = split_bf16(blocks[: min(16, blocks.shape[0])])
+            jax.block_until_ready(pblocks)
+            print("bench: pair-ingest variant compiling...",
+                  file=sys.stderr, flush=True)
+            sustained_pair_xrt = _sustained_xrt(ppipe, pparams, pblocks, reps)
+            del pblocks
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: pair-ingest variant failed ({e})",
+                  file=sys.stderr, flush=True)
 
     headline = sustained_xrt if sustained_xrt is not None else float(round(xrt, 1))
     return {
