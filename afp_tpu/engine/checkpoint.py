@@ -21,7 +21,10 @@ from .engine import StreamEngine
 
 __all__ = ["save_checkpoint", "load_checkpoint"]
 
-_FORMAT_VERSION = 1
+#: v2: bf16 leaves stored as uint16 bit views; conv-pair tail (two leaves)
+#: with the `conv_pair` meta flag; config may carry the `ingest` key.
+#: v1 checkpoints (none of those features) load unchanged.
+_FORMAT_VERSION = 2
 
 
 def _store(leaf) -> tuple[np.ndarray, bool]:
@@ -80,7 +83,7 @@ def load_checkpoint(path: str) -> StreamEngine:
     the −90 dB contract)."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta_json"]).decode())
-        if meta["version"] != _FORMAT_VERSION:
+        if meta["version"] not in (1, _FORMAT_VERSION):
             raise ValueError(f"unsupported checkpoint version {meta['version']}")
         cfg = StreamConfig.from_dict(meta["config"])
         engine = StreamEngine(cfg, seed=meta["seed"])
@@ -111,13 +114,13 @@ def load_checkpoint(path: str) -> StreamEngine:
     if saved_pair != eng_pair:
         import jax.numpy as jnp
 
-        from ..ops.pallas.fir_td import split_bf16
+        from ..ops.pallas.fir_td import merge_bf16, split_bf16
 
         ct = state.conv_tail
         if saved_pair:  # pair on disk → this host wants the f32 tail
             n_tail = engine.state.conv_tail.shape[-1]
-            ct = (jnp.asarray(ct[0]).astype(jnp.float32)
-                  + jnp.asarray(ct[1]).astype(jnp.float32))[:, -n_tail:]
+            ct = merge_bf16(jnp.asarray(ct[0]),
+                            jnp.asarray(ct[1]))[:, -n_tail:]
         else:  # f32 on disk → this host wants the padded pair
             kp = engine.state.conv_tail[0].shape[-1]
             pad = kp - ct.shape[-1]

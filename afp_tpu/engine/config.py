@@ -209,6 +209,10 @@ class StreamConfig:
                 raise ValueError(
                     "ingest='pair' requires agc/asrc disabled (those stages "
                     "consume the f32 block before the conv)")
+            if self.output_rate == "upsampled":
+                raise ValueError(
+                    "ingest='pair' requires output_rate='base' (upsampled "
+                    "output disables the fused td_mxu path)")
         agc_window = max(1, min(int(self.agc_window_size), blocksize // 2))
         return dataclasses.replace(
             self,

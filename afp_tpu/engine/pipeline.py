@@ -558,8 +558,9 @@ class Pipeline:
                     # so this is the per-stream case): stage classically,
                     # using the REAL n_conv−1 history columns of the padded
                     # pair tail
-                    tail_f32 = (tail_hi.astype(jnp.float32)
-                                + tail_lo.astype(jnp.float32))[:, -(n_conv - 1):]
+                    from ..ops.pallas.fir_td import merge_bf16
+
+                    tail_f32 = merge_bf16(tail_hi, tail_lo)[:, -(n_conv - 1):]
                     ext = jnp.concatenate([tail_f32, x], axis=-1)
             else:
                 ext = jnp.concatenate([state.conv_tail, x], axis=-1)
@@ -586,14 +587,13 @@ class Pipeline:
                         # pair ingest + per-stream banks: the wide-dot
                         # kernel consumes f32 — reconstruct (combined-bf16
                         # precision, ~1e-7 relative)
+                        from ..ops.pallas.fir_td import merge_bf16
+
                         xh_, xl_ = x
-                        tail_f32 = (
-                            tail_hi.astype(jnp.float32)
-                            + tail_lo.astype(jnp.float32))[:, -(n_conv - 1):]
+                        tail_f32 = merge_bf16(
+                            tail_hi, tail_lo)[:, -(n_conv - 1):]
                         ext = jnp.concatenate(
-                            [tail_f32,
-                             xh_.astype(jnp.float32) + xl_.astype(jnp.float32)],
-                            axis=-1)
+                            [tail_f32, merge_bf16(xh_, xl_)], axis=-1)
                     y = fir_td_mxu_per_stream(
                         ext, params.casc_bands, params.eq_gains,
                         interpret=self._pl_interpret, wide=params.casc_wide,

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["band_matrix", "wide_band_matrix", "fir_td_mxu",
            "fir_td_mxu_pair", "fir_td_mxu_per_stream", "fir_conv_xla",
-           "PRECISION_MODE"]
+           "split_bf16", "merge_bf16", "PRECISION_MODE"]
 
 import os as _os
 
@@ -53,6 +53,13 @@ PRECISION_MODE = _os.environ.get("AFP_TD_PRECISION", "B3").upper()
 _PRECISION = getattr(__import__("jax").lax.Precision,
                      "HIGHEST" if PRECISION_MODE.startswith("B3")
                      else PRECISION_MODE)
+
+
+def merge_bf16(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`split_bf16` to combined-bf16 precision: the f32
+    reconstruction ``hi + lo`` (each term widened to f32 BEFORE the add —
+    a bf16 add would silently lose the lo half's contribution)."""
+    return hi.astype(jnp.float32) + lo.astype(jnp.float32)
 
 
 def split_bf16(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -405,7 +412,11 @@ def _pick_b_tile_b3t(B: int, k_pad: int, T: int) -> int:
                 + 2 * b_tile * T * 4)
         if foot <= 12 * 2**20:
             return b_tile
-    return min(B, 8)
+    if B <= 8:  # tiny batches run as a single B-row tile
+        return B
+    raise ValueError(
+        f"batch {B} is not divisible by any supported batch tile "
+        "(must be ≤ 8 or a multiple of 8)")
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -478,6 +489,9 @@ def fir_td_mxu_pair(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
     """
     assert x_hi.dtype == jnp.bfloat16 and tail_hi.dtype == jnp.bfloat16
     band = jnp.asarray(band, dtype=jnp.float32)
+    if x_hi.shape[-1] % LANE:
+        raise ValueError(
+            f"T={x_hi.shape[-1]} must be a multiple of {LANE}")
     k = band.shape[0] - LANE  # n_taps − 1
     k_pad = -(-max(k, 1) // LANE) * LANE
     if tail_hi.shape[1] != k_pad:

@@ -208,7 +208,14 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
     # chained-dispatch number above includes ~26 ms of tunnel RTT per
     # dispatch that a co-located production host does not pay; the device
     # profile shows the chip idle ~40% of wall time there (BENCHMARKS.md).
-    sustained_xrt = _sustained_xrt(pipe, params, blocks, reps)
+    # Guarded: a sustained-mode failure (extra ~4.3 GB ring, fresh 512-step
+    # scan compile) must not discard the valid chained measurement above.
+    try:
+        sustained_xrt = _sustained_xrt(pipe, params, blocks, reps)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: sustained mode failed ({e}); keeping chained",
+              file=sys.stderr, flush=True)
+        sustained_xrt = None
 
     # MFU: useful MACs of the fused single-rate cascade (n_casc taps per
     # output sample) vs the chip's native matmul peak — computed from the

@@ -432,7 +432,7 @@ def test_checkpoint_cross_layout_restore(tmp_path, rng, monkeypatch):
     ref = eng_f32.process_block(nxt)
     got = restored.process_block(nxt)
     err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-300)
-    assert 20 * np.log10(max(err, 1e-300)) < -90  # tail at combined-bf16 precision
+    assert 20 * np.log10(max(float(err), 1e-300)) < -90  # combined-bf16 tail
 
     # f32-saved → pair host
     monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
@@ -440,4 +440,4 @@ def test_checkpoint_cross_layout_restore(tmp_path, rng, monkeypatch):
     assert restored2.pipeline._conv_pair
     got2 = restored2.process_block(nxt)
     err2 = np.max(np.abs(got2 - ref)) / (np.max(np.abs(ref)) + 1e-300)
-    assert 20 * np.log10(max(err2, 1e-300)) < -90
+    assert 20 * np.log10(max(float(err2), 1e-300)) < -90

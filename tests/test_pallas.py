@@ -234,3 +234,38 @@ def test_agc_apply_emit_split_matches_plain(rng):
     np.testing.assert_array_equal(np.asarray(yh), np.asarray(rh))
     np.testing.assert_array_equal(np.asarray(yl), np.asarray(rl))
     np.testing.assert_array_equal(np.asarray(gl), np.asarray(gl2))
+
+
+def test_fir_td_pair_rejects_bad_shapes(rng):
+    """The pair kernel must raise cleanly (not silently truncate) on a batch
+    no tile divides and on T not a multiple of 128."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import fir_td_mxu_pair, split_bf16
+
+    h = (rng.normal(size=33) * 0.1).astype(np.float32)
+    band = band_matrix(h)
+    xh, xl = split_bf16(jnp.asarray(
+        rng.normal(size=(12, 256)).astype(np.float32)))
+    th, tl = split_bf16(jnp.asarray(
+        rng.normal(size=(12, 32)).astype(np.float32)))
+    with pytest.raises(ValueError, match="batch 12"):
+        fir_td_mxu_pair(xh, xl, th, tl, band, interpret=True)
+    xh2, xl2 = split_bf16(jnp.asarray(
+        rng.normal(size=(8, 200)).astype(np.float32)))
+    th2, tl2 = split_bf16(jnp.asarray(
+        rng.normal(size=(8, 32)).astype(np.float32)))
+    with pytest.raises(ValueError, match="multiple of 128"):
+        fir_td_mxu_pair(xh2, xl2, th2, tl2, band, interpret=True)
+
+
+def test_merge_bf16_roundtrip(rng):
+    """merge_bf16 is the inverse of split_bf16 to combined-bf16 precision."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import merge_bf16, split_bf16
+
+    v = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    hi, lo = split_bf16(v)
+    err = np.max(np.abs(np.asarray(merge_bf16(hi, lo)) - np.asarray(v)))
+    assert err < np.max(np.abs(np.asarray(v))) * 2 ** -16

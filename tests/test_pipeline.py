@@ -251,3 +251,14 @@ def test_pair_ingest_rejected_on_engine_and_bad_configs():
         dataclasses.replace(cfg, conv_strategy="fft").validate()
     with _pytest.raises(ValueError, match="agc"):
         dataclasses.replace(cfg, agc_enabled=True).validate()
+
+
+def test_pair_ingest_upsampled_output_rejected():
+    import dataclasses
+
+    import pytest as _pytest
+
+    cfg = make_cfg(conv_strategy="td_mxu", ingest="pair", blocksize=512,
+                   upsample_factor=2, batch=4)
+    with _pytest.raises(ValueError, match="output_rate"):
+        dataclasses.replace(cfg, output_rate="upsampled").validate()
