@@ -39,10 +39,16 @@ def freqz(h: np.ndarray, worN: int = 8000, fs: float = 2 * np.pi):
         # bins => response at w = linspace(0, pi, worN, endpoint=False).
         H = np.fft.rfft(h, n=n_fft)[:worN]
     else:
-        # Filter longer than the grid: direct evaluation.
-        w = np.linspace(0, np.pi, worN, endpoint=False)
+        # Filter longer than the grid: direct evaluation, chunked over the
+        # frequency axis — the full [worN, n_taps] phase matrix is quadratic
+        # memory (12.8 GB complex128 at the 100k-tap kernels kp.py handles);
+        # cap each chunk at ~4M elements (≤64 MB), same as the JAX path.
+        wr = np.linspace(0, np.pi, worN, endpoint=False)
         n = np.arange(len(h))
-        H = np.exp(-1j * np.outer(w, n)) @ h
+        H = np.empty(worN, dtype=np.complex128)
+        chunk = max(8, (1 << 22) // len(h))
+        for s in range(0, worN, chunk):
+            H[s : s + chunk] = np.exp(-1j * np.outer(wr[s : s + chunk], n)) @ h
     w = np.linspace(0, fs / 2, worN, endpoint=False)
     return w, H
 

@@ -299,17 +299,27 @@ class StreamEngine:
             data = self._asrc_frontend.pull(nblocks * L)
             blocks = data.reshape(self.cfg.batch, nblocks, L).swapaxes(0, 1)
             t0 = time.monotonic()
-            state, outs = self.pipeline.run(self.params, self.state, blocks)
+            # same lock discipline as _process_engine_block: snapshot under
+            # the swap lock, write state back only if no rebuild intervened
+            with self._swap_lock:
+                pipeline, params, state_in = self.pipeline, self.params, self.state
+            state, outs = pipeline.run(params, state_in, blocks)
             out = np.asarray(jax.block_until_ready(outs))
-            self.state = state
+            with self._swap_lock:
+                if self.pipeline is pipeline:
+                    self.state = state
             busy = time.monotonic() - t0
             n = nblocks * out.shape[-1]
             self.metrics.record_block(n, busy, n / self.cfg.samplerate)
             return out.swapaxes(0, 1).reshape(self.cfg.batch, -1)
         t0 = time.monotonic()
-        state, out = self.pipeline.process_signal(self.params, self.state, signal)
+        with self._swap_lock:
+            pipeline, params, state_in = self.pipeline, self.params, self.state
+        state, out = pipeline.process_signal(params, state_in, signal)
         out = np.asarray(jax.block_until_ready(out))
-        self.state = state
+        with self._swap_lock:
+            if self.pipeline is pipeline:
+                self.state = state
         busy = time.monotonic() - t0
         n = out.shape[-1]
         self.metrics.record_block(n, busy, n / self.cfg.samplerate)

@@ -198,8 +198,16 @@ class Pipeline:
             band_np = band_matrix(np.full(w, 1.0 / w, dtype=np.float32))
             from ..ops.pallas.agc_rms import _pick_tile as _rms_tile
 
-            if self.batch % _rms_tile(self.batch, self.block + w - 1,
-                                      self.block) == 0:
+            # gate on the SAME (B, T, W) call the kernel's _call makes —
+            # _pick_tile raises when no tile divides the batch (r2 advisor:
+            # the old gate passed the extended width as T, overestimating the
+            # footprint and mis-gating some shapes)
+            try:
+                _rms_tile(self.batch, self.block, w)
+                rms_tileable = True
+            except ValueError:
+                rms_tileable = False
+            if rms_tileable:
                 self._rms_band = jnp.asarray(band_np)
                 # numpy 'same' centering: out[t] covers x[t−w//2 … t+w−1−w//2]
                 self._rms_pad = (w // 2, w - 1 - w // 2)
@@ -720,7 +728,9 @@ class Pipeline:
         return new_state, y
 
     def step(self, params: DeviceParams, state: StreamState, block: jnp.ndarray):
-        """One block: [B, L] → ([B, L] out, state). Jitted, state donated."""
+        """One block: [B, L] → ([B, L] out, state).  Jitted; state is NOT
+        donated — the engine's degradation ladder keeps the previous state
+        alive to recover from a failed step (see the __init__ note)."""
         return self._step(params, state, block)
 
     # ---------------- scan over many blocks ----------------

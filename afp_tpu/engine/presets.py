@@ -31,8 +31,12 @@ def _logger():
     return get_logger("presets")
 
 #: config fields excluded from presets (reference `:163-164`), plus the other
-#: deployment-shape fields that arrived with the TPU build.
-EXCLUDED_FIELDS = ("samplerate", "blocksize", "batch", "source_samplerate")
+#: deployment-shape fields that arrived with the TPU build — including the
+#: execution-strategy knobs (`ingest`, `conv_strategy`): a preset describes a
+#: *sound*, not where/how it runs (a pair-ingest preset re-applied on an
+#: f32 deployment would otherwise change the engine's input contract).
+EXCLUDED_FIELDS = ("samplerate", "blocksize", "batch", "source_samplerate",
+                   "ingest", "conv_strategy")
 
 #: on-disk schema version this build writes
 FORMAT_VERSION = 1

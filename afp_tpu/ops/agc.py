@@ -128,8 +128,15 @@ def smooth_gain_parallel(desired: jnp.ndarray, a_att: float, a_rel: float,
                          max_iters: int = 24) -> jnp.ndarray:
     """Parallel evaluation of the exact attack/release recurrence
     (`/root/reference/stream_process_AGC.py:68-79`) via branch-consistent
-    fixed-point iteration — the TPU answer to the per-sample serial scan
-    (SURVEY.md §7 "AGC recurrence", the acknowledged throughput ceiling).
+    fixed-point iteration.
+
+    **Scope (measured, round 2 hardware):** on TPU the Pallas hardware-loop
+    scan kernel (`ops.pallas.agc_scan`, ``agc_mode='exact'``) is ~15× FASTER
+    than this solver (458k× vs 31k× RT at the C8 point) — the while-loop's
+    repeated O(T log T) associative scans lose to one tight serial pass in
+    VMEM.  Use this on backends without the Pallas kernel (CPU/GPU), or for
+    very long T where a single sequential pass dominates; on TPU prefer
+    ``agc_mode='exact'``.
 
     The recurrence is *conditionally linear*: given the branch pattern
     ``b[t] = (desired[t] > g[t−1])`` it is a first-order linear recurrence,

@@ -74,7 +74,12 @@ def _kernel(s_ref, x_ref, bhi_ref, o_ref, *, n_taps: int, t_tiles: int,
 
 def _pick_tile(B: int, T: int, W: int) -> int:
     """Batch tile under the in-kernel temporaries (padded sq f32 + hi/lo bf16
-    = 8 B/elem over the extended width) plus double-buffered in/out."""
+    = 8 B/elem over the extended width) plus double-buffered in/out.
+
+    Raises ValueError when no candidate tile divides `B` — the grid is
+    ``(B // bt,)``, so a non-divisor tile would silently leave the trailing
+    ``B mod bt`` rows uncomputed (r2 advisor finding; mirrors the explicit
+    raise in `_pick_b_tile_b3t` / `smooth_gain_apply_pallas`)."""
     text = T + W - 1
     for bt in (128, 64, 32, 16, 8):
         if B % bt:
@@ -82,7 +87,11 @@ def _pick_tile(B: int, T: int, W: int) -> int:
         foot = bt * text * 8 + 2 * bt * (T + T) * 4
         if foot <= 12 * 2**20:
             return bt
-    return min(B, 8)
+    if B <= 8:  # tiny batches run as a single B-row tile
+        return B
+    raise ValueError(
+        f"batch {B} is not divisible by any supported batch tile "
+        "(must be ≤ 8 or a multiple of 8)")
 
 
 @functools.partial(jax.jit, static_argnames=(

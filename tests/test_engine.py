@@ -164,6 +164,27 @@ def test_preset_store_roundtrip(tmp_path):
     assert "warm" not in store2
 
 
+def test_preset_excludes_execution_strategy_fields(tmp_path):
+    """A preset saved from a pair-ingest/td_mxu config must not re-apply
+    those deployment/execution fields on load — StreamConfig would otherwise
+    raise (pair requires agc off etc.) or silently change the input contract
+    (r2 advisor finding)."""
+    import dataclasses
+
+    store = PresetStore(str(tmp_path / "presets.json"))
+    cfg = StreamConfig(ingest="pair", conv_strategy="td_mxu",
+                       eq_enabled=False, agc_enabled=False,
+                       downsample_mode="decimate", output_clip=None)
+    store.save_preset("fastpath", cfg)
+    saved = store._presets["fastpath"]["settings"]
+    assert "ingest" not in saved and "conv_strategy" not in saved
+
+    base = StreamConfig()  # f32 / fft deployment
+    loaded = store.load_preset("fastpath", base)
+    assert loaded.ingest == "f32"
+    assert loaded.conv_strategy == "fft"
+
+
 def test_preset_store_schema_versioning(tmp_path):
     import json
 

@@ -109,6 +109,22 @@ def test_rms_desired_fused_matches_oracle(rng, W, B, T, transposed):
     assert err_db(d, gold.astype(np.float64)) < -90
 
 
+def test_rms_desired_untileable_batch_raises(rng):
+    """A batch no candidate tile divides (e.g. B=12) must raise, not
+    silently compute only the first floor(B/8)·8 rows (r2 advisor)."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.agc_rms import rms_desired_pallas
+
+    W = 64
+    x = (rng.normal(size=(12, 256)) * 0.1).astype(np.float32)
+    band = band_matrix(np.full(W, 1.0 / W, dtype=np.float32))
+    with pytest.raises(ValueError, match="batch 12"):
+        rms_desired_pallas(jnp.asarray(x), jnp.asarray(band),
+                           W // 2, W - 1 - W // 2, 0.1, 10.0,
+                           exact_band=True, interpret=True)
+
+
 @pytest.mark.parametrize("B,T", [(300, 1024), (128, 2048), (17, 256)])
 @pytest.mark.parametrize("time_major", [False, True])
 def test_scan_layout_variants_match(rng, B, T, time_major):
