@@ -115,6 +115,15 @@ class StreamConfig:
     #            `stream_process_AGC.py:126-129`)
     asrc_mode: str = "exact"
 
+    # Resampler quality tier ('fast' | 'hq' | 'vhq' — see
+    # afp_tpu.ops.resample.QUALITY_TIERS): selects the published
+    # anti-image/anti-alias kernel family for the up/down/ASRC stages,
+    # mirroring the reference's soxr tiers (VHQ in the baseline hot path
+    # `stream_process.py:69-74`, HQ in the GUI path
+    # `stream_process_EQ_GUI.py:424`).  Static: the kernel length is
+    # shape-affecting (resampler history, fused-cascade length).
+    resample_quality: str = "fast"
+
     # output stage
     # 'base' returns blocksize samples at `samplerate` (the reference's duplex
     # contract); 'upsampled' returns blocksize·upf samples at the upsampled
@@ -194,6 +203,9 @@ class StreamConfig:
             raise ValueError(f"invalid agc_mode {self.agc_mode!r}")
         if self.asrc_mode not in ("exact", "compat"):
             raise ValueError(f"invalid asrc_mode {self.asrc_mode!r}")
+        if self.resample_quality not in ("fast", "hq", "vhq"):
+            raise ValueError(
+                f"invalid resample_quality {self.resample_quality!r}")
         if self.output_rate not in ("base", "upsampled"):
             raise ValueError(f"invalid output_rate {self.output_rate!r}")
         if self.conv_strategy not in ("fft", "td_mxu"):
@@ -251,6 +263,7 @@ class StreamConfig:
             self.agc_carry,
             self.output_rate,
             self.ingest,
+            self.resample_quality,
         )
 
     # --- (de)serialization for presets/checkpoints ---

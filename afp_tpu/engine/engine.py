@@ -104,7 +104,8 @@ class StreamEngine:
             from ..runtime.asrc import AsrcFrontend
 
             self._asrc_frontend = AsrcFrontend(
-                cfg.source_samplerate, cfg.samplerate, batch=cfg.batch
+                cfg.source_samplerate, cfg.samplerate, batch=cfg.batch,
+                quality=cfg.resample_quality,
             )
             self._asrc_outq: deque = deque(maxlen=64)
         self._last_good: deque = deque(maxlen=LAST_GOOD_DEPTH)

@@ -143,9 +143,10 @@ class Pipeline:
             from ..ops.resample import streaming_kernel
 
             if self.upf > 1:
-                self._h_up_np = streaming_kernel(self.upf, 1)
+                self._h_up_np = streaming_kernel(
+                    self.upf, 1, quality=cfg.resample_quality)
                 self._h_down_np = (
-                    streaming_kernel(1, self.upf)
+                    streaming_kernel(1, self.upf, quality=cfg.resample_quality)
                     if cfg.downsample_mode == "resample"
                     else None
                 )
@@ -400,15 +401,19 @@ class Pipeline:
         if self._asrc_device and not self._asrc_stateless:
             asrc = PolyResampler.init(
                 cfg.samplerate, cfg.source_samplerate, block=self.block,
-                batch_shape=B,
+                batch_shape=B, quality=cfg.resample_quality,
             )
         up = None
         if self.upf > 1 and not self.fused:
-            up = PolyResampler.init(self.upf, 1, block=self.block, batch_shape=B)
+            up = PolyResampler.init(self.upf, 1, block=self.block,
+                                    batch_shape=B,
+                                    quality=cfg.resample_quality)
         down = None
         if (self.upf > 1 and cfg.downsample_mode == "resample"
                 and not self.fused and not self.upsampled_out):
-            down = PolyResampler.init(1, self.upf, block=self.up_block, batch_shape=B)
+            down = PolyResampler.init(1, self.upf, block=self.up_block,
+                                      batch_shape=B,
+                                      quality=cfg.resample_quality)
         n_tail = (self.n_casc if self.fused else self.n_fused) - 1
         if self._conv_pair:
             # pair mode: the overlap tail is carried as its bf16 hi/lo split
@@ -461,7 +466,8 @@ class Pipeline:
         elif self._asrc_stateless:
             from ..ops.resample import resample_poly
 
-            x = resample_poly(x, cfg.samplerate, cfg.source_samplerate)
+            x = resample_poly(x, cfg.samplerate, cfg.source_samplerate,
+                              quality=cfg.resample_quality)
         if asrc is not None or self._asrc_stateless:
             n = x.shape[-1]
             if n < self.block:

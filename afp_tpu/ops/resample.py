@@ -10,11 +10,30 @@ TPU-native replacement for the reference's three resampling paths:
   (`stream_process.py:106`).
 
 Rather than reverse-engineering soxr's proprietary kernel, the framework
-*publishes* its resampling kernel (SURVEY.md §7 "soxr-equivalence"): the
-scipy ``resample_poly`` recipe — a kaiser(β=5.0)-windowed sinc with
-``half_len = 10·max(up, down)``, scaled by ``up``.  The golden oracle is then
-exactly ``scipy.signal.resample_poly(x, up, down)``; error vs soxr VHQ is
-reported by the benchmark harness, not asserted.
+*publishes* its resampling kernels (SURVEY.md §7 "soxr-equivalence") as
+**quality tiers** — the reference exposes two soxr tiers (VHQ in the baseline
+hot path, `stream_process.py:69-74`; HQ in the GUI path,
+`stream_process_EQ_GUI.py:424`), so the capability is a selectable
+kaiser-windowed-sinc family (:data:`QUALITY_TIERS`):
+
+========  ===============  ======================================  =============
+tier      (mult, β)        measured anti-image stopband / ripple   soxr analog
+========  ===============  ======================================  =============
+'fast'    (10, 5.0)        −43 dB @ +15% of cutoff                 MQ-class
+'hq'      (40, 12.26)      −119 dB @ +10% of cutoff                HQ-class
+'vhq'     (64, 14.47)      −141 dB @ +8% of cutoff                 VHQ-class
+========  ===============  ======================================  =============
+
+(β from the kaiserord attenuation formula β = 0.1102·(A − 8.7); taps sized
+N ≈ (A − 7.95)/(2.285·Δω) for the tier's transition width; numbers measured
+by ``tests/test_resample.py::test_quality_tier_stopbands``.)  The 'fast' tier
+is bit-identical to the scipy ``resample_poly`` default recipe — kaiser(β=5)
+sinc with ``half_len = 10·max(up, down)``, scaled by ``up`` — so the golden
+oracle for it is exactly ``scipy.signal.resample_poly(x, up, down)``; 'hq'
+and 'vhq' are golden-tested against the same recipe at their published
+parameters.  Per-tier resampling error vs a reference-grade float64 oracle
+(and vs soxr, when importable) is measured and reported by ``bench.py``
+under the ``resample_err_db`` key.
 
 The compute primitive is :func:`upfirdn` — zero-stuff by `up`, FIR, decimate
 by `down` — expressed as a single ``lax.conv_general_dilated`` with
@@ -37,13 +56,36 @@ from ..design.firwin import design_windowed_sinc
 from ..design.windows import kaiser as kaiser_window
 
 __all__ = [
+    "QUALITY_TIERS",
     "design_resample_kernel",
+    "quality_kernel",
     "upfirdn",
     "resample_poly",
     "PolyResampler",
     "decimate",
     "output_len",
 ]
+
+#: quality tier → (half_len_mult, kaiser β).  See the module docstring for
+#: the measured stopband/ripple of each tier and the soxr analogs
+#: (`/root/reference/stream_process.py:69-74` VHQ,
+#: `stream_process_EQ_GUI.py:424` HQ).
+QUALITY_TIERS = {
+    "fast": (10, 5.0),
+    "hq": (40, 12.26),
+    "vhq": (64, 14.47),
+}
+
+
+def quality_kernel(up: int, down: int, quality: str = "fast") -> np.ndarray:
+    """The published tier kernel for a rational `up/down` resample."""
+    try:
+        mult, beta = QUALITY_TIERS[quality]
+    except KeyError:
+        raise ValueError(
+            f"unknown resample quality {quality!r}; "
+            f"expected one of {sorted(QUALITY_TIERS)}") from None
+    return design_resample_kernel(up, down, half_len_mult=mult, beta=beta)
 
 
 @lru_cache(maxsize=64)
@@ -128,9 +170,12 @@ def _poly_pad(h_len: int, in_len: int, up: int, down: int):
 
 
 def resample_poly(x: jnp.ndarray, up: int, down: int,
-                  h: np.ndarray | None = None) -> jnp.ndarray:
-    """Rational-ratio resample, output-compatible with
-    ``scipy.signal.resample_poly(x, up, down)`` (zero-phase centering).
+                  h: np.ndarray | None = None,
+                  quality: str = "fast") -> jnp.ndarray:
+    """Rational-ratio resample with zero-phase centering.  At the default
+    ``quality='fast'`` tier the output is bit-compatible with
+    ``scipy.signal.resample_poly(x, up, down)``; 'hq'/'vhq' swap in the
+    steeper published tier kernels (same centering rules).
 
     `x`: [..., T].  Output: [..., ceil(T·up/down)].
     """
@@ -141,7 +186,7 @@ def resample_poly(x: jnp.ndarray, up: int, down: int,
     if up == down == 1:
         return jnp.asarray(x, dtype=jnp.float32)
     if h is None:
-        h = design_resample_kernel(up, down)
+        h = quality_kernel(up, down, quality)
     h = np.asarray(h)
     T = x.shape[-1]
     n_pre_pad, n_post_pad, n_pre_remove, n_out = _poly_pad(len(h), T, up, down)
@@ -150,7 +195,8 @@ def resample_poly(x: jnp.ndarray, up: int, down: int,
     return y[..., n_pre_remove : n_pre_remove + n_out]
 
 
-def streaming_kernel(up: int, down: int, h: np.ndarray | None = None) -> np.ndarray:
+def streaming_kernel(up: int, down: int, h: np.ndarray | None = None,
+                     quality: str = "fast") -> np.ndarray:
     """Host-side copy of the pre-padded kernel :class:`PolyResampler` uses —
     the exact impulse response of the causal streaming resampler, for
     building fused cascade kernels (float64 numpy)."""
@@ -159,7 +205,7 @@ def streaming_kernel(up: int, down: int, h: np.ndarray | None = None) -> np.ndar
     up //= g
     down //= g
     if h is None:
-        h = design_resample_kernel(up, down)
+        h = quality_kernel(up, down, quality)
     h = np.asarray(h, dtype=np.float64)
     if up == down == 1:
         return h
@@ -204,7 +250,8 @@ class PolyResampler(NamedTuple):
 
     @classmethod
     def init(cls, up: int, down: int, block: int, batch_shape: tuple = (),
-             h: np.ndarray | None = None) -> "PolyResampler":
+             h: np.ndarray | None = None,
+             quality: str = "fast") -> "PolyResampler":
         up, down = int(up), int(down)
         g = math.gcd(up, down)
         up //= g
@@ -212,7 +259,7 @@ class PolyResampler(NamedTuple):
         if block % down:
             raise ValueError("block length must be a multiple of down")
         if h is None:
-            h = design_resample_kernel(up, down)
+            h = quality_kernel(up, down, quality)
         h = np.asarray(h)
         if up == down == 1:
             return cls(

@@ -34,7 +34,7 @@ class AsrcFrontend:
     """Host-buffered exact streaming resampler: source rate → engine rate."""
 
     def __init__(self, source_rate: int, engine_rate: int, batch: int = 1,
-                 l_dev: Optional[int] = None):
+                 l_dev: Optional[int] = None, quality: str = "fast"):
         g = math.gcd(engine_rate, source_rate)
         self.up = engine_rate // g
         self.down = source_rate // g
@@ -48,7 +48,8 @@ class AsrcFrontend:
             raise ValueError(f"l_dev must be a multiple of {self.down}")
         self.l_dev = l_dev
         self._state = PolyResampler.init(self.up, self.down, block=l_dev,
-                                         batch_shape=(batch,))
+                                         batch_shape=(batch,),
+                                         quality=quality)
         self._step = jax.jit(lambda st, x: st.process(x))
         self._in = np.zeros((batch, 0), dtype=np.float32)
         self._out = np.zeros((batch, 0), dtype=np.float32)

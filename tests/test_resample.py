@@ -108,3 +108,117 @@ def test_streaming_block_size_invariance(rng):
 def test_decimate_stride():
     x = np.arange(64, dtype=np.float32)
     np.testing.assert_array_equal(np.asarray(decimate(x, 4)), x[::4])
+
+
+# ---------------- quality tiers (reference soxr VHQ/HQ parity,
+# `stream_process.py:69-74`, `stream_process_EQ_GUI.py:424`) ----------------
+
+
+#: tier → (transition fraction of cutoff, required stopband dB, ripple dB)
+_TIER_SPECS = {
+    "fast": (0.15, -40.0, -40.0),
+    "hq": (0.10, -115.0, -115.0),
+    "vhq": (0.08, -135.0, -135.0),
+}
+
+
+@pytest.mark.parametrize("quality", ["fast", "hq", "vhq"])
+@pytest.mark.parametrize("up", [2, 4])
+def test_quality_tier_stopbands(quality, up):
+    """Each published tier kernel must meet its documented anti-image
+    stopband and passband-ripple class (measured on a 2^17-point grid)."""
+    from afp_tpu.ops.resample import quality_kernel
+
+    trans, sb_req, pb_req = _TIER_SPECS[quality]
+    h = quality_kernel(up, 1, quality)
+    w, H = sps.freqz(h, worN=1 << 17)
+    Hn = np.abs(H) / up
+    cut = np.pi / up
+    stop = 20 * np.log10(Hn[w > cut * (1 + trans)].max())
+    ripple = 20 * np.log10(np.abs(Hn[w < cut * (1 - trans)] - 1).max() + 1e-300)
+    assert stop < sb_req, f"{quality}: stopband {stop:.1f} dB"
+    assert ripple < pb_req, f"{quality}: ripple {ripple:.1f} dB"
+
+
+def test_quality_fast_is_scipy_default():
+    """'fast' IS the scipy resample_poly recipe (oracle compatibility)."""
+    from afp_tpu.ops.resample import quality_kernel
+
+    np.testing.assert_array_equal(quality_kernel(4, 1, "fast"),
+                                  design_resample_kernel(4, 1))
+
+
+def test_quality_unknown_raises():
+    from afp_tpu.ops.resample import quality_kernel
+
+    with pytest.raises(ValueError, match="unknown resample quality"):
+        quality_kernel(4, 1, "ultra")
+
+
+@pytest.mark.parametrize("quality", ["hq", "vhq"])
+def test_quality_streaming_equals_oneshot(rng, quality):
+    """Streaming equivalence holds for the longer tier kernels too."""
+    L, nblocks = 1024, 5
+    sig = rng.normal(size=L * nblocks).astype(np.float32)
+    state = PolyResampler.init(4, 1, block=L, quality=quality)
+    outs = []
+    for b in range(nblocks):
+        state, y = state.process(sig[b * L : (b + 1) * L])
+        outs.append(np.asarray(y))
+    streamed = np.concatenate(outs)
+    gold = sps.upfirdn(np.asarray(state.h), sig.astype(np.float64), 4, 1)
+    assert err_db(streamed, gold[: len(streamed)]) < -85
+
+
+@pytest.mark.parametrize("quality", ["hq", "vhq"])
+def test_quality_resample_matches_scipy_recipe(rng, quality):
+    """resample_poly(quality=t) ≡ scipy resample_poly with the tier's
+    published (half_len_mult, β) window — the tier recipes are open."""
+    from afp_tpu.ops.resample import QUALITY_TIERS
+
+    mult, beta = QUALITY_TIERS[quality]
+    x = rng.normal(size=4096).astype(np.float32)
+    ours = np.asarray(resample_poly(x, 4, 1, quality=quality))
+    max_rate = 4
+    gold_h = sps.firwin(2 * mult * max_rate + 1, 1.0 / max_rate,
+                        window=("kaiser", beta)) * 4
+    gold = sps.resample_poly(x.astype(np.float64), 4, 1, window=gold_h / 4)
+    assert ours.shape == gold.shape
+    assert err_db(ours, gold) < -90
+
+
+def test_quality_tier_in_engine(rng):
+    """The engine's fused cascade honors resample_quality: vhq output ≡ the
+    float64 causal oracle built from the SAME tier kernel, and differs from
+    the fast-tier output (the knob is live)."""
+    import dataclasses
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+    from afp_tpu.ops.resample import streaming_kernel
+
+    sig = (rng.normal(size=(1, 2048)) * 0.3).astype(np.float32)
+    outs = {}
+    for q in ("fast", "vhq"):
+        cfg = StreamConfig(
+            samplerate=44100, blocksize=512, upsample_factor=4, numtaps=101,
+            batch=1, eq_enabled=False, agc_enabled=False,
+            downsample_mode="decimate", dither_kind="off", output_clip=None,
+            resample_quality=q,
+        )
+        pipe = Pipeline(cfg)
+        params = pipe.device_params(PipelineParams.design(pipe.cfg))
+        _, out = pipe.process_signal(params, pipe.init_state(), sig)
+        outs[q] = np.asarray(out)[0]
+
+        h_up = streaming_kernel(4, 1, quality=q)
+        design = PipelineParams.design(pipe.cfg)
+        y = sps.upfirdn(h_up, sig[0].astype(np.float64), 4, 1)[: sig.shape[1] * 4]
+        y = np.convolve(y, design.main_taps.astype(np.float64))[: len(y)]
+        gold = y[::4]
+        assert err_db(outs[q], gold) < -90, q
+    assert np.max(np.abs(outs["fast"] - outs["vhq"])) > 1e-6
+
+    # static_key must differ (kernel length is shape-affecting)
+    a = StreamConfig(resample_quality="fast").static_key()
+    b = StreamConfig(resample_quality="vhq").static_key()
+    assert a != b
