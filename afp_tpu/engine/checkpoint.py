@@ -66,6 +66,10 @@ def save_checkpoint(path: str, engine: StreamEngine) -> None:
         arrays.update(engine._asrc_frontend.get_state())
         if engine._asrc_outq:  # drained-but-undelivered engine blocks
             arrays["asrc_outq"] = np.stack(list(engine._asrc_outq))
+    if engine._in_framer is not None:  # process_frames residuals (v2+)
+        meta["has_framer"] = True
+        arrays["framer_in"] = engine._in_framer.get_state()
+        arrays["framer_out"] = engine._out_framer.get_state()
     arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
 
@@ -101,6 +105,13 @@ def load_checkpoint(path: str) -> StreamEngine:
             )
             if "asrc_outq" in z:
                 engine._asrc_outq.extend(np.asarray(z["asrc_outq"]))
+        if meta.get("has_framer"):
+            from ..runtime.framer import BlockFramer
+
+            engine._in_framer = BlockFramer(engine.cfg.batch)
+            engine._out_framer = BlockFramer(engine.cfg.batch)
+            engine._in_framer.set_state(z["framer_in"])
+            engine._out_framer.set_state(z["framer_out"])
     saved_pair = bool(meta.get("conv_pair", False))
     eng_pair = isinstance(engine.state.conv_tail, tuple)
     # unflatten against a template matching the SAVED structure (treedef

@@ -113,6 +113,12 @@ class StreamEngine:
         out_len = (self.cfg.upsampled_block if self.pipeline.upsampled_out
                    else self.cfg.blocksize)
         self._out_shape = (self.cfg.batch, out_len)
+        # lossless arbitrary-frames ingest (process_frames): residual framers
+        # created lazily on first use, with the output side primed by ONE
+        # block of silence — the fixed framing latency that makes "n samples
+        # in → n·r samples out" hold for every chunking (r = out_len/bs)
+        self._in_framer = None
+        self._out_framer = None
 
     def apply_config(self, new_cfg: StreamConfig) -> bool:
         """Apply a new configuration.  Returns True if the swap was
@@ -221,6 +227,54 @@ class StreamEngine:
         if block.ndim == 1:
             block = block[None, :]
         return self._process_engine_block(block)
+
+    def process_frames(self, chunk: np.ndarray) -> np.ndarray:
+        """Lossless arbitrary-frames ingest: [batch, n] in → [batch, n·r] out
+        for ANY n (r = upsample_factor when ``output_rate='upsampled'``,
+        else 1), at a fixed one-block latency.
+
+        This is the reference's residual-carrying callback
+        (`/root/reference/stream_process_GUI_Presets.py:617-686`) — input
+        residual concatenation, whole-block processing, output residual
+        carry — made lossless (the reference drops its output residual on
+        callbacks with zero complete blocks).  Unlike :meth:`process_block`,
+        a size mismatch is NEVER padded or truncated: samples are regrouped,
+        so the ladder's pad/trim rung fires only on true corruption.
+
+        The first ``blocksize·r`` output samples are the silence of the
+        framing latency (analogous to the reference's output-queue priming,
+        `stream_process_EQ_GUI.py:147-148`); thereafter output[k] is the
+        processed stream delayed by exactly one block.
+        """
+        if self._asrc_frontend is not None:
+            raise ValueError(
+                "process_frames requires source_samplerate == samplerate; "
+                "use process_source_block for exact-mode ASRC (it already "
+                "accepts arbitrary chunk lengths)")
+        chunk = np.asarray(chunk, dtype=np.float32)
+        if chunk.ndim == 1:
+            chunk = np.broadcast_to(chunk[None, :],
+                                    (self.cfg.batch, chunk.shape[-1]))
+        out_len = self._out_shape[1]
+        r = out_len // self.cfg.blocksize
+        if self._in_framer is None:
+            from ..runtime.framer import BlockFramer
+
+            self._in_framer = BlockFramer(self.cfg.batch)
+            self._out_framer = BlockFramer(self.cfg.batch)
+            self._out_framer.push(
+                np.zeros((self.cfg.batch, out_len), dtype=np.float32))
+        self._in_framer.push(chunk)
+        while True:
+            blk = self._in_framer.pull(self.cfg.blocksize)
+            if blk is None:
+                break
+            self._out_framer.push(self._process_engine_block(blk))
+        out = self._out_framer.pull(chunk.shape[1] * r)
+        # the one-block priming guarantees availability: emitted ≤ r·pushed,
+        # buffered = prime + r·bs·floor(pushed/bs) ≥ r·pushed
+        assert out is not None, "framer invariant violated"
+        return out
 
     def _process_engine_block(self, block: np.ndarray) -> np.ndarray:
         """Device step + degradation ladder on an engine-rate block."""

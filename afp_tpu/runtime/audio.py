@@ -101,6 +101,16 @@ class AudioStream:
         kw = {} if queue_depth is None else {"queue_depth": queue_depth}
         self.dispatcher = BlockDispatcher(engine, **kw)
         self.channels = cfg.batch  # channel k ↔ stream k
+        # Residual framers: PortAudio may deliver `frames != blocksize`
+        # (driver-chosen frame counts, the final partial buffer).  The
+        # reference's residual callback handles this losslessly
+        # (`stream_process_GUI_Presets.py:617-686`); these regroup arbitrary
+        # callback chunks into exact engine blocks and back, so the ladder's
+        # pad/trim rung never fires on a size mismatch.
+        from .framer import BlockFramer
+
+        self._in_framer = BlockFramer(cfg.batch)
+        self._out_framer = BlockFramer(cfg.batch)
         self._stream = self.sd.Stream(
             samplerate=cfg.samplerate,  # the card clock = engine rate
             blocksize=cfg.blocksize,
@@ -117,14 +127,21 @@ class AudioStream:
         if status:  # under/overflow flags (`stream_process.py:83-85`)
             self.engine.metrics.underruns += 1
             logger.warning("Stream status: %s", status)
-        blk = np.ascontiguousarray(indata.T, dtype=np.float32)
-        if not self.dispatcher.submit(blk):
-            self.engine.metrics.drops += 1
-        out = self.dispatcher.fetch()  # nowait + underrun blend
-        n = min(frames, out.shape[-1])
-        outdata[:n, :] = out[:, :n].T
-        if n < frames:
-            outdata[n:, :] = 0.0
+        bs = self.engine.cfg.blocksize
+        self._in_framer.push(np.ascontiguousarray(indata.T, dtype=np.float32))
+        while True:
+            blk = self._in_framer.pull(bs)
+            if blk is None:
+                break
+            if not self.dispatcher.submit(blk):
+                self.engine.metrics.drops += 1
+        # output side: pull whole processed blocks (underrun-blended by the
+        # dispatcher) until `frames` samples are buffered, then emit exactly
+        # `frames` — the residual carries to the next callback
+        while self._out_framer.available() < frames:
+            self._out_framer.push(self.dispatcher.fetch())
+        out = self._out_framer.pull(frames)
+        outdata[:, :] = out.T
 
     # --- lifecycle ---
 

@@ -113,6 +113,36 @@ def test_asrc_exact_rejected_compat_allowed():
     assert bridge._stream.kw["samplerate"] == 44100  # one clock: engine rate
 
 
+def test_callback_arbitrary_frames():
+    """Driver-chosen frame counts (frames != blocksize) must stream through
+    the callback's residual framers without the pad/trim rung or a ring-size
+    ValueError: every input sample is submitted in exact engine blocks, and
+    every callback emits exactly `frames` samples (the reference's residual
+    callback contract, `stream_process_GUI_Presets.py:617-686`)."""
+    import time
+
+    eng = make_engine()
+    bridge = AudioStream(eng, sd_module=_fake_sd())
+    bridge.dispatcher.start()
+    rng = np.random.default_rng(2)
+    chunks = [300, 212, 700, 324, 512, 1000, 24, 1024]  # total 4096 = 8·512
+    emitted = 0
+    for n in chunks:
+        indata = (rng.normal(size=(n, 1)) * 0.3).astype(np.float32)
+        outdata = np.full((n, 1), np.nan, dtype=np.float32)
+        bridge._callback(indata, outdata, n, None, None)
+        assert np.all(np.isfinite(outdata)), "callback must fill all frames"
+        emitted += n
+    # all whole blocks were submitted losslessly (no pad/trim corruption)
+    deadline = time.time() + 10
+    while eng.metrics.blocks_processed < 8 and time.time() < deadline:
+        time.sleep(0.01)
+    assert eng.metrics.blocks_processed == 8
+    assert bridge._in_framer.available() == 0  # 4096 % 512 == 0: no residual
+    assert emitted == 4096
+    bridge.dispatcher.stop()
+
+
 def test_missing_backend_raises_cleanly(monkeypatch):
     import afp_tpu.runtime.audio as audio
 

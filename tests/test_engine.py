@@ -139,6 +139,68 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(out1, out2, atol=1e-7)  # bit-exact resume
 
 
+def test_process_frames_lossless_vs_blocksize_feed(rng):
+    """A stream fed in random-sized chunks is sample-identical to the same
+    stream fed in exact engine blocks (VERDICT r2 #3: the reference's
+    residual-frames callback, `stream_process_GUI_Presets.py:617-686`,
+    made lossless — no pad/trim corruption on size mismatch)."""
+    import dataclasses
+
+    base = StreamConfig(batch=2, blocksize=512, upsample_factor=2,
+                        numtaps=65, eq_enabled=True, agc_enabled=True,
+                        downsample_mode="decimate")
+    T = 512 * 6
+    sig = (rng.normal(size=(2, T)) * 0.2).astype(np.float32)
+
+    def run(chunks):
+        eng = StreamEngine(base, seed=3)
+        outs, pos = [], 0
+        for n in chunks:
+            outs.append(eng.process_frames(sig[:, pos : pos + n]))
+            pos += n
+        assert eng.metrics.underruns == 0  # the ladder never fired
+        return np.concatenate(outs, axis=1)
+
+    out_blocks = run([512] * 6)
+    out_chunks = run([1, 700, 212, 300, 511, 513, 161, 512, 162])  # Σ = 3072
+    assert out_blocks.shape == out_chunks.shape == (2, T)
+    np.testing.assert_array_equal(out_blocks, out_chunks)
+
+    # the fixed framing latency: one block of silence, then the processed
+    # stream (which equals process_block's output shifted by one block)
+    eng = StreamEngine(base, seed=3)
+    direct = np.concatenate(
+        [eng.process_block(sig[:, i * 512 : (i + 1) * 512]) for i in range(6)],
+        axis=1)
+    np.testing.assert_array_equal(out_blocks[:, :512], 0.0)
+    np.testing.assert_array_equal(out_blocks[:, 512:], direct[:, : T - 512])
+
+    # upsampled output rate: n in → n·upf out
+    ucfg = dataclasses.replace(base, output_rate="upsampled",
+                               agc_enabled=False)
+    eng = StreamEngine(ucfg)
+    out = eng.process_frames(sig[:, :300])
+    assert out.shape == (2, 600)
+    out = eng.process_frames(sig[:, 300:1024])
+    assert out.shape == (2, 1448)
+
+
+def test_process_frames_checkpoint_resume(rng, tmp_path):
+    """Framer residuals ride the checkpoint: resume mid-chunk is bit-exact."""
+    cfg = StreamConfig(batch=1, blocksize=512, upsample_factor=2, numtaps=65,
+                       downsample_mode="decimate")
+    sig = (rng.normal(size=(1, 2000)) * 0.2).astype(np.float32)
+    eng = StreamEngine(cfg, seed=1)
+    out_a = eng.process_frames(sig[:, :777])
+    path = str(tmp_path / "framer_ckpt.npz")
+    save_checkpoint(path, eng)
+    eng2 = load_checkpoint(path)
+    out_b = eng.process_frames(sig[:, 777:])
+    out_c = eng2.process_frames(sig[:, 777:])
+    np.testing.assert_array_equal(out_b, out_c)
+    assert out_a.shape[1] == 777 and out_b.shape[1] == 2000 - 777
+
+
 def test_preset_store_roundtrip(tmp_path):
     import dataclasses
 
