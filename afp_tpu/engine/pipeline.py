@@ -448,10 +448,21 @@ class Pipeline:
                    block: jnp.ndarray):
         cfg = self.cfg
         if self._pair_ingest:
-            # block is the bf16 (hi, lo) pair of the f32 block — flows
-            # straight into the pair-input conv path (no staging pass)
-            x = (jnp.asarray(block[0], jnp.bfloat16),
-                 jnp.asarray(block[1], jnp.bfloat16))
+            if isinstance(block, tuple):
+                # block is the bf16 (hi, lo) pair of the f32 block — flows
+                # straight into the pair-input conv path (no staging pass)
+                x = (jnp.asarray(block[0], jnp.bfloat16),
+                     jnp.asarray(block[1], jnp.bfloat16))
+            else:
+                # f32 caller (the StreamEngine ladder path): split at device
+                # entry.  One elementwise pass over the block — still
+                # cheaper than the f32 conv staging it replaces (which
+                # splits the LONGER concat(tail, block) extended signal and
+                # materializes the concat) — and bit-identical to host-side
+                # pair ingest (the split commutes with slicing/concat).
+                from ..ops.pallas.fir_td import split_bf16
+
+                x = split_bf16(jnp.asarray(block, dtype=jnp.float32))
         else:
             x = jnp.asarray(block, dtype=jnp.float32)  # [B, L_in]
         dither_done = False  # set when the conv kernel fused the dither

@@ -139,6 +139,58 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(out1, out2, atol=1e-7)  # bit-exact resume
 
 
+def _pair_cfg(**kw):
+    base = dict(batch=8, blocksize=512, upsample_factor=4, numtaps=101,
+                eq_enabled=False, agc_enabled=False,
+                downsample_mode="decimate", conv_strategy="td_mxu",
+                dither_kind="off", output_clip=None)
+    base.update(kw)
+    return StreamConfig(**base)
+
+
+def test_engine_pair_ingest_matches_f32(rng):
+    """StreamEngine with ingest='pair' (VERDICT r2 #4): same f32 block
+    contract for callers, output equal to the f32-ingest engine at the
+    ulp level (the pair kernel's padded band regroups fp accumulation, so
+    bitwise equality isn't guaranteed — measured ~-137 dB), with the full
+    ladder available."""
+    sig = (rng.normal(size=(8, 512)) * 0.3).astype(np.float32)
+    out_f32 = StreamEngine(_pair_cfg(ingest="f32")).process_block(sig)
+    eng = StreamEngine(_pair_cfg(ingest="pair"))
+    out_pair = eng.process_block(sig)
+    err = np.max(np.abs(out_f32 - out_pair)) / (np.max(np.abs(out_f32)) + 1e-300)
+    assert 20 * np.log10(err + 1e-300) < -120
+    assert eng.metrics.underruns == 0
+
+    # the ladder operates on the f32 contract: a mis-sized block goes
+    # through the pad/trim rung, not a crash
+    bad = (rng.normal(size=(3, 100)) * 0.3).astype(np.float32)
+    out = eng.process_block(bad)
+    assert out.shape == (8, 512) and np.all(np.isfinite(out))
+
+    # NaN input → non-finite guard → replay rung
+    poisoned = sig.copy()
+    poisoned[0, 0] = np.nan
+    out = eng.process_block(poisoned)
+    assert np.all(np.isfinite(out))
+    assert eng.metrics.fallback_replays >= 1
+
+
+def test_engine_pair_ingest_checkpoint_and_frames(rng, tmp_path):
+    """Pair-mode engine: process_frames and bit-exact checkpoint resume
+    (the pair tail serialization) work through the engine surface."""
+    eng = StreamEngine(_pair_cfg(batch=8), seed=2)
+    sig = (rng.normal(size=(8, 1500)) * 0.3).astype(np.float32)
+    out = eng.process_frames(sig[:, :700])
+    assert out.shape == (8, 700)
+    path = str(tmp_path / "pair_ckpt.npz")
+    save_checkpoint(path, eng)
+    eng2 = load_checkpoint(path)
+    a = eng.process_frames(sig[:, 700:])
+    b = eng2.process_frames(sig[:, 700:])
+    np.testing.assert_array_equal(a, b)
+
+
 def test_process_frames_lossless_vs_blocksize_feed(rng):
     """A stream fed in random-sized chunks is sample-identical to the same
     stream fed in exact engine blocks (VERDICT r2 #3: the reference's
