@@ -112,17 +112,23 @@ class ShardedPipeline:
         self._bspec = bspec
         self._exec_cache = {}
 
-    def _get_exec(self, params: DeviceParams):
+    def _get_exec(self, params: DeviceParams, pair_blocks: bool = False):
         """Build (lazily, cached) the shard_map'd step/run for this params
         structure — per-stream gain banks (structurally 2-D) shard on
-        'streams', shared banks replicate."""
+        'streams', shared banks replicate.  `pair_blocks`: the input blocks
+        are the bf16 (hi, lo) pair (ingest='pair' with host-side staging);
+        both halves shard on 'streams'."""
         pspec = _param_spec_tree(params)
-        key = tuple(
+        key = (pair_blocks,) + tuple(
             getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)
         )
         if key in self._exec_cache:
             return self._exec_cache[key]
-        mesh, sspec, bspec = self.mesh, self._sspec, self._bspec
+        mesh, sspec = self.mesh, self._sspec
+        # the OUTPUT block is always a plain f32 array; only the input may
+        # arrive as the bf16 (hi, lo) pair
+        out_bspec = self._bspec
+        bspec = (self._bspec, self._bspec) if pair_blocks else self._bspec
 
         def local_step(params, state, block):
             # decorrelate dither across shards: fold the mesh position in
@@ -135,7 +141,7 @@ class ShardedPipeline:
                 local_step,
                 mesh=mesh,
                 in_specs=(pspec, sspec, bspec),
-                out_specs=(sspec, bspec),
+                out_specs=(sspec, out_bspec),
                 check_vma=False,
             ),
             donate_argnums=(1,),
@@ -150,12 +156,14 @@ class ShardedPipeline:
 
             return jax.lax.scan(body, state, blocks)
 
+        tspec = P(None, "streams", None)
         run = jax.jit(
             jax.shard_map(
                 local_run,
                 mesh=mesh,
-                in_specs=(pspec, sspec, P(None, "streams", None)),
-                out_specs=(sspec, P(None, "streams", None)),
+                in_specs=(pspec, sspec,
+                          (tspec, tspec) if pair_blocks else tspec),
+                out_specs=(sspec, tspec),
                 check_vma=False,
             ),
             donate_argnums=(1,),
@@ -193,12 +201,15 @@ class ShardedPipeline:
 
         return jax.tree_util.tree_map(place, state, sspec)
 
-    def step(self, params: DeviceParams, state: StreamState, blocks: jnp.ndarray):
-        """[B_global, L] in → ([B_global, L] out, state)."""
-        step, _ = self._get_exec(params)
+    def step(self, params: DeviceParams, state: StreamState, blocks):
+        """[B_global, L] in → ([B_global, L] out, state).  With
+        ``ingest='pair'``, `blocks` may be either the f32 array (split at
+        device entry per shard) or the pre-split bf16 (hi, lo) pair."""
+        step, _ = self._get_exec(params, pair_blocks=isinstance(blocks, tuple))
         return step(params, state, blocks)
 
-    def run(self, params: DeviceParams, state: StreamState, blocks: jnp.ndarray):
-        """[T, B_global, L] in → ([T, B_global, L] out, state)."""
-        _, run = self._get_exec(params)
+    def run(self, params: DeviceParams, state: StreamState, blocks):
+        """[T, B_global, L] in → ([T, B_global, L] out, state); pair-block
+        tuples accepted as in :meth:`step`."""
+        _, run = self._get_exec(params, pair_blocks=isinstance(blocks, tuple))
         return run(params, state, blocks)
