@@ -163,19 +163,31 @@ class SimulatedStream:
         self.realtime = realtime
         cfg = engine.cfg
         self.block_seconds = cfg.blocksize / cfg.samplerate
+        self._stop = threading.Event()
 
-    def run(self, n_blocks: int, load_warn: float = 0.8) -> dict:
-        """Run the paced loop for `n_blocks`; returns a metrics snapshot.
+    def stop(self) -> None:
+        """Ask a running :meth:`run` loop (possibly in another thread) to
+        exit after the current block — the GUI's Stop button hook."""
+        self._stop.set()
+
+    def run(self, n_blocks: Optional[int] = None, load_warn: float = 0.8) -> dict:
+        """Run the paced loop for `n_blocks` (None = until :meth:`stop`);
+        returns a metrics snapshot.
 
         `load_warn` mirrors the reference's PortAudio cpu_load watchdog
         (warn when device-busy fraction exceeds 0.8 of the block budget,
         `stream_process_EQ_GUI.py:454-457`).
         """
+        self._stop.clear()
         self.dispatcher.start()
         pacer = Pacer(self.block_seconds) if self.realtime else None
         warned_load = False
         try:
-            for i in range(n_blocks):
+            i = -1
+            while not self._stop.is_set():
+                i += 1
+                if n_blocks is not None and i >= n_blocks:
+                    break
                 if (
                     self.realtime
                     and not warned_load

@@ -59,6 +59,12 @@ class EqualizerController:
         self.spectrum_peak: Optional[tuple] = None
         #: rolling [50, n_bins] spectrum history for the waterfall view
         self.waterfall_ring: Optional[np.ndarray] = None
+        # live stream ownership (the reference GUIs run the audio stream
+        # concurrently with the control loop, `stream_process_EQ_GUI.py
+        # :486-494`); populated by start_stream/stop_stream
+        self._stream = None
+        self._stream_thread = None
+        self._audio_stream = None
 
     # ---------------- pending edits (the tk variables analog) ----------------
 
@@ -137,6 +143,75 @@ class EqualizerController:
     @property
     def preset_names(self):
         return self.presets.names
+
+    # ---------------- live stream (the reference's GUI+stream shape) -------
+
+    @property
+    def streaming(self) -> bool:
+        return (self._stream_thread is not None
+                and self._stream_thread.is_alive()) or (
+                    self._audio_stream is not None)
+
+    def start_stream(self, source=None, realtime: bool = False,
+                     use_audio: bool = False, device=None) -> None:
+        """Start the controller-owned live stream, concurrent with the
+        control surface — the reference spawns its audio thread alongside
+        `root.mainloop()` (`stream_process_EQ_GUI.py:486-494`).
+
+        `use_audio=True` opens a real PortAudio duplex
+        :class:`~afp_tpu.runtime.audio.AudioStream` (raises if the backend
+        is absent); otherwise a :class:`~afp_tpu.runtime.dispatcher.
+        SimulatedStream` runs in a daemon thread, pulling blocks from
+        `source(i) -> [batch, blocksize]` (zeros when None) and feeding
+        every output block to :meth:`update_spectrum` — the periodic
+        spectrum/waterfall feed.  `realtime=True` paces the simulated loop
+        at the true block rate; False runs lockstep (offline/tests).
+        """
+        import threading
+
+        if self.streaming:
+            raise RuntimeError("stream already running; stop_stream() first")
+        if use_audio:
+            from ..runtime.audio import AudioStream
+
+            self._audio_stream = AudioStream(self.engine, device=device)
+            self._audio_stream.start()
+            return
+        from ..runtime.dispatcher import SimulatedStream
+
+        cfg = self.engine.cfg
+        if source is None:
+            silence = np.zeros((cfg.batch, cfg.blocksize), dtype=np.float32)
+            source = lambda i: silence
+        self._stream = SimulatedStream(
+            self.engine, source, sink=self.update_spectrum, realtime=realtime)
+        self._stream_thread = threading.Thread(
+            target=self._stream.run, kwargs={"n_blocks": None},
+            daemon=True, name="afp-gui-stream")
+        self._stream_thread.start()
+
+    def stop_stream(self, timeout: float = 5.0) -> None:
+        """Stop the live stream (either backend); idempotent."""
+        if self._audio_stream is not None:
+            self._audio_stream.stop()
+            self._audio_stream.close()
+            self._audio_stream = None
+        if self._stream is not None:
+            self._stream.stop()
+        if self._stream_thread is not None:
+            self._stream_thread.join(timeout=timeout)
+            self._stream_thread = None
+        self._stream = None
+
+    def metrics_snapshot(self) -> dict:
+        """Live counters + xRT for the GUI's metrics readout (the cpu_load
+        watchdog analog, `stream_process_EQ_GUI.py:454-457`)."""
+        snap = self.engine.metrics.snapshot()
+        snap["xrt_busy"] = round(
+            self.engine.metrics.xrt_busy(self.engine.cfg.samplerate), 1)
+        if self._audio_stream is not None:
+            snap["cpu_load"] = self._audio_stream.cpu_load
+        return snap
 
     # ---------------- observation ----------------
 

@@ -92,6 +92,14 @@ class EqualizerGUI:
         ttk.Button(btns, text="Reset to Defaults", command=self.reset).grid(row=0, column=1, padx=4)
         self._rate_label = ttk.Label(btns, text=f"{self.ctl.upsampled_rate} Hz")
         self._rate_label.grid(row=0, column=2, padx=8)
+        # live stream control + metrics readout (the reference runs the
+        # audio thread alongside mainloop, `stream_process_EQ_GUI.py:486-494`;
+        # cpu_load watchdog `:454-457`)
+        self._stream_btn = ttk.Button(btns, text="Start Stream",
+                                      command=self.toggle_stream)
+        self._stream_btn.grid(row=0, column=3, padx=4)
+        self._metrics_label = ttk.Label(btns, text="stopped")
+        self._metrics_label.grid(row=0, column=4, padx=8)
 
         # --- presets ---
         p_frame = ttk.LabelFrame(self.root, text="Presets")
@@ -117,11 +125,47 @@ class EqualizerGUI:
         self._canvas_frame.grid(row=3, column=0, columnspan=2, padx=8, pady=4,
                                 sticky="nsew")
         self.draw_response()
+        self.root.protocol("WM_DELETE_WINDOW", self._on_close)
+
+    def _on_close(self) -> None:
+        self.ctl.stop_stream()
+        self.root.destroy()
 
     # --- handlers (all delegate to the controller) ---
 
     def _on_gain(self, idx: int) -> None:
         self.ctl.set_gain(idx, self._gain_vars[idx].get())
+
+    def toggle_stream(self) -> None:
+        """Start/Stop the controller-owned live stream: a real AudioStream
+        when PortAudio is present, else the paced SimulatedStream — with the
+        periodic spectrum feed and a metrics readout polled via `after`."""
+        try:
+            if self.ctl.streaming:
+                self.ctl.stop_stream()
+                self._stream_btn.configure(text="Start Stream")
+                self._metrics_label.configure(text="stopped")
+                return
+            from ..runtime.audio import audio_available
+
+            self.ctl.start_stream(use_audio=audio_available(), realtime=True)
+            self._stream_btn.configure(text="Stop Stream")
+            self._poll_metrics()
+        except Exception as e:
+            print(f"Stream control error: {e}")
+
+    def _poll_metrics(self) -> None:
+        """1 Hz metrics + spectrum refresh while streaming (the reference's
+        monitor loop, `stream_process_EQ_GUI.py:454-457`)."""
+        if not self.ctl.streaming:
+            return
+        snap = self.ctl.metrics_snapshot()
+        self._metrics_label.configure(
+            text=f"blocks {snap['blocks']}  xRT {snap['xrt_busy']}  "
+                 f"underruns {snap['underruns']}  drops {snap['drops']}")
+        if self.ctl.show_spectrum and self.ctl.spectrum_peak is not None:
+            self.draw_response()  # live overlay refresh
+        self.root.after(1000, self._poll_metrics)
 
     def _toggle_spectrum(self) -> None:
         self.ctl.show_spectrum = bool(self._spectrum_var.get())

@@ -48,6 +48,15 @@ class _Widget:
     def mainloop(self):
         pass
 
+    def protocol(self, *a, **k):
+        pass
+
+    def after(self, ms, fn=None):
+        # no event loop in the stub: record but never re-invoke (the poll
+        # chain is driven by the test, not a scheduler)
+        self.kw.setdefault("after_calls", 0)
+        self.kw["after_calls"] += 1
+
 
 def _fake_tk():
     tk = types.ModuleType("tkinter")
@@ -148,3 +157,64 @@ def test_gui_spectrum_toggle_and_waterfall(gui):
     draws_before = _FakeCanvas.draws
     gui.open_waterfall()
     assert _FakeCanvas.draws > draws_before
+
+
+def test_controller_live_stream_feeds_spectrum():
+    """The controller-owned live loop (VERDICT r2 #7): pumping N blocks
+    through the GUI-owned dispatcher updates the spectrum/waterfall and the
+    metrics readout — the reference's concurrent GUI+stream shape
+    (`stream_process_EQ_GUI.py:486-494`)."""
+    import time
+
+    from afp_tpu.engine import StreamConfig, StreamEngine
+    from afp_tpu.ui import EqualizerController
+
+    cfg = StreamConfig(samplerate=44100, blocksize=512, upsample_factor=2,
+                       numtaps=65, batch=1, eq_enabled=True,
+                       dither_kind="off", downsample_mode="decimate",
+                       output_clip=None)
+    ctl = EqualizerController(StreamEngine(cfg))
+    ctl.show_spectrum = True
+    t = np.arange(512) / 44100.0
+    tone = (0.5 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)[None]
+
+    ctl.start_stream(source=lambda i: tone, realtime=False)
+    assert ctl.streaming
+    with pytest.raises(RuntimeError, match="already running"):
+        ctl.start_stream()
+    deadline = time.time() + 20
+    while ctl.engine.metrics.blocks_processed < 8 and time.time() < deadline:
+        time.sleep(0.02)
+    ctl.stop_stream()
+    assert not ctl.streaming
+
+    snap = ctl.metrics_snapshot()
+    assert snap["blocks"] >= 8 and snap["xrt_busy"] > 0
+    # the periodic feed populated the spectrum + waterfall history
+    assert ctl.waterfall_ring is not None
+    assert np.any(ctl.waterfall_ring[-1] > -200.0)
+    f_peak, _lvl = ctl.spectrum_peak
+    assert abs(f_peak - 1000.0) < 200.0  # the 1 kHz tone dominates
+
+    # restartable after stop
+    ctl.start_stream(source=lambda i: tone, realtime=False)
+    ctl.stop_stream()
+
+
+def test_gui_toggle_stream_handler(gui):
+    """The Start/Stop button drives the controller's live loop and the
+    metrics label; stop is idempotent via the close handler."""
+    import time
+
+    gui.toggle_stream()  # start (no PortAudio in CI → SimulatedStream)
+    assert gui.ctl.streaming
+    deadline = time.time() + 20
+    while (gui.ctl.engine.metrics.blocks_processed < 2
+           and time.time() < deadline):
+        time.sleep(0.02)
+    gui._poll_metrics()
+    assert "blocks" in gui._metrics_label.kw.get("text", "")
+    gui.toggle_stream()  # stop
+    assert not gui.ctl.streaming
+    assert gui._metrics_label.kw["text"] == "stopped"
+    gui._on_close()  # idempotent stop + destroy
