@@ -204,7 +204,8 @@ class Pipeline:
             # the old gate passed the extended width as T, overestimating the
             # footprint and mis-gating some shapes)
             try:
-                _rms_tile(self.batch, self.block, w)
+                _rms_tile(self.batch, self.block, w,
+                          two_level=(w >= 128 and w % 128 == 0))
                 rms_tileable = True
             except ValueError:
                 rms_tileable = False

@@ -82,7 +82,8 @@ def test_alternative_layouts_match_oracle(rng, precision):
 
 
 @pytest.mark.parametrize("W,B,T", [(512, 16, 2048), (500, 16, 1024),
-                                   (64, 8, 256), (511, 8, 512)])
+                                   (64, 8, 256), (511, 8, 512),
+                                   (384, 8, 1024), (128, 8, 512)])
 @pytest.mark.parametrize("transposed", [False, True])
 def test_rms_desired_fused_matches_oracle(rng, W, B, T, transposed):
     """Fused square→pad→boxcar→sqrt→desired kernel ≡ the staged
