@@ -236,7 +236,9 @@ def test_pair_ingest_matches_f32(rng):
         np.testing.assert_array_equal(np.asarray(y), ref[i])
 
 
-def test_pair_ingest_rejected_on_engine_and_bad_configs():
+def test_pair_ingest_engine_accepts_and_bad_configs_reject():
+    """StreamEngine accepts ingest='pair' since the engine-level pair
+    ladder landed (r3); the config-level incompatibilities still raise."""
     import dataclasses
 
     import pytest as _pytest
@@ -245,8 +247,8 @@ def test_pair_ingest_rejected_on_engine_and_bad_configs():
 
     cfg = make_cfg(conv_strategy="td_mxu", ingest="pair",
                    blocksize=512, upsample_factor=1, batch=4)
-    with _pytest.raises(NotImplementedError):
-        StreamEngine(cfg)
+    eng = StreamEngine(cfg)  # no longer rejected — full ladder on pair
+    assert eng.cfg.ingest == "pair"
     with _pytest.raises(ValueError, match="conv_strategy"):
         dataclasses.replace(cfg, conv_strategy="fft").validate()
     with _pytest.raises(ValueError, match="agc"):
