@@ -751,6 +751,133 @@ class Pipeline:
         alive to recover from a failed step (see the __init__ note)."""
         return self._step(params, state, block)
 
+    # ---------------- zero-copy serving-ring step ----------------
+
+    @property
+    def supports_ring_step(self) -> bool:
+        """True when :meth:`ring_step` is available: pair ingest (which
+        `StreamConfig.validate` already restricts to td_mxu, no AGC/ASRC,
+        base-rate output) with the scan-carried waterfall off.  Per-stream
+        EQ banks are rejected at call time (their kernel consumes f32)."""
+        return bool(self._pair_ingest and not self.cfg.waterfall_enabled)
+
+    def _ring_step_impl(self, params: DeviceParams, state: StreamState,
+                        ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
+                        idx, out_ring: jnp.ndarray):
+        """One serving step over HBM-resident rings — the sustained-mode
+        hot loop without its two staging copies per block.
+
+        The classic sustained loop (`bench.py:_sustained_xrt`) pays a
+        `dynamic_slice` pulling block `idx` out of the input ring and a
+        `dynamic_update_slice` pushing the result into the output ring —
+        pure HBM→HBM copy traffic around the conv kernel.  Here the conv
+        kernel itself reads slot `idx` of the (hi, lo) input ring via a
+        scalar-prefetch BlockSpec and writes slot `idx` of the DONATED
+        output ring in place (`fir_td_mxu_ring`); the only remaining copy
+        is the [B, k_pad] tail slice, ~k_pad/T of a block.  Numerics are
+        identical to :meth:`step` in pair-ingest mode.
+        """
+        cfg = self.cfg
+        has_eq = cfg.eq_enabled and len(cfg.eq_bands) > 0
+        if has_eq and params.eq_gains.ndim == 2:
+            raise ValueError(
+                "ring_step does not support per-stream EQ banks (the "
+                "wide-dot kernel consumes f32) — use step()")
+        if not self.supports_ring_step:
+            raise ValueError("ring_step requires pair ingest with the "
+                             "waterfall disabled")
+        from ..ops.pallas.fir_td import fir_td_mxu_ring
+
+        S, B, T = ring_hi.shape
+        kp = self._k_pad
+        idx = jnp.asarray(idx, dtype=jnp.int32)
+        k = params.combined_cascade(has_eq)
+        band = jnp.where(self._band_mask, jnp.take(k, self._band_idx), 0.0)
+        fuse_dither = cfg.dither_kind != "off" and not self._pl_interpret
+        key = state.key
+        dkw = {}
+        if fuse_dither:
+            from ..ops.pallas.dither_pl import fold_seed
+
+            key, sub = jax.random.split(key)
+            dkw = dict(dither_seed=fold_seed(sub),
+                       dither_bits=cfg.dither_bits,
+                       dither_tpdf=(cfg.dither_kind == "tpdf"))
+        tail_hi, tail_lo = state.conv_tail
+        out_ring = fir_td_mxu_ring(
+            ring_hi, ring_lo, idx, tail_hi, tail_lo, band, out_ring,
+            interpret=self._pl_interpret, out_clip=cfg.output_clip, **dkw,
+        )
+        if cfg.dither_kind != "off" and not fuse_dither:
+            # interpret mode (CPU tests): dither the written slot in place —
+            # the staging round trip this reintroduces exists only off-TPU
+            key, sub = jax.random.split(key)
+            y = jax.lax.dynamic_index_in_dim(out_ring, idx, keepdims=False)
+            y = dither(sub, y, cfg.dither_bits, cfg.dither_kind)
+            out_ring = jax.lax.dynamic_update_index_in_dim(
+                out_ring, y, idx, axis=0)
+        # pair tail carry: last k_pad columns of the block just consumed
+        # (identical to the pair-ingest branch of _step_impl)
+        if kp <= T:
+            new_tail = (
+                jax.lax.dynamic_slice(ring_hi, (idx, 0, T - kp), (1, B, kp))[0],
+                jax.lax.dynamic_slice(ring_lo, (idx, 0, T - kp), (1, B, kp))[0],
+            )
+        else:
+            xh = jax.lax.dynamic_index_in_dim(ring_hi, idx, keepdims=False)
+            xl = jax.lax.dynamic_index_in_dim(ring_lo, idx, keepdims=False)
+            new_tail = (
+                jnp.concatenate([tail_hi[:, T - kp:], xh], axis=-1),
+                jnp.concatenate([tail_lo[:, T - kp:], xl], axis=-1),
+            )
+        new_state = StreamState(
+            asrc=state.asrc, up=state.up, conv_tail=new_tail,
+            down=state.down, agc_gain=state.agc_gain, key=key, wf=state.wf,
+        )
+        return new_state, out_ring
+
+    def ring_step(self, params: DeviceParams, state: StreamState,
+                  ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
+                  idx, out_ring: jnp.ndarray):
+        """Jitted :meth:`_ring_step_impl`; `out_ring` is donated (the kernel
+        writes slot `idx` in place and the rest rides through untouched)."""
+        if not hasattr(self, "_ring_step"):
+            self._ring_step = jax.jit(self._ring_step_impl,
+                                      donate_argnums=(5,))
+        return self._ring_step(params, state, ring_hi, ring_lo, idx, out_ring)
+
+    def _run_ring_impl(self, params: DeviceParams, state: StreamState,
+                       ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
+                       out_ring: jnp.ndarray, n_steps: int, start):
+        K = ring_hi.shape[0]
+        start = jnp.asarray(start, dtype=jnp.int32)
+
+        def body(carry, i):
+            st, rg = carry
+            st, rg = self._ring_step_impl(
+                params, st, ring_hi, ring_lo, jnp.mod(start + i, K), rg)
+            return (st, rg), ()
+
+        (state, out_ring), _ = jax.lax.scan(
+            body, (state, out_ring), jnp.arange(n_steps, dtype=jnp.int32))
+        return state, out_ring
+
+    def run_ring(self, params: DeviceParams, state: StreamState,
+                 ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
+                 out_ring: jnp.ndarray, n_steps: int, start=0):
+        """Sustained serving: ONE dispatch advances `n_steps` blocks around
+        the HBM-resident rings, slot `(start+i) mod K` each step, writing
+        the DONATED `out_ring` in place via the zero-copy ring kernel.
+        This is the production serving loop shape: the host refills input
+        slots / drains output slots asynchronously while the device scans.
+        `n_steps` is static (compile-cached per value)."""
+        if not hasattr(self, "_run_ring"):
+            self._run_ring = jax.jit(self._run_ring_impl,
+                                     static_argnums=(5,),
+                                     donate_argnums=(4,))
+        return self._run_ring(params, state, ring_hi, ring_lo, out_ring,
+                              n_steps, start)
+
     # ---------------- scan over many blocks ----------------
 
     def _run_impl(self, params: DeviceParams, state: StreamState,

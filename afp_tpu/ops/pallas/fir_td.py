@@ -505,6 +505,114 @@ def fir_td_mxu_pair(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
                              out_clip=out_clip)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "dither_bits", "dither_tpdf", "out_clip"))
+def _fir_td_ring_call(idx, ring_hi, ring_lo, tail_hi, tail_lo, band, out_ring,
+                      interpret: bool = False, seed=None,
+                      dither_bits: int | None = None, dither_tpdf: bool = True,
+                      out_clip: float | None = None):
+    S, B, T = ring_hi.shape
+    k_pad = tail_hi.shape[1]
+    n_taps = band.shape[0] - LANE + 1
+    assert k_pad % LANE == 0 and k_pad >= n_taps - 1, (k_pad, n_taps)
+    band_p = jnp.pad(band, ((k_pad - (n_taps - 1), 0), (0, 0)))
+    t_tiles = T // LANE
+    b_hi, b_lo = split_bf16(band_p)
+    bt = _pick_b_tile_b3t(B, k_pad, T)
+    grid = (B // bt,)
+    # scalar-prefetch index_maps: grid index first, then the prefetched
+    # block-index ref — (None, bt, T) blocks squeeze the slot axis, so the
+    # kernel body is EXACTLY _fir_kernel_b3t (same refs, same shapes)
+    ring_spec = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
+                             memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((bt, k_pad), lambda i, s: (i, 0),
+                          memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((band_p.shape[0], LANE), lambda i, s: (0, 0),
+                             memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 1), lambda i, s: (0, 0),
+                             memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
+                            memory_space=pltpu.VMEM)
+    # the aliased output ring rides through untouched (ANY = no VMEM
+    # round trip for the blocks this step does not write)
+    ring_io_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_shape = jax.ShapeDtypeStruct((S, B, T), jnp.float32)
+    dkw = {"out_clip": out_clip}
+    if dither_bits is not None:
+        dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
+    kernel = functools.partial(_fir_kernel_b3t, k_pad=k_pad,
+                               t_tiles=t_tiles, **dkw)
+    if dither_bits is not None:
+        kern = lambda sidx, s, a, b, c, d, e, f, rio, o: kernel(
+            a, b, c, d, e, f, o, seed_ref=s)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[seed_spec, ring_spec, ring_spec, t_spec, t_spec,
+                      band_spec, band_spec, ring_io_spec],
+            out_specs=out_spec)
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shape,
+            input_output_aliases={8: 0}, interpret=interpret,
+        )(idx, seed, ring_hi, ring_lo, tail_hi, tail_lo, b_hi, b_lo, out_ring)
+    kern = lambda sidx, a, b, c, d, e, f, rio, o: kernel(a, b, c, d, e, f, o)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[ring_spec, ring_spec, t_spec, t_spec,
+                  band_spec, band_spec, ring_io_spec],
+        out_specs=out_spec)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        input_output_aliases={7: 0}, interpret=interpret,
+    )(idx, ring_hi, ring_lo, tail_hi, tail_lo, b_hi, b_lo, out_ring)
+
+
+def fir_td_mxu_ring(ring_hi: jnp.ndarray, ring_lo: jnp.ndarray, idx,
+                    tail_hi: jnp.ndarray, tail_lo: jnp.ndarray,
+                    band: jnp.ndarray, out_ring: jnp.ndarray,
+                    interpret: bool = False,
+                    dither_seed=None, dither_bits: int | None = None,
+                    dither_tpdf: bool = True,
+                    out_clip: float | None = None) -> jnp.ndarray:
+    """Zero-copy serving-ring FIR step: convolve block `idx` of an
+    HBM-resident input ring straight into slot `idx` of the output ring.
+
+    The sustained serving loop used to pay two HBM→HBM copies per step
+    around the conv kernel: a `dynamic_slice` staging the current block out
+    of the input ring (the kernel can only read whole operands) and a
+    `dynamic_update_slice` staging its result into the output ring —
+    ~270 MB/step of pure copy traffic at the headline shape, ≈40% of the
+    measured marginal (`docs/BENCHMARKS.md` roofline).  This variant
+    removes both: the block index rides as a scalar-prefetch argument
+    (`pltpu.PrefetchScalarGridSpec`), the input BlockSpec's index_map
+    selects the ring slot directly (HBM→VMEM streaming, no staging copy),
+    and the output ring is donated via `input_output_aliases` with the
+    out BlockSpec writing the same slot in place.
+
+    `ring_hi`/`ring_lo`: [S, B, T] bf16 pair (block-major serving ring);
+    `idx`: int32 [1] — which slot to process; `tail_hi`/`tail_lo`: the
+    carried overlap pair, exactly as :func:`fir_td_mxu_pair`;
+    `out_ring`: [S, B, T] f32, DONATED — returns the updated ring (slot
+    `idx` replaced, all other slots preserved).  Numerics are identical to
+    :func:`fir_td_mxu_pair` on the sliced block (same kernel body).
+    """
+    assert ring_hi.dtype == jnp.bfloat16 and tail_hi.dtype == jnp.bfloat16
+    band = jnp.asarray(band, dtype=jnp.float32)
+    if ring_hi.shape[-1] % LANE:
+        raise ValueError(f"T={ring_hi.shape[-1]} must be a multiple of {LANE}")
+    k = band.shape[0] - LANE  # n_taps − 1
+    k_pad = -(-max(k, 1) // LANE) * LANE
+    if tail_hi.shape[1] != k_pad:
+        pad = k_pad - tail_hi.shape[1]
+        assert pad > 0, (tail_hi.shape, k_pad)
+        tail_hi = jnp.pad(tail_hi, ((0, 0), (pad, 0)))
+        tail_lo = jnp.pad(tail_lo, ((0, 0), (pad, 0)))
+    idx = jnp.asarray(idx, dtype=jnp.int32).reshape(1)
+    return _fir_td_ring_call(idx, ring_hi, ring_lo, tail_hi, tail_lo, band,
+                             out_ring, interpret=interpret, seed=dither_seed,
+                             dither_bits=dither_bits, dither_tpdf=dither_tpdf,
+                             out_clip=out_clip)
+
+
 def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,
                interpret: bool = False,
                precision: str | None = None,

@@ -213,3 +213,41 @@ class ShardedPipeline:
         tuples accepted as in :meth:`step`."""
         _, run = self._get_exec(params, pair_blocks=isinstance(blocks, tuple))
         return run(params, state, blocks)
+
+    def run_ring(self, params: DeviceParams, state: StreamState,
+                 ring_hi, ring_lo, out_ring, n_steps: int, start=0):
+        """Sharded zero-copy serving loop (`Pipeline.run_ring`): the
+        [S, B_global, T] rings shard on 'streams', the slot index is
+        replicated, and each shard's conv kernel reads/writes its own ring
+        slices in place — still zero hot-loop collectives.  `out_ring` is
+        donated; `n_steps` is static."""
+        if not self.pipeline.supports_ring_step:
+            raise ValueError("run_ring requires pair ingest with the "
+                             "waterfall disabled (see Pipeline.ring_step)")
+        pspec = _param_spec_tree(params)
+        key = ("ring", n_steps) + tuple(
+            getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)
+        )
+        if key not in self._exec_cache:
+            mesh, sspec = self.mesh, self._sspec
+            rspec = P(None, "streams", None)
+
+            def local_ring(params, state, rh, rl, rg, start):
+                idx = jax.lax.axis_index("streams")
+                state = state._replace(key=jax.random.fold_in(state.key, idx))
+                return self.pipeline._run_ring_impl(
+                    params, state, rh, rl, rg, n_steps, start)
+
+            self._exec_cache[key] = jax.jit(
+                jax.shard_map(
+                    local_ring,
+                    mesh=mesh,
+                    in_specs=(pspec, sspec, rspec, rspec, rspec, P()),
+                    out_specs=(sspec, rspec),
+                    check_vma=False,
+                ),
+                donate_argnums=(4,),
+            )
+        return self._exec_cache[key](
+            params, state, ring_hi, ring_lo, out_ring,
+            jnp.asarray(start, jnp.int32))

@@ -155,6 +155,44 @@ def _sustained_xrt(pipe, params, blocks, reps: int):
     return xrt
 
 
+def _sustained_ring_xrt(pipe, params, pblocks, reps: int):
+    """Zero-copy serving mode: like :func:`_sustained_xrt` in pair mode,
+    but via `Pipeline._ring_step_impl` — the conv kernel reads slot i of
+    the HBM-resident input ring directly (scalar-prefetch BlockSpec) and
+    writes slot i of the donated output ring in place, so the per-step
+    `dynamic_slice`/`dynamic_update_slice` staging copies disappear
+    (~3 full-block HBM round trips per step at the headline shape)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
+    if not n_sust or not pipe.supports_ring_step:
+        return None
+    ring_hi, ring_lo = pblocks
+    K, batch, blocksize = ring_hi.shape
+
+    st = pipe.init_state(seed=0)
+    out_ring = jnp.zeros((K, batch, blocksize), jnp.float32)
+    st, out_ring = pipe.run_ring(  # compile + warm
+        params, st, ring_hi, ring_lo, out_ring, n_sust)
+    float(jnp.sum(out_ring))
+    times = []
+    for _ in range(max(2, reps - 2)):
+        t0 = _time.perf_counter()
+        st, out_ring = pipe.run_ring(
+            params, st, ring_hi, ring_lo, out_ring, n_sust)
+        checksum = float(jnp.sum(out_ring))
+        times.append(_time.perf_counter() - t0)
+    assert np.isfinite(checksum)
+    sbest = min(times)
+    xrt = float(round(
+        n_sust * batch * blocksize / pipe.cfg.samplerate / sbest, 1))
+    print(f"bench: ring-mode best={sbest:.4f}s ({n_sust} blocks/dispatch) "
+          f"xrt={xrt:.0f}", file=sys.stderr, flush=True)
+    return xrt
+
+
 def run_config(batch: int, nblocks: int, reps: int, strategy: str,
                precision: str) -> dict:
     import jax
@@ -270,6 +308,7 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
     # like-for-like number below (r2 advisor: the +14% quote mixed ring
     # sizes; the full-size pair ring also OOM'd at 16 GB).
     sustained_pair_xrt = None
+    sustained_pair_ring_xrt = None
     sustained_xrt_ring16 = None
     if (strategy == "td_mxu" and precision.startswith("B3")
             and os.environ.get("AFP_BENCH_PAIR", "1") != "0"):
@@ -292,6 +331,10 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
             print("bench: pair-ingest variant compiling...",
                   file=sys.stderr, flush=True)
             sustained_pair_xrt = _sustained_xrt(ppipe, pparams, pblocks, reps)
+            # zero-copy serving ring (fir_td_mxu_ring): same blocks, the
+            # staging slice/update around the kernel removed
+            sustained_pair_ring_xrt = _sustained_ring_xrt(
+                ppipe, pparams, pblocks, reps)
             del pblocks
         except Exception as e:  # noqa: BLE001
             print(f"bench: pair-ingest variant failed ({e})",
@@ -316,6 +359,7 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
         "chained_xrt": float(round(xrt, 1)),
         "sustained_xrt": sustained_xrt,
         "sustained_pair_xrt": sustained_pair_xrt,
+        "sustained_pair_ring_xrt": sustained_pair_ring_xrt,
         "strategy": strategy,
         "precision": precision if strategy == "td_mxu" else None,
         "mfu": mfu,

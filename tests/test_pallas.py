@@ -253,6 +253,41 @@ def test_agc_apply_emit_split_matches_plain(rng):
     np.testing.assert_array_equal(np.asarray(gl), np.asarray(gl2))
 
 
+def test_fir_td_ring_matches_pair(rng):
+    """fir_td_mxu_ring on slot `idx` must be bit-identical to
+    fir_td_mxu_pair on the sliced block, and every OTHER slot of the
+    (aliased) output ring must come through untouched."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import (fir_td_mxu_pair, fir_td_mxu_ring,
+                                           split_bf16)
+
+    taps, T, B, S = 129, 512, 8, 3
+    h = (rng.normal(size=taps) * 0.1).astype(np.float32)
+    band = jnp.asarray(band_matrix(h))
+    ring = (rng.normal(size=(S, B, T)) * 0.4).astype(np.float32)
+    rh, rl = split_bf16(jnp.asarray(ring))
+    tail = (rng.normal(size=(B, taps - 1)) * 0.4).astype(np.float32)
+    th, tl = split_bf16(jnp.asarray(tail))
+    sentinel = np.full((S, B, T), 7.0, np.float32)
+    for idx in range(S):
+        ref = np.asarray(fir_td_mxu_pair(rh[idx], rl[idx], th, tl, band,
+                                         interpret=True))
+        out = np.asarray(fir_td_mxu_ring(rh, rl, idx, th, tl, band,
+                                         jnp.asarray(sentinel),
+                                         interpret=True))
+        np.testing.assert_array_equal(out[idx], ref)
+        others = [s for s in range(S) if s != idx]
+        np.testing.assert_array_equal(out[others], sentinel[others])
+    # fused output clip rides along, same slot discipline
+    ref_c = np.asarray(fir_td_mxu_pair(rh[1], rl[1], th, tl, band,
+                                       interpret=True, out_clip=0.05))
+    out_c = np.asarray(fir_td_mxu_ring(rh, rl, 1, th, tl, band,
+                                       jnp.asarray(sentinel), interpret=True,
+                                       out_clip=0.05))
+    np.testing.assert_array_equal(out_c[1], ref_c)
+
+
 def test_fir_td_pair_rejects_bad_shapes(rng):
     """The pair kernel must raise cleanly (not silently truncate) on a batch
     no tile divides and on T not a multiple of 128."""

@@ -106,6 +106,51 @@ def test_sharded_td_mxu_pair_state_and_ingest(rng, mesh):
                                atol=1e-6)
 
 
+def test_sharded_run_ring_matches_sharded_run(rng, mesh):
+    """The zero-copy serving loop sharded over 8 devices must match
+    ShardedPipeline.run in pair mode — certifies the fastest serving mode
+    multi-chip.  Signal comparison at the sibling tests' 1e-6 tolerance
+    (shard_map changes f32 fusion order at the last ulp); the dither KEY
+    schedule is asserted bit-exactly on zero input, where the output is
+    the dither noise alone."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    cfg = make_cfg(batch=8, upsample_factor=4, numtaps=101,
+                   conv_strategy="td_mxu", ingest="pair", eq_enabled=False,
+                   dither_kind="off")
+    sp = ShardedPipeline(cfg, mesh)
+    assert sp.pipeline.supports_ring_step
+    design = PipelineParams.design(sp.cfg)
+    params = sp.device_params(design)
+    K = 3
+    blocks = rng.normal(size=(K, 8, cfg.blocksize)).astype(np.float32) * 0.3
+    pair = split_bf16(jnp.asarray(blocks))
+    _, gold = sp.run(params, sp.init_state(seed=2), pair)
+
+    out_ring = jnp.zeros((K, 8, cfg.blocksize), jnp.float32)
+    _, out_ring = sp.run_ring(params, sp.init_state(seed=2), pair[0],
+                              pair[1], out_ring, K)
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(gold),
+                               atol=1e-6)
+
+    # dither key schedule: zero input → output is pure per-shard noise;
+    # ring and classic paths must draw the SAME noise, bit for bit
+    import dataclasses
+
+    cfgd = dataclasses.replace(cfg, dither_kind="tpdf")
+    spd = ShardedPipeline(cfgd, mesh)
+    paramsd = spd.device_params(PipelineParams.design(spd.cfg))
+    zpair = split_bf16(jnp.zeros((K, 8, cfg.blocksize), jnp.float32))
+    _, ngold = spd.run(paramsd, spd.init_state(seed=2), zpair)
+    nring = jnp.zeros((K, 8, cfg.blocksize), jnp.float32)
+    _, nring = spd.run_ring(paramsd, spd.init_state(seed=2), zpair[0],
+                            zpair[1], nring, K)
+    np.testing.assert_array_equal(np.asarray(nring), np.asarray(ngold))
+    assert np.any(np.asarray(ngold))  # the noise is actually there
+
+
 def test_sharded_dither_decorrelated(mesh):
     """Dither keys fold in the mesh position: shards must not emit identical
     noise."""

@@ -236,6 +236,106 @@ def test_pair_ingest_matches_f32(rng):
         np.testing.assert_array_equal(np.asarray(y), ref[i])
 
 
+def test_ring_step_matches_pair_step(rng):
+    """Pipeline.ring_step (zero-copy serving ring) must produce the exact
+    per-block outputs of the classic pair-ingest step loop — same carried
+    tail, same dither key schedule — while leaving the other output-ring
+    slots untouched."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    base = make_cfg(
+        blocksize=512, upsample_factor=2, numtaps=65, batch=4,
+        eq_enabled=True, conv_strategy="td_mxu", output_clip=0.5,
+        ingest="pair",
+    )
+    sig = (rng.normal(size=(3, 4, 512)) * 0.4).astype(np.float32)
+
+    p = Pipeline(base)
+    assert p.supports_ring_step
+    pp = p.device_params(PipelineParams.design(p.cfg))
+
+    # reference: classic pair-ingest step loop
+    st = p.init_state(seed=3)
+    ref = []
+    for b in sig:
+        st, y = p._step_impl(pp, st, split_bf16(jnp.asarray(b)))
+        ref.append(np.asarray(y))
+
+    # ring mode: same blocks resident as a ring, processed slot by slot
+    rh, rl = split_bf16(jnp.asarray(sig))
+    out_ring = jnp.full(sig.shape, 9.0, jnp.float32)
+    st2 = p.init_state(seed=3)
+    for i in range(sig.shape[0]):
+        st2, out_ring = p._ring_step_impl(pp, st2, rh, rl, i, out_ring)
+        got = np.asarray(out_ring)
+        np.testing.assert_array_equal(got[i], ref[i])
+        # later slots still hold the sentinel
+        assert np.all(got[i + 1:] == 9.0)
+    # carried tails agree bit-for-bit after the full pass
+    np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
+                                  np.asarray(st2.conv_tail[0]))
+    np.testing.assert_array_equal(np.asarray(st.conv_tail[1]),
+                                  np.asarray(st2.conv_tail[1]))
+
+    # dither on: the ring path must reproduce the classic key schedule
+    cfgd = dataclasses.replace(base, dither_kind="tpdf", output_clip=None)
+    pd = Pipeline(cfgd)
+    std = pd.init_state(seed=7)
+    refd = []
+    for b in sig:
+        std, y = pd._step_impl(
+            pd.device_params(PipelineParams.design(pd.cfg)), std,
+            split_bf16(jnp.asarray(b)))
+        refd.append(np.asarray(y))
+    ppd = pd.device_params(PipelineParams.design(pd.cfg))
+    std2 = pd.init_state(seed=7)
+    ringd = jnp.zeros(sig.shape, jnp.float32)
+    for i in range(sig.shape[0]):
+        std2, ringd = pd._ring_step_impl(ppd, std2, rh, rl, i, ringd)
+    np.testing.assert_array_equal(np.asarray(ringd), np.stack(refd))
+
+
+def test_run_ring_matches_step_loop_with_wraparound(rng):
+    """Pipeline.run_ring (one-dispatch serving scan) must equal the
+    per-step pair loop for n_steps > K (ring wraparound) and honor a
+    nonzero start offset."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    cfg = make_cfg(
+        blocksize=512, upsample_factor=1, numtaps=65, batch=4,
+        conv_strategy="td_mxu", ingest="pair", dither_kind="off",
+    )
+    K, n_steps, start = 3, 5, 2
+    sig = (rng.normal(size=(K, 4, 512)) * 0.4).astype(np.float32)
+    p = Pipeline(cfg)
+    pp = p.device_params(PipelineParams.design(p.cfg))
+    rh, rl = split_bf16(jnp.asarray(sig))
+
+    # reference: classic pair step loop in ring order (start..start+n-1 mod K)
+    st = p.init_state(seed=1)
+    last = {}
+    for i in range(n_steps):
+        s = (start + i) % K
+        st, y = p._step_impl(pp, st, (rh[s], rl[s]))
+        last[s] = np.asarray(y)  # out_ring keeps the LAST write per slot
+
+    st2 = p.init_state(seed=1)
+    out_ring = jnp.full(sig.shape, 5.0, jnp.float32)
+    st2, out_ring = p.run_ring(pp, st2, rh, rl, out_ring, n_steps,
+                               start=start)
+    got = np.asarray(out_ring)
+    for s, y in last.items():
+        np.testing.assert_array_equal(got[s], y)
+    np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
+                                  np.asarray(st2.conv_tail[0]))
+
+
 def test_pair_ingest_engine_accepts_and_bad_configs_reject():
     """StreamEngine accepts ingest='pair' since the engine-level pair
     ladder landed (r3); the config-level incompatibilities still raise."""
