@@ -1,0 +1,190 @@
+"""Host driver for the zero-copy serving rings (docs/DESIGN.md r3).
+
+The device side of sustained serving is `Pipeline.run_ring`: one dispatch
+advances `chunk` blocks around HBM-resident (hi, lo) input rings and a
+donated output ring, with the conv kernel reading/writing ring slots in
+place (`ops/pallas/fir_td.py:fir_td_mxu_ring`).  This module is the host
+side: a pump that
+
+    1. lands incoming engine-sized blocks in the next input-ring slots
+       (the bf16 hi/lo split happens at ingest, `StreamConfig.ingest='pair'`
+       — a donated in-place slot write, the only per-block copy left),
+    2. dispatches ``run_ring(n_steps=chunk, start=slot)``,
+    3. drains the produced output slots to the sink,
+
+keeping up to `max_inflight` dispatches enqueued on the device stream so
+ingest/drain overlap compute.  Everything rides ONE in-order device
+stream, which is what makes the aliasing safe: the output-slot slice for
+chunk *i* is enqueued before dispatch *i+1* donates that ring version, so
+the runtime sequences the read before the in-place overwrite; a refill
+write for chunk *i+1* is enqueued after dispatch *i* and therefore can
+never race the scan that reads slot *i*.
+
+This is the production analog of the reference's callback → queue →
+worker pipeline (`/root/reference/stream_process_EQ_GUI.py:47-48,65-113`)
+at the throughput operating point: maximal device occupancy, latency of
+up to ``chunk × max_inflight`` blocks.  For the latency-first,
+callback-shaped operating point use `BlockDispatcher`/`StreamEngine`.
+"""
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..engine.config import PipelineParams
+from ..engine.pipeline import DeviceParams, Pipeline, StreamState
+from ..utils.log import get_logger
+
+logger = get_logger("serving")
+
+__all__ = ["RingServer"]
+
+
+def _write_slot(ring, blk, slot):
+    return jax.lax.dynamic_update_index_in_dim(ring, blk, slot, 0)
+
+
+class RingServer:
+    """Sustained-throughput serving over HBM rings.
+
+    Parameters
+    ----------
+    pipeline:
+        A `Pipeline` with ``supports_ring_step`` (pair ingest — td_mxu,
+        no AGC/ASRC, base-rate output, waterfall off).
+    params:
+        Device parameter bank (defaults to the pipeline's own design).
+    slots:
+        Ring depth K (slots of [batch, blocksize]).
+    chunk:
+        Blocks per device dispatch.  Must divide `slots` so a dispatch
+        never wraps into slots being refilled for the next one.
+    max_inflight:
+        How many chunks may be enqueued on the device ahead of the
+        oldest undrained one — bounds host runahead (and with it serve
+        latency).  ``(max_inflight + 1) * chunk`` must fit in `slots` so
+        a refill never lands in a slot whose output is still undrained.
+    """
+
+    def __init__(self, pipeline: Pipeline,
+                 params: Optional[DeviceParams] = None,
+                 slots: int = 16, chunk: int = 4,
+                 max_inflight: int = 2, seed: int = 0):
+        if not pipeline.supports_ring_step:
+            raise ValueError(
+                "RingServer requires a pair-ingest pipeline "
+                "(StreamConfig(ingest='pair'), waterfall disabled)")
+        if slots % chunk:
+            raise ValueError(f"chunk {chunk} must divide slots {slots}")
+        if max_inflight < 1:
+            raise ValueError("max_inflight must be >= 1")
+        if (max_inflight + 1) * chunk > slots:
+            raise ValueError(
+                f"(max_inflight+1)*chunk = {(max_inflight + 1) * chunk} "
+                f"exceeds slots {slots}: refills would overwrite undrained "
+                "output slots")
+        self.pipe = pipeline
+        self.params = params if params is not None else (
+            pipeline.device_params(PipelineParams.design(pipeline.cfg)))
+        self.K = slots
+        self.chunk = chunk
+        self.max_inflight = max_inflight
+        B, T = pipeline.batch, pipeline.block
+        self._state: StreamState = pipeline.init_state(seed=seed)
+        self._ring_hi = jnp.zeros((slots, B, T), jnp.bfloat16)
+        self._ring_lo = jnp.zeros((slots, B, T), jnp.bfloat16)
+        self._out = jnp.zeros((slots, B, T), jnp.float32)
+        self.blocks_served = 0
+
+        from ..ops.pallas.fir_td import split_bf16
+
+        self._split = jax.jit(
+            lambda blk: split_bf16(jnp.asarray(blk, jnp.float32)))
+        # separate jit instances so donation tracks each ring independently
+        self._write_hi = jax.jit(_write_slot, donate_argnums=(0,))
+        self._write_lo = jax.jit(_write_slot, donate_argnums=(0,))
+
+    # -------------------------------------------------- core pump
+
+    def _land(self, slot: int, block) -> None:
+        """Stage one engine-sized block into ring slot `slot` (in-place
+        donated write — the ingest DMA analog)."""
+        if isinstance(block, tuple):
+            hi, lo = block  # producer already holds the pair
+            hi = jnp.asarray(hi, jnp.bfloat16)
+            lo = jnp.asarray(lo, jnp.bfloat16)
+        else:
+            hi, lo = self._split(block)
+        self._ring_hi = self._write_hi(self._ring_hi, hi, slot)
+        self._ring_lo = self._write_lo(self._ring_lo, lo, slot)
+
+    def stream(self, source: Iterable) -> Iterator[np.ndarray]:
+        """Pump `source` (an iterable of [batch, blocksize] f32 blocks, or
+        bf16 (hi, lo) pairs) through the rings; yield one [batch,
+        blocksize] f32 output per input block, in order.  The tail of a
+        non-multiple-of-chunk source is served with a final short
+        dispatch."""
+        inflight: list[jnp.ndarray] = []  # eager per-chunk output slices
+        slot = 0
+        pending = 0
+        src = iter(source)
+        exhausted = False
+        while not exhausted or inflight or pending:
+            while not exhausted and pending < self.chunk:
+                try:
+                    block = next(src)
+                except StopIteration:
+                    exhausted = True
+                    break
+                self._land(slot + pending, block)
+                pending += 1
+            if pending and (pending == self.chunk or exhausted):
+                self._state, self._out = self.pipe.run_ring(
+                    self.params, self._state, self._ring_hi, self._ring_lo,
+                    self._out, pending, start=slot)
+                # slice the produced slots out of THIS ring version now —
+                # the next dispatch donates it, so the slice must be on
+                # the stream first (in-order execution makes it safe)
+                chunk_out = self._out[slot:slot + pending]
+                try:
+                    chunk_out.copy_to_host_async()
+                except AttributeError:  # older jax: fetch blocks in drain
+                    pass
+                inflight.append(chunk_out)
+                slot = (slot + self.chunk) % self.K
+                pending = 0
+            # (pending is always 0 here once the source is exhausted —
+            # the final short chunk dispatches in the same iteration)
+            limit = 0 if exhausted else self.max_inflight
+            while len(inflight) > limit:
+                arr = np.asarray(inflight.pop(0))
+                self.blocks_served += arr.shape[0]
+                yield from arr
+
+    def serve(self, source: Iterable,
+              sink: Callable[[np.ndarray], None]) -> dict:
+        """Pump the whole `source` through :meth:`stream` into `sink`;
+        return simple throughput metrics."""
+        import time
+
+        t0 = time.perf_counter()
+        n = 0
+        for out in self.stream(source):
+            sink(out)
+            n += 1
+        wall = time.perf_counter() - t0
+        cfg = self.pipe.cfg
+        audio_s = n * self.pipe.batch * self.pipe.block / cfg.samplerate
+        xrt = audio_s / wall if wall > 0 else float("inf")
+        logger.info("served %d blocks, %.1f xRT", n, xrt)
+        return {"blocks": n, "wall_s": wall, "xrt": xrt}
+
+    @property
+    def state(self) -> StreamState:
+        """The carried device state (conv-pair tail, PRNG key) —
+        checkpointable via the engine.checkpoint conventions."""
+        return self._state

@@ -18,6 +18,8 @@ EXAMPLES = [
     ["examples/per_stream_banks.py", "--streams", "4", "--blocks", "4"],
     ["examples/long_kernel_parallel.py", "--taps", "3000", "--block", "1024"],
     ["examples/live_audio.py"],  # no PortAudio in CI: prints devices, exits 0
+    ["examples/ring_serving.py", "--streams", "2", "--blocks", "6",
+     "--chunk", "2"],
 ]
 
 

@@ -1,0 +1,87 @@
+"""RingServer (zero-copy serving-ring host pump) tests: ordered,
+bit-exact equivalence with the classic scan path, tail handling, and
+constructor validation."""
+import numpy as np
+import pytest
+
+from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+from afp_tpu.runtime import RingServer
+
+
+def make_cfg(**kw):
+    base = dict(
+        samplerate=44100, blocksize=512, upsample_factor=1, numtaps=65,
+        batch=2, filter_type="lowpass", cutoff=11000.0,
+        window_type="hamming", eq_enabled=False, agc_enabled=False,
+        downsample_mode="decimate", dither_kind="tpdf", output_clip=None,
+        conv_strategy="td_mxu", ingest="pair",
+    )
+    base.update(kw)
+    return StreamConfig(**base)
+
+
+def test_ring_server_matches_run(rng):
+    """Streaming N blocks (N not a multiple of chunk → short final
+    dispatch) through RingServer must be bit-identical to Pipeline.run
+    over the same blocks — same outputs, same dither key schedule, same
+    carried tail."""
+    import jax.numpy as jnp
+
+    cfg = make_cfg()
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    n = 7  # 2 full chunks of 2 + one 1-block tail at slots=8, chunk=2
+    blocks = (rng.normal(size=(n, cfg.batch, cfg.blocksize)) * 0.4
+              ).astype(np.float32)
+
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    st, gold = pipe.run(params, pipe.init_state(seed=5),
+                        split_bf16(jnp.asarray(blocks)))
+
+    srv = RingServer(pipe, params, slots=8, chunk=2, max_inflight=2, seed=5)
+    outs = list(srv.stream(iter(blocks)))
+    assert len(outs) == n and srv.blocks_served == n
+    np.testing.assert_array_equal(np.stack(outs), np.asarray(gold))
+    # carried state matches the classic path bit-for-bit
+    np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
+                                  np.asarray(srv.state.conv_tail[0]))
+    np.testing.assert_array_equal(np.asarray(st.key),
+                                  np.asarray(srv.state.key))
+
+
+def test_ring_server_pair_source_and_serve_metrics(rng):
+    """A source yielding pre-split (hi, lo) pairs is accepted; serve()
+    reports block count and a finite xRT."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    cfg = make_cfg(dither_kind="off")
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    n = 4
+    blocks = (rng.normal(size=(n, cfg.batch, cfg.blocksize)) * 0.4
+              ).astype(np.float32)
+    _, gold = pipe.run(params, pipe.init_state(),
+                       split_bf16(jnp.asarray(blocks)))
+
+    srv = RingServer(pipe, params, slots=8, chunk=2, max_inflight=1)
+    pair_src = (split_bf16(jnp.asarray(b)) for b in blocks)
+    got = []
+    m = srv.serve(pair_src, got.append)
+    assert m["blocks"] == n and np.isfinite(m["xrt"]) and m["xrt"] > 0
+    np.testing.assert_array_equal(np.stack(got), np.asarray(gold))
+
+
+def test_ring_server_validation():
+    cfg = make_cfg()
+    pipe = Pipeline(cfg)
+    with pytest.raises(ValueError, match="divide"):
+        RingServer(pipe, slots=8, chunk=3)
+    with pytest.raises(ValueError, match="undrained"):
+        RingServer(pipe, slots=8, chunk=4, max_inflight=2)
+    f32 = Pipeline(make_cfg(ingest="f32", dither_kind="off",
+                            conv_strategy="fft"))
+    with pytest.raises(ValueError, match="pair-ingest"):
+        RingServer(f32)
