@@ -25,6 +25,7 @@ import threading
 import time
 from collections import deque
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..utils.log import RateLimited, get_logger
@@ -352,7 +353,11 @@ class StreamEngine:
             if nblocks == 0:
                 return np.zeros((self.cfg.batch, 0), dtype=np.float32)
             data = self._asrc_frontend.pull(nblocks * L)
-            blocks = data.reshape(self.cfg.batch, nblocks, L).swapaxes(0, 1)
+            # contiguous transfer + device-side block layout (see
+            # Pipeline.process_signal: host-side strided copies of GB-class
+            # arrays stall on some hosts)
+            blocks = jnp.asarray(data, dtype=jnp.float32).reshape(
+                self.cfg.batch, nblocks, L).swapaxes(0, 1)
             t0 = time.monotonic()
             # same lock discipline as _process_engine_block: snapshot under
             # the swap lock, write state back only if no rebuild intervened

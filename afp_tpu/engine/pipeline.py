@@ -755,11 +755,24 @@ class Pipeline:
 
     @property
     def supports_ring_step(self) -> bool:
-        """True when :meth:`ring_step` is available: pair ingest (which
-        `StreamConfig.validate` already restricts to td_mxu, no AGC/ASRC,
-        base-rate output) with the scan-carried waterfall off.  Per-stream
-        EQ banks are rejected at call time (their kernel consumes f32)."""
-        return bool(self._pair_ingest and not self.cfg.waterfall_enabled)
+        """True when :meth:`ring_step` is available — either form:
+
+        * pair ingest (bf16 (hi, lo) input rings; `StreamConfig.validate`
+          already restricts it to td_mxu, no AGC/ASRC, base-rate output);
+        * the fused AGC chain (``_conv_pair`` without pair ingest): a
+          single f32 input ring feeds the ring-input RMS and fused-apply
+          kernels, whose pair output feeds the ring-output conv — the C8
+          chain with zero staging copies.
+
+        Both require the scan-carried waterfall off and no device-side
+        ASRC; per-stream EQ banks are rejected at call time (their kernel
+        consumes f32)."""
+        if self.cfg.waterfall_enabled or not self.fused:
+            return False
+        if self._pair_ingest:
+            return True
+        return bool(self._conv_pair and self._rms_band is not None
+                    and not self._asrc_device)
 
     def _ring_step_impl(self, params: DeviceParams, state: StreamState,
                         ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
@@ -784,9 +797,14 @@ class Pipeline:
                 "ring_step does not support per-stream EQ banks (the "
                 "wide-dot kernel consumes f32) — use step()")
         if not self.supports_ring_step:
-            raise ValueError("ring_step requires pair ingest with the "
-                             "waterfall disabled")
-        from ..ops.pallas.fir_td import fir_td_mxu_ring
+            raise ValueError(
+                "ring_step requires pair ingest or the fused AGC chain, "
+                "with the waterfall disabled (see supports_ring_step)")
+        agc_mode = ring_lo is None  # f32 AGC ring vs bf16 pair rings
+        if agc_mode != (not self._pair_ingest):
+            raise ValueError(
+                "ring form mismatch: pair-ingest pipelines take (hi, lo) "
+                "rings, the fused AGC chain takes one f32 ring")
 
         S, B, T = ring_hi.shape
         kp = self._k_pad
@@ -804,10 +822,42 @@ class Pipeline:
                        dither_bits=cfg.dither_bits,
                        dither_tpdf=(cfg.dither_kind == "tpdf"))
         tail_hi, tail_lo = state.conv_tail
-        out_ring = fir_td_mxu_ring(
-            ring_hi, ring_lo, idx, tail_hi, tail_lo, band, out_ring,
-            interpret=self._pl_interpret, out_clip=cfg.output_clip, **dkw,
-        )
+        agc_gain = state.agc_gain
+        if agc_mode:
+            # fused AGC chain over the f32 ring: RMS front half and the
+            # scan+clip+apply back half stream slot `idx` directly
+            # (ring-input kernels); the emitted pair feeds the ring-output
+            # conv.  Identical math to _step_impl's fused AGC path.
+            from ..ops.pallas.agc_rms import rms_desired_pallas
+            from ..ops.pallas.agc_scan import smooth_gain_apply_pallas
+            from ..ops.pallas.fir_td import fir_td_mxu_pair_to_ring
+
+            lp, rp = self._rms_pad
+            d = rms_desired_pallas(
+                ring_hi, self._rms_band, lp, rp,
+                params.agc_target, params.agc_max_gain,
+                exact_band=self._rms_exact, interpret=self._pl_interpret,
+                transposed=True, ring_idx=idx,
+            )
+            carry = agc_gain if cfg.agc_carry else None
+            (xh, xl), agc_gain = smooth_gain_apply_pallas(
+                d, ring_hi, params.agc_a_att, params.agc_a_rel,
+                params.agc_max_gain, init=carry, out_clip=0.99,
+                interpret=self._pl_interpret, emit_split=True, ring_idx=idx,
+            )
+            out_ring = fir_td_mxu_pair_to_ring(
+                xh, xl, tail_hi, tail_lo, band, idx, out_ring,
+                interpret=self._pl_interpret, out_clip=cfg.output_clip,
+                **dkw,
+            )
+        else:
+            from ..ops.pallas.fir_td import fir_td_mxu_ring
+
+            out_ring = fir_td_mxu_ring(
+                ring_hi, ring_lo, idx, tail_hi, tail_lo, band, out_ring,
+                interpret=self._pl_interpret, out_clip=cfg.output_clip,
+                **dkw,
+            )
         if cfg.dither_kind != "off" and not fuse_dither:
             # interpret mode (CPU tests): dither the written slot in place —
             # the staging round trip this reintroduces exists only off-TPU
@@ -816,9 +866,18 @@ class Pipeline:
             y = dither(sub, y, cfg.dither_bits, cfg.dither_kind)
             out_ring = jax.lax.dynamic_update_index_in_dim(
                 out_ring, y, idx, axis=0)
-        # pair tail carry: last k_pad columns of the block just consumed
-        # (identical to the pair-ingest branch of _step_impl)
-        if kp <= T:
+        # pair tail carry: last k_pad columns of the block the conv just
+        # consumed — the post-AGC pair in agc_mode (as in _step_impl), the
+        # ring slot itself in pair mode
+        if agc_mode:
+            if kp <= T:
+                new_tail = (xh[:, T - kp:], xl[:, T - kp:])
+            else:
+                new_tail = (
+                    jnp.concatenate([tail_hi[:, T - kp:], xh], axis=-1),
+                    jnp.concatenate([tail_lo[:, T - kp:], xl], axis=-1),
+                )
+        elif kp <= T:
             new_tail = (
                 jax.lax.dynamic_slice(ring_hi, (idx, 0, T - kp), (1, B, kp))[0],
                 jax.lax.dynamic_slice(ring_lo, (idx, 0, T - kp), (1, B, kp))[0],
@@ -832,7 +891,7 @@ class Pipeline:
             )
         new_state = StreamState(
             asrc=state.asrc, up=state.up, conv_tail=new_tail,
-            down=state.down, agc_gain=state.agc_gain, key=key, wf=state.wf,
+            down=state.down, agc_gain=agc_gain, key=key, wf=state.wf,
         )
         return new_state, out_ring
 
@@ -840,7 +899,10 @@ class Pipeline:
                   ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
                   idx, out_ring: jnp.ndarray):
         """Jitted :meth:`_ring_step_impl`; `out_ring` is donated (the kernel
-        writes slot `idx` in place and the rest rides through untouched)."""
+        writes slot `idx` in place and the rest rides through untouched).
+        Pair ingest: `(ring_hi, ring_lo)` are the bf16 input rings.  Fused
+        AGC chain: pass the single f32 ring as `ring_hi` and ``None`` as
+        `ring_lo`."""
         if not hasattr(self, "_ring_step"):
             self._ring_step = jax.jit(self._ring_step_impl,
                                       donate_argnums=(5,))
@@ -897,6 +959,11 @@ class Pipeline:
         B, T = signal.shape
         L = self.block
         nblocks = T // L
+        # transfer the CONTIGUOUS signal first and lay out the block axis on
+        # device: reshape+swapaxes on a large host array forces a strided
+        # host copy, which on some hosts stalls in kernel time for GB-class
+        # signals (measured >840 s at [4096, 64·4096] vs ~4 s this way)
+        signal = jnp.asarray(signal, dtype=jnp.float32)
         blocks = signal[:, : nblocks * L].reshape(B, nblocks, L).swapaxes(0, 1)
         state, outs = self.run(params, state, blocks)
         return state, outs.swapaxes(0, 1).reshape(B, -1)

@@ -186,10 +186,69 @@ def _call(x, b_hi, b_lo, scal, lp: int, rp: int, interpret: bool = False,
     )(scal, x, b_hi, b_lo)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "lp", "rp", "interpret", "exact", "transposed", "two_level_w"))
+def _call_ring(idx, x_ring, b_hi, b_lo, scal, lp: int, rp: int,
+               interpret: bool = False, exact: bool = True,
+               transposed: bool = False, two_level_w: int = 0):
+    """Ring-input variant of :func:`_call`: `x_ring` is [S, B, T] and the
+    kernel streams slot `idx` (scalar-prefetch) HBM→VMEM directly — no
+    staged `dynamic_slice` copy of the block.  Kernel bodies are shared
+    (the squeezed (None, bt, T) block is exactly the (bt, T) block)."""
+    S, B, T = x_ring.shape
+    n_taps = two_level_w if two_level_w else b_hi.shape[0] - LANE + 1
+    t_tiles = T // LANE
+    bt = _pick_tile(B, T, n_taps, two_level=bool(two_level_w))
+    grid = (B // bt,)
+    x_spec = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((b_hi.shape[0], LANE), lambda i, s: (0, 0),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, 2), lambda i, s: (0, 0),
+                          memory_space=pltpu.SMEM)
+    if transposed:
+        out_spec = pl.BlockSpec((T, bt), lambda i, s: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((T, B), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((bt, T), lambda i, s: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, T), jnp.float32)
+    if two_level_w:
+        kern2 = functools.partial(
+            _kernel_two_level, w=two_level_w, t_tiles=t_tiles, lp=lp, rp=rp,
+            transposed=transposed)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[s_spec, x_spec, b_spec], out_specs=out_spec)
+        return pl.pallas_call(
+            lambda sidx, s, xr, bh, o: kern2(s, xr, bh, o),
+            grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        )(idx, scal, x_ring, b_hi)
+    kw = dict(n_taps=n_taps, t_tiles=t_tiles, lp=lp, rp=rp,
+              transposed=transposed)
+    if exact:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[s_spec, x_spec, b_spec], out_specs=out_spec)
+        return pl.pallas_call(
+            lambda sidx, s, xr, bh, o: _kernel(s, xr, bh, o, **kw),
+            grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        )(idx, scal, x_ring, b_hi)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[s_spec, x_spec, b_spec, b_spec], out_specs=out_spec)
+    return pl.pallas_call(
+        lambda sidx, s, xr, bh, bl, o: _kernel(s, xr, bh, o, blo_ref=bl, **kw),
+        grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+    )(idx, scal, x_ring, b_hi, b_lo)
+
+
 def rms_desired_pallas(x: jnp.ndarray, band: jnp.ndarray, lp: int, rp: int,
                        target, max_gain, exact_band: bool,
                        interpret: bool = False,
-                       transposed: bool = False) -> jnp.ndarray:
+                       transposed: bool = False,
+                       ring_idx=None) -> jnp.ndarray:
     """Desired AGC gain from the raw block in one fused pass.
 
     `x`: [B, T] f32 (UNPADDED — the 'same'-centering pad happens in VMEM);
@@ -201,6 +260,11 @@ def rms_desired_pallas(x: jnp.ndarray, band: jnp.ndarray, lp: int, rp: int,
     `transposed`: store ``[T, B]`` time-major for the scan kernel.
     Returns the desired gain, equal to
     ``desired_gain(sqrt(boxcar(x²)), target, max_gain)``.
+
+    With `ring_idx` set, `x` is an [S, B, T] f32 serving ring and the
+    kernel streams slot `ring_idx` directly (scalar-prefetch BlockSpec —
+    no staged `dynamic_slice` copy; the zero-copy ring discipline of
+    `fir_td_mxu_ring`).
     """
     x = jnp.asarray(x, dtype=jnp.float32)
     if x.shape[-1] % LANE:
@@ -208,6 +272,21 @@ def rms_desired_pallas(x: jnp.ndarray, band: jnp.ndarray, lp: int, rp: int,
     W = np.asarray(band).shape[0] - LANE + 1
     scal = jnp.stack([jnp.asarray(target, jnp.float32),
                       jnp.asarray(max_gain, jnp.float32)]).reshape(1, 2)
+    if ring_idx is not None:
+        assert x.ndim == 3, "ring mode needs an [S, B, T] ring"
+        idx = jnp.asarray(ring_idx, dtype=jnp.int32).reshape(1)
+        if W >= LANE and W % LANE == 0:
+            from .fir_td import band_matrix
+
+            b128 = jnp.asarray(band_matrix(np.ones(LANE, dtype=np.float32)))
+            b_hi, b_lo = split_bf16(b128)
+            return _call_ring(idx, x, b_hi, b_lo, scal, lp, rp,
+                              interpret=interpret, exact=True,
+                              transposed=transposed, two_level_w=W)
+        b_hi, b_lo = split_bf16(jnp.asarray(band, dtype=jnp.float32))
+        return _call_ring(idx, x, b_hi, b_lo, scal, lp, rp,
+                          interpret=interpret, exact=bool(exact_band),
+                          transposed=transposed)
     if W >= LANE and W % LANE == 0:
         # two-level boxcar (see _kernel_two_level): the level-1 band is a
         # ones(LANE) band — exactly bf16 for every such W, 2 passes always —

@@ -246,22 +246,33 @@ def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "sub", "emit_split"))
 def _agc_apply_call(d3, g03, x, scal, interpret: bool = False,
-                    sub: int = SUBLANES, emit_split: bool = False):
+                    sub: int = SUBLANES, emit_split: bool = False,
+                    idx=None):
     T, Bs, _ = d3.shape
     B = Bs * LANES
     grid = (Bs // sub, T // T_CHUNK)
+    ring = idx is not None  # x is an [S, B, T] ring; stream slot idx
+    if ring:
+        x_spec = pl.BlockSpec((None, sub * LANES, T_CHUNK),
+                              lambda i, j, s: (s[0], i, j),
+                              memory_space=pltpu.VMEM)
+        ix = lambda f: (lambda i, j, s: f(i, j))  # lift index_maps
+    else:
+        x_spec = pl.BlockSpec((sub * LANES, T_CHUNK), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
+        ix = lambda f: f
     in_specs = [
-        pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((T_CHUNK, sub, LANES), lambda i, j: (j, i, 0),
+        pl.BlockSpec((1, 4), ix(lambda i, j: (0, 0)),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((T_CHUNK, sub, LANES), ix(lambda i, j: (j, i, 0)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, sub, LANES), lambda i, j: (0, i, 0),
+        pl.BlockSpec((1, sub, LANES), ix(lambda i, j: (0, i, 0)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((sub * LANES, T_CHUNK), lambda i, j: (i, j),
-                     memory_space=pltpu.VMEM),
+        x_spec,
     ]
-    y_spec = pl.BlockSpec((sub * LANES, T_CHUNK), lambda i, j: (i, j),
+    y_spec = pl.BlockSpec((sub * LANES, T_CHUNK), ix(lambda i, j: (i, j)),
                           memory_space=pltpu.VMEM)
-    gl_spec = pl.BlockSpec((sub, LANES), lambda i, j: (i, 0),
+    gl_spec = pl.BlockSpec((sub, LANES), ix(lambda i, j: (i, 0)),
                            memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((sub, LANES), jnp.float32),
                pltpu.VMEM((T_CHUNK, sub, LANES), jnp.float32)]
@@ -277,6 +288,17 @@ def _agc_apply_call(d3, g03, x, scal, interpret: bool = False,
         kern = functools.partial(_agc_apply_kernel, sub=sub)
         out_specs = [y_spec, gl_spec]
         out_shape = [jax.ShapeDtypeStruct((B, T), jnp.float32), gl_shape]
+    if ring:
+        inner = kern
+        kern = lambda sidx, *refs: inner(*refs)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=scratch)
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(idx, scal, d3, g03, x)
     return pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
         out_specs=out_specs, out_shape=out_shape,
@@ -288,7 +310,8 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
                              a_att, a_rel, max_gain, init=None,
                              out_clip: float = 0.99,
                              interpret: bool = False,
-                             emit_split: bool = False):
+                             emit_split: bool = False,
+                             ring_idx=None):
     """Fully fused AGC back half: scan + clip + apply + carry in one kernel.
 
     `desired_tm`: [T, B] time-major desired gain (the layout
@@ -310,6 +333,10 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
     the store) for the pair-input conv kernel
     (:func:`afp_tpu.ops.pallas.fir_td.fir_td_mxu_pair`) — y never exists in
     HBM as f32.
+
+    With ``ring_idx`` set, `x` is an [S, B, T] f32 serving ring and the
+    kernel streams slot `ring_idx` directly (scalar-prefetch BlockSpec,
+    the zero-copy ring discipline) — no staged block copy.
     """
     d = jnp.asarray(desired_tm, dtype=jnp.float32)
     x = jnp.asarray(x, dtype=jnp.float32)
@@ -327,9 +354,14 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
         jnp.asarray(a_att, jnp.float32), jnp.asarray(a_rel, jnp.float32),
         jnp.asarray(max_gain, jnp.float32), jnp.asarray(out_clip, jnp.float32),
     ]).reshape(1, 4)
+    idx = None
+    if ring_idx is not None:
+        assert x.ndim == 3, "ring mode needs an [S, B, T] ring"
+        idx = jnp.asarray(ring_idx, dtype=jnp.int32).reshape(1)
     if emit_split:
         y_hi, gl, y_lo = _agc_apply_call(d3, g03, x, scal, interpret=interpret,
-                                         sub=sub, emit_split=True)
+                                         sub=sub, emit_split=True, idx=idx)
         return (y_hi, y_lo), gl.reshape(B)
-    y, gl = _agc_apply_call(d3, g03, x, scal, interpret=interpret, sub=sub)
+    y, gl = _agc_apply_call(d3, g03, x, scal, interpret=interpret, sub=sub,
+                            idx=idx)
     return y, gl.reshape(B)

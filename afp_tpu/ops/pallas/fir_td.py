@@ -507,6 +507,99 @@ def fir_td_mxu_pair(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=(
     "interpret", "dither_bits", "dither_tpdf", "out_clip"))
+def _fir_td_pair_to_ring_call(idx, x_hi, x_lo, tail_hi, tail_lo, band,
+                              out_ring, interpret: bool = False, seed=None,
+                              dither_bits: int | None = None,
+                              dither_tpdf: bool = True,
+                              out_clip: float | None = None):
+    """Pair-input conv writing slot `idx` of the DONATED [S, B, T] output
+    ring in place (scalar-prefetch out BlockSpec + input_output_aliases) —
+    the f32-chain analog of :func:`_fir_td_ring_call`, for producers like
+    the fused AGC apply kernel whose pair output is a plain array but whose
+    consumer is a serving ring."""
+    B, T = x_hi.shape
+    k_pad = tail_hi.shape[1]
+    n_taps = band.shape[0] - LANE + 1
+    assert k_pad % LANE == 0 and k_pad >= n_taps - 1, (k_pad, n_taps)
+    band_p = jnp.pad(band, ((k_pad - (n_taps - 1), 0), (0, 0)))
+    t_tiles = T // LANE
+    b_hi, b_lo = split_bf16(band_p)
+    bt = _pick_b_tile_b3t(B, k_pad, T)
+    grid = (B // bt,)
+    S = out_ring.shape[0]
+    x_spec = pl.BlockSpec((bt, T), lambda i, s: (i, 0),
+                          memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((bt, k_pad), lambda i, s: (i, 0),
+                          memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((band_p.shape[0], LANE), lambda i, s: (0, 0),
+                             memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 1), lambda i, s: (0, 0),
+                             memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
+                            memory_space=pltpu.VMEM)
+    ring_io_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_shape = jax.ShapeDtypeStruct((S, B, T), jnp.float32)
+    dkw = {"out_clip": out_clip}
+    if dither_bits is not None:
+        dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
+    kernel = functools.partial(_fir_kernel_b3t, k_pad=k_pad,
+                               t_tiles=t_tiles, **dkw)
+    if dither_bits is not None:
+        kern = lambda sidx, s, a, b, c, d, e, f, rio, o: kernel(
+            a, b, c, d, e, f, o, seed_ref=s)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[seed_spec, x_spec, x_spec, t_spec, t_spec,
+                      band_spec, band_spec, ring_io_spec],
+            out_specs=out_spec)
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shape,
+            input_output_aliases={8: 0}, interpret=interpret,
+        )(idx, seed, x_hi, x_lo, tail_hi, tail_lo, b_hi, b_lo, out_ring)
+    kern = lambda sidx, a, b, c, d, e, f, rio, o: kernel(a, b, c, d, e, f, o)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[x_spec, x_spec, t_spec, t_spec,
+                  band_spec, band_spec, ring_io_spec],
+        out_specs=out_spec)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        input_output_aliases={7: 0}, interpret=interpret,
+    )(idx, x_hi, x_lo, tail_hi, tail_lo, b_hi, b_lo, out_ring)
+
+
+def fir_td_mxu_pair_to_ring(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
+                            tail_hi: jnp.ndarray, tail_lo: jnp.ndarray,
+                            band: jnp.ndarray, idx,
+                            out_ring: jnp.ndarray,
+                            interpret: bool = False,
+                            dither_seed=None, dither_bits: int | None = None,
+                            dither_tpdf: bool = True,
+                            out_clip: float | None = None) -> jnp.ndarray:
+    """:func:`fir_td_mxu_pair` writing its result into slot `idx` of the
+    DONATED [S, B, T] f32 `out_ring` in place (all other slots preserved,
+    no staging `dynamic_update_slice`).  Numerics identical to
+    :func:`fir_td_mxu_pair` on the same inputs (same kernel body)."""
+    assert x_hi.dtype == jnp.bfloat16 and tail_hi.dtype == jnp.bfloat16
+    band = jnp.asarray(band, dtype=jnp.float32)
+    if x_hi.shape[-1] % LANE:
+        raise ValueError(f"T={x_hi.shape[-1]} must be a multiple of {LANE}")
+    k = band.shape[0] - LANE
+    k_pad = -(-max(k, 1) // LANE) * LANE
+    if tail_hi.shape[1] != k_pad:
+        pad = k_pad - tail_hi.shape[1]
+        assert pad > 0, (tail_hi.shape, k_pad)
+        tail_hi = jnp.pad(tail_hi, ((0, 0), (pad, 0)))
+        tail_lo = jnp.pad(tail_lo, ((0, 0), (pad, 0)))
+    idx = jnp.asarray(idx, dtype=jnp.int32).reshape(1)
+    return _fir_td_pair_to_ring_call(
+        idx, x_hi, x_lo, tail_hi, tail_lo, band, out_ring,
+        interpret=interpret, seed=dither_seed, dither_bits=dither_bits,
+        dither_tpdf=dither_tpdf, out_clip=out_clip)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "dither_bits", "dither_tpdf", "out_clip"))
 def _fir_td_ring_call(idx, ring_hi, ring_lo, tail_hi, tail_lo, band, out_ring,
                       interpret: bool = False, seed=None,
                       dither_bits: int | None = None, dither_tpdf: bool = True,

@@ -54,8 +54,9 @@ class RingServer:
     Parameters
     ----------
     pipeline:
-        A `Pipeline` with ``supports_ring_step`` (pair ingest — td_mxu,
-        no AGC/ASRC, base-rate output, waterfall off).
+        A `Pipeline` with ``supports_ring_step``: pair ingest (bf16
+        (hi, lo) input rings) or the fused AGC chain (one f32 input
+        ring; exact-mode AGC on TPU).  Waterfall off, no device ASRC.
     params:
         Device parameter bank (defaults to the pipeline's own design).
     slots:
@@ -76,8 +77,9 @@ class RingServer:
                  max_inflight: int = 2, seed: int = 0):
         if not pipeline.supports_ring_step:
             raise ValueError(
-                "RingServer requires a pair-ingest pipeline "
-                "(StreamConfig(ingest='pair'), waterfall disabled)")
+                "RingServer requires a ring-capable pipeline: pair ingest "
+                "(StreamConfig(ingest='pair')) or the fused AGC chain, "
+                "waterfall disabled (see Pipeline.supports_ring_step)")
         if slots % chunk:
             raise ValueError(f"chunk {chunk} must divide slots {slots}")
         if max_inflight < 1:
@@ -95,8 +97,14 @@ class RingServer:
         self.max_inflight = max_inflight
         B, T = pipeline.batch, pipeline.block
         self._state: StreamState = pipeline.init_state(seed=seed)
-        self._ring_hi = jnp.zeros((slots, B, T), jnp.bfloat16)
-        self._ring_lo = jnp.zeros((slots, B, T), jnp.bfloat16)
+        #: pair ingest → bf16 (hi, lo) rings; fused AGC chain → one f32 ring
+        self.pair = bool(pipeline._pair_ingest)
+        if self.pair:
+            self._ring_hi = jnp.zeros((slots, B, T), jnp.bfloat16)
+            self._ring_lo = jnp.zeros((slots, B, T), jnp.bfloat16)
+        else:
+            self._ring_hi = jnp.zeros((slots, B, T), jnp.float32)
+            self._ring_lo = None
         self._out = jnp.zeros((slots, B, T), jnp.float32)
         self.blocks_served = 0
 
@@ -113,6 +121,10 @@ class RingServer:
     def _land(self, slot: int, block) -> None:
         """Stage one engine-sized block into ring slot `slot` (in-place
         donated write — the ingest DMA analog)."""
+        if not self.pair:
+            self._ring_hi = self._write_hi(
+                self._ring_hi, jnp.asarray(block, jnp.float32), slot)
+            return
         if isinstance(block, tuple):
             hi, lo = block  # producer already holds the pair
             hi = jnp.asarray(hi, jnp.bfloat16)

@@ -13,7 +13,8 @@ Beyond the headline, the harness also publishes (as extra keys on the same
 JSON line):
 
 * ``mfu`` — model FLOP utilization of the fused FIR (useful MACs vs the
-  chip's bf16 peak),
+  chip's bf16 peak); ``mfu_ring`` — the same for the zero-copy
+  serving-ring mode (``sustained_pair_ring_xrt``),
 * ``agc_*_xrt`` — the C8 engine (9-band EQ + AGC, the reference's most
   advanced runtime, `stream_process_AGC.py`) for each AGC execution mode
   ('parallel' associative-scan, 'exact' per-sample scan, 'fast' chunked) —
@@ -310,6 +311,7 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
     sustained_pair_xrt = None
     sustained_pair_ring_xrt = None
     sustained_xrt_ring16 = None
+    mfu_ring = None
     if (strategy == "td_mxu" and precision.startswith("B3")
             and os.environ.get("AFP_BENCH_PAIR", "1") != "0"):
         import dataclasses
@@ -335,6 +337,12 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
             # staging slice/update around the kernel removed
             sustained_pair_ring_xrt = _sustained_ring_xrt(
                 ppipe, pparams, pblocks, reps)
+            if sustained_pair_ring_xrt is not None and pipe.n_casc:
+                ring_per_block = (batch * cfg.blocksize / cfg.samplerate
+                                  ) / sustained_pair_ring_xrt
+                mfu_ring = float(round(
+                    2.0 * batch * cfg.blocksize * pipe.n_casc
+                    / ring_per_block / _peak_flops(), 4))
             del pblocks
         except Exception as e:  # noqa: BLE001
             print(f"bench: pair-ingest variant failed ({e})",
@@ -363,6 +371,7 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
         "strategy": strategy,
         "precision": precision if strategy == "td_mxu" else None,
         "mfu": mfu,
+        "mfu_ring": mfu_ring,
         "best_run_s": round(best, 4),
         "error_db_vs_oracle": err_db,
         "device": str(jax.devices()[0]),
@@ -385,8 +394,15 @@ def run_engine_pair_xrt(batch: int, nblocks: int, reps: int) -> float:
     )
     eng = StreamEngine(cfg)
     rng = np.random.default_rng(3)
-    sig = (rng.standard_normal((batch, nblocks * cfg.blocksize)) * 0.3
-           ).astype(np.float32)
+    # one random block tiled across time: this box's large-array RNG stalls
+    # in kernel time (~190 s/GB even at dtype=f32; the full [batch,
+    # nblocks·bs] draw measured >600 s and ate the stage's entire alarm
+    # budget) — timing is content-independent, so don't pay it
+    base = rng.standard_normal((batch, cfg.blocksize),
+                               dtype=np.float32) * np.float32(0.3)
+    sig = np.tile(base, (1, nblocks))
+    print(f"bench: engine pair path compiling ({sig.nbytes >> 20} MB "
+          "signal)...", file=sys.stderr, flush=True)
     eng.process_signal(sig)  # compile + warm
     times = []
     for _ in range(max(2, reps - 2)):
@@ -490,7 +506,48 @@ def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
     xrt = chain * batch * nblocks * cfg.blocksize / cfg.samplerate / best
     print(f"bench: agc mode={agc_mode} xrt={xrt:.0f}", file=sys.stderr, flush=True)
     sustained = _sustained_xrt(pipe, params, blocks, reps)
-    return {"chained": float(round(xrt, 1)), "sustained": sustained}
+    # zero-copy AGC serving ring (exact mode on TPU engages the fused
+    # pair chain): the f32 input ring feeds the ring-input RMS/apply
+    # kernels, the conv writes the output ring in place
+    ring = None
+    if pipe.supports_ring_step:
+        try:
+            ring = _sustained_agc_ring_xrt(pipe, params, blocks, reps)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: agc ring mode failed ({e})",
+                  file=sys.stderr, flush=True)
+    return {"chained": float(round(xrt, 1)), "sustained": sustained,
+            "ring": ring}
+
+
+def _sustained_agc_ring_xrt(pipe, params, blocks, reps: int):
+    """Ring-mode sustained serving for the fused AGC chain (f32 ring)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
+    if not n_sust:
+        return None
+    K, batch, blocksize = blocks.shape
+    st = pipe.init_state(seed=0)
+    out_ring = jnp.zeros((K, batch, blocksize), jnp.float32)
+    st, out_ring = pipe.run_ring(params, st, blocks, None, out_ring, n_sust)
+    float(jnp.sum(out_ring))
+    times = []
+    for _ in range(max(2, reps - 2)):
+        t0 = _time.perf_counter()
+        st, out_ring = pipe.run_ring(params, st, blocks, None, out_ring,
+                                     n_sust)
+        checksum = float(jnp.sum(out_ring))
+        times.append(_time.perf_counter() - t0)
+    assert np.isfinite(checksum)
+    sbest = min(times)
+    xrt = float(round(
+        n_sust * batch * blocksize / pipe.cfg.samplerate / sbest, 1))
+    print(f"bench: agc ring-mode best={sbest:.4f}s xrt={xrt:.0f}",
+          file=sys.stderr, flush=True)
+    return xrt
 
 
 def agc_parallel_vs_exact_db(strategy: str) -> float:
@@ -570,6 +627,8 @@ def main() -> None:
             # two methodologies never mix silently
             result[key] = r["sustained"] if r["sustained"] else r["chained"]
             result[f"agc_{mode}_chained_xrt"] = r["chained"]
+            if r.get("ring") is not None:
+                result[f"agc_{mode}_ring_xrt"] = r["ring"]
         except (BenchTimeout, Exception) as e:  # noqa: BLE001
             signal.alarm(0)
             print(f"bench: agc {mode} failed ({e})", file=sys.stderr, flush=True)

@@ -288,6 +288,87 @@ def test_fir_td_ring_matches_pair(rng):
     np.testing.assert_array_equal(out_c[1], ref_c)
 
 
+def test_agc_ring_input_kernels_match_plain(rng):
+    """The ring-input variants of the AGC front/back kernels (scalar-
+    prefetch slot select) must be bit-identical to the plain kernels on
+    the sliced slot."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.agc_rms import rms_desired_pallas
+    from afp_tpu.ops.pallas.agc_scan import smooth_gain_apply_pallas
+    from afp_tpu.ops.pallas.fir_td import band_matrix
+
+    S, B, T, w = 3, 8, 512, 128  # w: LANE multiple → two-level kernel
+    ring = (rng.normal(size=(S, B, T)) * 0.4).astype(np.float32)
+    band = band_matrix(np.full(w, 1.0 / w, dtype=np.float32))
+    lp, rp = w // 2, w - 1 - w // 2
+    for idx in range(S):
+        ref = np.asarray(rms_desired_pallas(
+            ring[idx], band, lp, rp, 0.2, 4.0, exact_band=True,
+            interpret=True, transposed=True))
+        got = np.asarray(rms_desired_pallas(
+            jnp.asarray(ring), band, lp, rp, 0.2, 4.0, exact_band=True,
+            interpret=True, transposed=True, ring_idx=idx))
+        np.testing.assert_array_equal(got, ref)
+    # non-LANE-multiple window → direct kernel path through the ring too
+    w2 = 65
+    band2 = band_matrix(np.full(w2, 1.0 / w2, dtype=np.float32))
+    ref2 = np.asarray(rms_desired_pallas(
+        ring[1], band2, w2 // 2, w2 - 1 - w2 // 2, 0.2, 4.0,
+        exact_band=False, interpret=True))
+    got2 = np.asarray(rms_desired_pallas(
+        jnp.asarray(ring), band2, w2 // 2, w2 - 1 - w2 // 2, 0.2, 4.0,
+        exact_band=False, interpret=True, ring_idx=1))
+    np.testing.assert_array_equal(got2, ref2)
+
+    # fused apply: ring-input x, both emit forms
+    B2 = 1024  # tileable (sub 8 × 128 lanes)
+    ring2 = (rng.normal(size=(S, B2, T)) * 0.4).astype(np.float32)
+    d = (rng.uniform(0.5, 2.0, size=(T, B2))).astype(np.float32)
+    for emit in (False, True):
+        ref = smooth_gain_apply_pallas(
+            d, ring2[2], 0.3, 0.05, 4.0, init=None, out_clip=0.99,
+            interpret=True, emit_split=emit)
+        got = smooth_gain_apply_pallas(
+            d, jnp.asarray(ring2), 0.3, 0.05, 4.0, init=None,
+            out_clip=0.99, interpret=True, emit_split=emit, ring_idx=2)
+        if emit:
+            np.testing.assert_array_equal(np.asarray(got[0][0]),
+                                          np.asarray(ref[0][0]))
+            np.testing.assert_array_equal(np.asarray(got[0][1]),
+                                          np.asarray(ref[0][1]))
+        else:
+            np.testing.assert_array_equal(np.asarray(got[0]),
+                                          np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+
+def test_fir_td_pair_to_ring_matches_pair(rng):
+    """fir_td_mxu_pair_to_ring must equal fir_td_mxu_pair on the same
+    inputs, writing only slot `idx` of the aliased output ring."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import (fir_td_mxu_pair,
+                                           fir_td_mxu_pair_to_ring,
+                                           split_bf16)
+
+    taps, T, B, S = 129, 512, 8, 3
+    h = (rng.normal(size=taps) * 0.1).astype(np.float32)
+    band = jnp.asarray(band_matrix(h))
+    x = (rng.normal(size=(B, T)) * 0.4).astype(np.float32)
+    xh, xl = split_bf16(jnp.asarray(x))
+    tail = (rng.normal(size=(B, taps - 1)) * 0.4).astype(np.float32)
+    th, tl = split_bf16(jnp.asarray(tail))
+    sentinel = np.full((S, B, T), 7.0, np.float32)
+    ref = np.asarray(fir_td_mxu_pair(xh, xl, th, tl, band, interpret=True,
+                                     out_clip=0.3))
+    out = np.asarray(fir_td_mxu_pair_to_ring(
+        xh, xl, th, tl, band, 1, jnp.asarray(sentinel), interpret=True,
+        out_clip=0.3))
+    np.testing.assert_array_equal(out[1], ref)
+    np.testing.assert_array_equal(out[[0, 2]], sentinel[[0, 2]])
+
+
 def test_fir_td_pair_rejects_bad_shapes(rng):
     """The pair kernel must raise cleanly (not silently truncate) on a batch
     no tile divides and on T not a multiple of 128."""

@@ -299,6 +299,53 @@ def test_ring_step_matches_pair_step(rng):
     np.testing.assert_array_equal(np.asarray(ringd), np.stack(refd))
 
 
+def test_agc_ring_step_matches_step(rng, monkeypatch):
+    """The fused-AGC serving-ring form (single f32 input ring, ring-input
+    RMS/apply kernels, ring-output conv) must be bit-identical to the
+    classic fused AGC step across carried blocks — the C8 chain with zero
+    staging copies."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    cfg = make_cfg(
+        blocksize=256, upsample_factor=2, numtaps=33, batch=1024,
+        eq_enabled=True, agc_enabled=True, agc_mode="exact",
+        agc_window_size=64, agc_carry=True, dither_kind="tpdf",
+        output_clip=0.99, conv_strategy="td_mxu",
+    )
+    sig = (rng.normal(size=(3, 1024, 256)) * 0.1).astype(np.float32)
+
+    p = Pipeline(cfg)
+    assert p._conv_pair and not p._pair_ingest
+    assert p.supports_ring_step
+    pp = p.device_params(PipelineParams.design(p.cfg))
+    st = p.init_state(seed=9)
+    ref = []
+    for b in sig:
+        st, y = p._step_impl(pp, st, b)
+        ref.append(np.asarray(y))
+
+    ring = jnp.asarray(sig)  # [S, B, T] f32 serving ring
+    out_ring = jnp.full(sig.shape, 3.0, jnp.float32)
+    st2 = p.init_state(seed=9)
+    for i in range(sig.shape[0]):
+        st2, out_ring = p._ring_step_impl(pp, st2, ring, None, i, out_ring)
+        got = np.asarray(out_ring)
+        np.testing.assert_array_equal(got[i], ref[i])
+        assert np.all(got[i + 1:] == 3.0)
+    np.testing.assert_array_equal(np.asarray(st.agc_gain),
+                                  np.asarray(st2.agc_gain))
+    np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
+                                  np.asarray(st2.conv_tail[0]))
+    np.testing.assert_array_equal(np.asarray(st.key), np.asarray(st2.key))
+
+    # and through the one-dispatch serving scan (wraparound included)
+    st3 = p.init_state(seed=9)
+    ring_out2 = jnp.zeros(sig.shape, jnp.float32)
+    st3, ring_out2 = p.run_ring(pp, st3, ring, None, ring_out2, 3)
+    np.testing.assert_array_equal(np.asarray(ring_out2), np.stack(ref))
+
+
 def test_run_ring_matches_step_loop_with_wraparound(rng):
     """Pipeline.run_ring (one-dispatch serving scan) must equal the
     per-step pair loop for n_steps > K (ring wraparound) and honor a

@@ -74,6 +74,35 @@ def test_ring_server_pair_source_and_serve_metrics(rng):
     np.testing.assert_array_equal(np.stack(got), np.asarray(gold))
 
 
+def test_ring_server_agc_chain_matches_run(rng, monkeypatch):
+    """RingServer over the fused AGC chain (single f32 ring) must be
+    bit-identical to Pipeline.run — the C8 serving mode."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    cfg = make_cfg(
+        ingest="f32", blocksize=256, upsample_factor=2, numtaps=33,
+        batch=1024, eq_enabled=True, agc_enabled=True, agc_mode="exact",
+        agc_window_size=64, agc_carry=True, dither_kind="tpdf",
+        output_clip=0.99,
+    )
+    pipe = Pipeline(cfg)
+    assert pipe._conv_pair and pipe.supports_ring_step
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    n = 5
+    blocks = (rng.normal(size=(n, cfg.batch, cfg.blocksize)) * 0.1
+              ).astype(np.float32)
+    st, gold = pipe.run(params, pipe.init_state(seed=4),
+                        jnp.asarray(blocks))
+
+    srv = RingServer(pipe, params, slots=8, chunk=2, max_inflight=2, seed=4)
+    assert not srv.pair
+    outs = list(srv.stream(iter(blocks)))
+    np.testing.assert_array_equal(np.stack(outs), np.asarray(gold))
+    np.testing.assert_array_equal(np.asarray(st.agc_gain),
+                                  np.asarray(srv.state.agc_gain))
+
+
 def test_ring_server_validation():
     cfg = make_cfg()
     pipe = Pipeline(cfg)
@@ -83,5 +112,5 @@ def test_ring_server_validation():
         RingServer(pipe, slots=8, chunk=4, max_inflight=2)
     f32 = Pipeline(make_cfg(ingest="f32", dither_kind="off",
                             conv_strategy="fft"))
-    with pytest.raises(ValueError, match="pair-ingest"):
+    with pytest.raises(ValueError, match="ring-capable"):
         RingServer(f32)
