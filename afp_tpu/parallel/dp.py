@@ -218,12 +218,16 @@ class ShardedPipeline:
                  ring_hi, ring_lo, out_ring, n_steps: int, start=0):
         """Sharded zero-copy serving loop (`Pipeline.run_ring`): the
         [S, B_global, T] rings shard on 'streams', the slot index is
-        replicated, and each shard's conv kernel reads/writes its own ring
-        slices in place — still zero hot-loop collectives.  `out_ring` is
-        donated; `n_steps` is static."""
+        replicated, and each shard's ring kernels read/write their own ring
+        slices in place — still zero hot-loop collectives.  Both ring forms
+        work: pair ingest (bf16 `(ring_hi, ring_lo)`) and the fused AGC
+        chain (single f32 ring, ``ring_lo=None``).  `out_ring` is donated;
+        `n_steps` is static."""
         if not self.pipeline.supports_ring_step:
-            raise ValueError("run_ring requires pair ingest with the "
-                             "waterfall disabled (see Pipeline.ring_step)")
+            raise ValueError(
+                "run_ring requires a ring-capable pipeline — pair ingest "
+                "or the fused AGC chain, waterfall disabled (see "
+                "Pipeline.supports_ring_step)")
         pspec = _param_spec_tree(params)
         key = ("ring", n_steps) + tuple(
             getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)

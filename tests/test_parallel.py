@@ -151,6 +151,42 @@ def test_sharded_run_ring_matches_sharded_run(rng, mesh):
     assert np.any(np.asarray(ngold))  # the noise is actually there
 
 
+def test_sharded_agc_ring_matches_sharded_run(rng, monkeypatch):
+    """The fused-AGC serving ring (single f32 input ring, ring_lo=None)
+    sharded over the mesh must match ShardedPipeline.run — certifies the
+    zero-copy C8 serving mode multi-chip.  Bit-exact: ring and staged paths
+    share the same kernel bodies and the same per-shard key fold.
+
+    2-device mesh: the fused AGC apply kernel's minimum tile is 1024
+    batch rows PER SHARD (8 sublanes x 128 lanes, agc_scan._pick_sublanes),
+    so 8 shards would need a global batch of 8192 — x8 the interpret-mode
+    work on the 1-CPU CI box for no extra structural coverage."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    cfg = make_cfg(
+        blocksize=256, upsample_factor=2, numtaps=33, batch=2048,
+        eq_enabled=True, agc_enabled=True, agc_mode="exact",
+        agc_window_size=64, agc_carry=True, dither_kind="tpdf",
+        output_clip=0.99, conv_strategy="td_mxu",
+    )
+    sp = ShardedPipeline(cfg, make_mesh(2, axis_names=("streams",)))
+    assert sp.pipeline._conv_pair and not sp.pipeline._pair_ingest
+    assert sp.pipeline.supports_ring_step
+    params = sp.device_params(PipelineParams.design(sp.cfg))
+    K = 3
+    blocks = (rng.normal(size=(K, cfg.batch, cfg.blocksize)) * 0.1
+              ).astype(np.float32)
+    st, gold = sp.run(params, sp.init_state(seed=5), jnp.asarray(blocks))
+
+    out_ring = jnp.zeros((K, cfg.batch, cfg.blocksize), jnp.float32)
+    st2, out_ring = sp.run_ring(params, sp.init_state(seed=5),
+                                jnp.asarray(blocks), None, out_ring, K)
+    np.testing.assert_array_equal(np.asarray(out_ring), np.asarray(gold))
+    np.testing.assert_array_equal(np.asarray(st.agc_gain),
+                                  np.asarray(st2.agc_gain))
+
+
 def test_sharded_dither_decorrelated(mesh):
     """Dither keys fold in the mesh position: shards must not emit identical
     noise."""
