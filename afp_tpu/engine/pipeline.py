@@ -574,6 +574,7 @@ class Pipeline:
         if self.fused:
             n_conv = self.n_casc
             x_pair = isinstance(x, tuple)
+            emitted_tail = None  # set when the conv kernel emits the carry
             if self._conv_pair:
                 # pair-carried tail: reconstruct f32 views only where a
                 # consumer needs them (per-stream banks, fft fallback)
@@ -647,12 +648,14 @@ class Pipeline:
                     if x_pair:
                         # pair-input kernel: no staging pass at all — the
                         # AGC kernel emitted the pair, the tail is carried
-                        # as a pair, the concat happens in VMEM
+                        # as a pair, the concat happens in VMEM, and the
+                        # kernel emits the next tail pair on its way out
                         from ..ops.pallas.fir_td import fir_td_mxu_pair
 
-                        y = fir_td_mxu_pair(
+                        y, *emitted_tail = fir_td_mxu_pair(
                             x[0], x[1], tail_hi, tail_lo, band,
-                            interpret=self._pl_interpret, out_clip=oc, **dkw,
+                            interpret=self._pl_interpret, out_clip=oc,
+                            emit_tail=True, **dkw,
                         )
                     else:
                         y = fir_td_mxu(ext, band, interpret=self._pl_interpret,
@@ -666,7 +669,11 @@ class Pipeline:
                 )
             if self._conv_pair:
                 kp = self._k_pad
-                if x_pair:
+                if x_pair and emitted_tail is not None:
+                    # the conv kernel emitted the next tail pair from VMEM —
+                    # no slice pass over the block
+                    conv_tail = tuple(emitted_tail)
+                elif x_pair:
                     xh, xl = x
                     T = xh.shape[-1]
                     if kp <= T:
@@ -785,9 +792,10 @@ class Pipeline:
         `dynamic_update_slice` pushing the result into the output ring —
         pure HBM→HBM copy traffic around the conv kernel.  Here the conv
         kernel itself reads slot `idx` of the (hi, lo) input ring via a
-        scalar-prefetch BlockSpec and writes slot `idx` of the DONATED
-        output ring in place (`fir_td_mxu_ring`); the only remaining copy
-        is the [B, k_pad] tail slice, ~k_pad/T of a block.  Numerics are
+        scalar-prefetch BlockSpec, writes slot `idx` of the DONATED
+        output ring in place, and emits the next step's overlap-tail pair
+        from its VMEM-resident block (`fir_td_mxu_ring` ``emit_tail``) —
+        no staging copies remain anywhere in the step.  Numerics are
         identical to :meth:`step` in pair-ingest mode.
         """
         cfg = self.cfg
@@ -845,18 +853,18 @@ class Pipeline:
                 params.agc_max_gain, init=carry, out_clip=0.99,
                 interpret=self._pl_interpret, emit_split=True, ring_idx=idx,
             )
-            out_ring = fir_td_mxu_pair_to_ring(
+            out_ring, nt_hi, nt_lo = fir_td_mxu_pair_to_ring(
                 xh, xl, tail_hi, tail_lo, band, idx, out_ring,
                 interpret=self._pl_interpret, out_clip=cfg.output_clip,
-                **dkw,
+                emit_tail=True, **dkw,
             )
         else:
             from ..ops.pallas.fir_td import fir_td_mxu_ring
 
-            out_ring = fir_td_mxu_ring(
+            out_ring, nt_hi, nt_lo = fir_td_mxu_ring(
                 ring_hi, ring_lo, idx, tail_hi, tail_lo, band, out_ring,
                 interpret=self._pl_interpret, out_clip=cfg.output_clip,
-                **dkw,
+                emit_tail=True, **dkw,
             )
         if cfg.dither_kind != "off" and not fuse_dither:
             # interpret mode (CPU tests): dither the written slot in place —
@@ -867,28 +875,10 @@ class Pipeline:
             out_ring = jax.lax.dynamic_update_index_in_dim(
                 out_ring, y, idx, axis=0)
         # pair tail carry: last k_pad columns of the block the conv just
-        # consumed — the post-AGC pair in agc_mode (as in _step_impl), the
-        # ring slot itself in pair mode
-        if agc_mode:
-            if kp <= T:
-                new_tail = (xh[:, T - kp:], xl[:, T - kp:])
-            else:
-                new_tail = (
-                    jnp.concatenate([tail_hi[:, T - kp:], xh], axis=-1),
-                    jnp.concatenate([tail_lo[:, T - kp:], xl], axis=-1),
-                )
-        elif kp <= T:
-            new_tail = (
-                jax.lax.dynamic_slice(ring_hi, (idx, 0, T - kp), (1, B, kp))[0],
-                jax.lax.dynamic_slice(ring_lo, (idx, 0, T - kp), (1, B, kp))[0],
-            )
-        else:
-            xh = jax.lax.dynamic_index_in_dim(ring_hi, idx, keepdims=False)
-            xl = jax.lax.dynamic_index_in_dim(ring_lo, idx, keepdims=False)
-            new_tail = (
-                jnp.concatenate([tail_hi[:, T - kp:], xh], axis=-1),
-                jnp.concatenate([tail_lo[:, T - kp:], xl], axis=-1),
-            )
+        # consumed — emitted by the conv kernel itself from its VMEM-resident
+        # block (`emit_tail`), so the carry costs no extra slice pass over
+        # the HBM ring (was two dynamic_slices per step in pair mode)
+        new_tail = (nt_hi, nt_lo)
         new_state = StreamState(
             asrc=state.asrc, up=state.up, conv_tail=new_tail,
             down=state.down, agc_gain=agc_gain, key=key, wf=state.wf,

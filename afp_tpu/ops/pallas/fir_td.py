@@ -198,7 +198,8 @@ def _fir_kernel_b3f(x_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
 
 def _fir_kernel_b3t(xhi_ref, xlo_ref, thi_ref, tlo_ref, bhi_ref, blo_ref,
                     o_ref, *, k_pad: int, t_tiles: int, seed_ref=None,
-                    lsb: float = 0.0, tpdf: bool = True, out_clip=None):
+                    lsb: float = 0.0, tpdf: bool = True, out_clip=None,
+                    thi_o=None, tlo_o=None):
     """Pair-input B3 kernel: the extended signal arrives as FOUR refs — the
     current block's bf16 hi/lo pair plus the carried overlap tail's pair —
     so the conv stage needs NO input staging pass at all when the upstream
@@ -232,6 +233,19 @@ def _fir_kernel_b3t(xhi_ref, xlo_ref, thi_ref, tlo_ref, bhi_ref, blo_ref,
         )
         o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
             y, seed_ref, lsb, tpdf, out_clip)
+    if thi_o is not None:
+        # emit the NEXT step's overlap tail — the last k_pad samples of the
+        # extended signal concat(tail, x) — straight from VMEM, so the
+        # serving loop needs no separate tail-slice HBM round trip
+        T = t_tiles * LANE
+        if k_pad <= T:
+            thi_o[:, :] = xhi_ref[:, T - k_pad :]
+            tlo_o[:, :] = xlo_ref[:, T - k_pad :]
+        else:
+            thi_o[:, :] = jnp.concatenate(
+                [thi_ref[:, T:], xhi_ref[:, :]], axis=-1)
+            tlo_o[:, :] = jnp.concatenate(
+                [tlo_ref[:, T:], xlo_ref[:, :]], axis=-1)
 
 
 #: time-chunk width of the pair-chunk layout (must be a LANE multiple and
@@ -420,11 +434,12 @@ def _pick_b_tile_b3t(B: int, k_pad: int, T: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "dither_bits", "dither_tpdf", "out_clip"))
+    "interpret", "dither_bits", "dither_tpdf", "out_clip", "emit_tail"))
 def _fir_td_pair_call(x_hi, x_lo, tail_hi, tail_lo, band,
                       interpret: bool = False, seed=None,
                       dither_bits: int | None = None, dither_tpdf: bool = True,
-                      out_clip: float | None = None):
+                      out_clip: float | None = None,
+                      emit_tail: bool = False):
     B, T = x_hi.shape
     k_pad = tail_hi.shape[1]  # LANE multiple ≥ n_taps − 1
     n_taps = band.shape[0] - LANE + 1
@@ -441,9 +456,16 @@ def _fir_td_pair_call(x_hi, x_lo, tail_hi, tail_lo, band,
                           memory_space=pltpu.VMEM)
     band_spec = pl.BlockSpec((band_p.shape[0], LANE), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((bt, T), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+    out_specs = pl.BlockSpec((bt, T), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, T), jnp.float32)
+    if emit_tail:
+        tail_out = pl.BlockSpec((bt, k_pad), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = [out_specs, tail_out, tail_out]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, k_pad), jnp.bfloat16),
+                     jax.ShapeDtypeStruct((B, k_pad), jnp.bfloat16)]
     seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     dkw = {"out_clip": out_clip}
     if dither_bits is not None:
@@ -451,18 +473,27 @@ def _fir_td_pair_call(x_hi, x_lo, tail_hi, tail_lo, band,
     kernel = functools.partial(_fir_kernel_b3t, k_pad=k_pad,
                                t_tiles=t_tiles, **dkw)
     if dither_bits is not None:
-        kern = lambda s, a, b, c, d, e, f, o: kernel(a, b, c, d, e, f, o,
-                                                     seed_ref=s)
+        if emit_tail:
+            kern = lambda s, a, b, c, d, e, f, o, th, tl: kernel(
+                a, b, c, d, e, f, o, seed_ref=s, thi_o=th, tlo_o=tl)
+        else:
+            kern = lambda s, a, b, c, d, e, f, o: kernel(
+                a, b, c, d, e, f, o, seed_ref=s)
         return pl.pallas_call(
             kern, grid=grid,
             in_specs=[seed_spec, x_spec, x_spec, t_spec, t_spec,
                       band_spec, band_spec],
-            out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+            out_specs=out_specs, out_shape=out_shape, interpret=interpret,
         )(seed, x_hi, x_lo, tail_hi, tail_lo, b_hi, b_lo)
+    if emit_tail:
+        kern = lambda a, b, c, d, e, f, o, th, tl: kernel(
+            a, b, c, d, e, f, o, thi_o=th, tlo_o=tl)
+    else:
+        kern = kernel
     return pl.pallas_call(
-        kernel, grid=grid,
+        kern, grid=grid,
         in_specs=[x_spec, x_spec, t_spec, t_spec, band_spec, band_spec],
-        out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+        out_specs=out_specs, out_shape=out_shape, interpret=interpret,
     )(x_hi, x_lo, tail_hi, tail_lo, b_hi, b_lo)
 
 
@@ -471,7 +502,8 @@ def fir_td_mxu_pair(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
                     band: jnp.ndarray, interpret: bool = False,
                     dither_seed=None, dither_bits: int | None = None,
                     dither_tpdf: bool = True,
-                    out_clip: float | None = None) -> jnp.ndarray:
+                    out_clip: float | None = None,
+                    emit_tail: bool = False):
     """Causal/valid FIR conv consuming the bf16 hi/lo PAIR of the block and
     of the carried overlap tail → [B, T] f32.
 
@@ -486,6 +518,10 @@ def fir_td_mxu_pair(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
     padded up to a LANE multiple (extra LEADING samples — any content — are
     numerically inert against the padded band's zero rows); a width of
     exactly N−1 is accepted and zero-padded here for one-shot use.
+
+    With ``emit_tail=True`` returns ``(y, next_tail_hi, next_tail_lo)`` —
+    the [B, k_pad] bf16 overlap pair for the next block, emitted by the
+    kernel from its VMEM-resident inputs (no separate slice pass).
     """
     assert x_hi.dtype == jnp.bfloat16 and tail_hi.dtype == jnp.bfloat16
     band = jnp.asarray(band, dtype=jnp.float32)
@@ -502,16 +538,17 @@ def fir_td_mxu_pair(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
     return _fir_td_pair_call(x_hi, x_lo, tail_hi, tail_lo, band,
                              interpret=interpret, seed=dither_seed,
                              dither_bits=dither_bits, dither_tpdf=dither_tpdf,
-                             out_clip=out_clip)
+                             out_clip=out_clip, emit_tail=emit_tail)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "dither_bits", "dither_tpdf", "out_clip"))
+    "interpret", "dither_bits", "dither_tpdf", "out_clip", "emit_tail"))
 def _fir_td_pair_to_ring_call(idx, x_hi, x_lo, tail_hi, tail_lo, band,
                               out_ring, interpret: bool = False, seed=None,
                               dither_bits: int | None = None,
                               dither_tpdf: bool = True,
-                              out_clip: float | None = None):
+                              out_clip: float | None = None,
+                              emit_tail: bool = False):
     """Pair-input conv writing slot `idx` of the DONATED [S, B, T] output
     ring in place (scalar-prefetch out BlockSpec + input_output_aliases) —
     the f32-chain analog of :func:`_fir_td_ring_call`, for producers like
@@ -535,33 +572,49 @@ def _fir_td_pair_to_ring_call(idx, x_hi, x_lo, tail_hi, tail_lo, band,
                              memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec((1, 1), lambda i, s: (0, 0),
                              memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
-                            memory_space=pltpu.VMEM)
     ring_io_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_specs = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
+                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((S, B, T), jnp.float32)
+    if emit_tail:
+        tail_out = pl.BlockSpec((bt, k_pad), lambda i, s: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = [out_specs, tail_out, tail_out]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, k_pad), jnp.bfloat16),
+                     jax.ShapeDtypeStruct((B, k_pad), jnp.bfloat16)]
     dkw = {"out_clip": out_clip}
     if dither_bits is not None:
         dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
     kernel = functools.partial(_fir_kernel_b3t, k_pad=k_pad,
                                t_tiles=t_tiles, **dkw)
     if dither_bits is not None:
-        kern = lambda sidx, s, a, b, c, d, e, f, rio, o: kernel(
-            a, b, c, d, e, f, o, seed_ref=s)
+        if emit_tail:
+            kern = lambda sidx, s, a, b, c, d, e, f, rio, o, th, tl: kernel(
+                a, b, c, d, e, f, o, seed_ref=s, thi_o=th, tlo_o=tl)
+        else:
+            kern = lambda sidx, s, a, b, c, d, e, f, rio, o: kernel(
+                a, b, c, d, e, f, o, seed_ref=s)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[seed_spec, x_spec, x_spec, t_spec, t_spec,
                       band_spec, band_spec, ring_io_spec],
-            out_specs=out_spec)
+            out_specs=out_specs)
         return pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shape,
             input_output_aliases={8: 0}, interpret=interpret,
         )(idx, seed, x_hi, x_lo, tail_hi, tail_lo, b_hi, b_lo, out_ring)
-    kern = lambda sidx, a, b, c, d, e, f, rio, o: kernel(a, b, c, d, e, f, o)
+    if emit_tail:
+        kern = lambda sidx, a, b, c, d, e, f, rio, o, th, tl: kernel(
+            a, b, c, d, e, f, o, thi_o=th, tlo_o=tl)
+    else:
+        kern = lambda sidx, a, b, c, d, e, f, rio, o: kernel(
+            a, b, c, d, e, f, o)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid,
         in_specs=[x_spec, x_spec, t_spec, t_spec,
                   band_spec, band_spec, ring_io_spec],
-        out_specs=out_spec)
+        out_specs=out_specs)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         input_output_aliases={7: 0}, interpret=interpret,
@@ -575,11 +628,18 @@ def fir_td_mxu_pair_to_ring(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
                             interpret: bool = False,
                             dither_seed=None, dither_bits: int | None = None,
                             dither_tpdf: bool = True,
-                            out_clip: float | None = None) -> jnp.ndarray:
+                            out_clip: float | None = None,
+                            emit_tail: bool = False):
     """:func:`fir_td_mxu_pair` writing its result into slot `idx` of the
     DONATED [S, B, T] f32 `out_ring` in place (all other slots preserved,
     no staging `dynamic_update_slice`).  Numerics identical to
-    :func:`fir_td_mxu_pair` on the same inputs (same kernel body)."""
+    :func:`fir_td_mxu_pair` on the same inputs (same kernel body).
+
+    With ``emit_tail=True`` returns ``(out_ring, next_tail_hi,
+    next_tail_lo)`` — the [B, k_pad] bf16 overlap pair for the NEXT block
+    (the last ``k_pad`` samples of ``concat(tail, x)``), written from VMEM
+    by the kernel itself so the serving loop carries the tail without a
+    separate slice pass over the block."""
     assert x_hi.dtype == jnp.bfloat16 and tail_hi.dtype == jnp.bfloat16
     band = jnp.asarray(band, dtype=jnp.float32)
     if x_hi.shape[-1] % LANE:
@@ -595,15 +655,15 @@ def fir_td_mxu_pair_to_ring(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
     return _fir_td_pair_to_ring_call(
         idx, x_hi, x_lo, tail_hi, tail_lo, band, out_ring,
         interpret=interpret, seed=dither_seed, dither_bits=dither_bits,
-        dither_tpdf=dither_tpdf, out_clip=out_clip)
+        dither_tpdf=dither_tpdf, out_clip=out_clip, emit_tail=emit_tail)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "dither_bits", "dither_tpdf", "out_clip"))
+    "interpret", "dither_bits", "dither_tpdf", "out_clip", "emit_tail"))
 def _fir_td_ring_call(idx, ring_hi, ring_lo, tail_hi, tail_lo, band, out_ring,
                       interpret: bool = False, seed=None,
                       dither_bits: int | None = None, dither_tpdf: bool = True,
-                      out_clip: float | None = None):
+                      out_clip: float | None = None, emit_tail: bool = False):
     S, B, T = ring_hi.shape
     k_pad = tail_hi.shape[1]
     n_taps = band.shape[0] - LANE + 1
@@ -624,35 +684,53 @@ def _fir_td_ring_call(idx, ring_hi, ring_lo, tail_hi, tail_lo, band, out_ring,
                              memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec((1, 1), lambda i, s: (0, 0),
                              memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
-                            memory_space=pltpu.VMEM)
     # the aliased output ring rides through untouched (ANY = no VMEM
     # round trip for the blocks this step does not write)
     ring_io_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_specs = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
+                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((S, B, T), jnp.float32)
+    if emit_tail:
+        # second/third outputs: the next step's overlap tail pair, copied
+        # out of the VMEM-resident block instead of a separate HBM slice
+        tail_out = pl.BlockSpec((bt, k_pad), lambda i, s: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = [out_specs, tail_out, tail_out]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, k_pad), jnp.bfloat16),
+                     jax.ShapeDtypeStruct((B, k_pad), jnp.bfloat16)]
     dkw = {"out_clip": out_clip}
     if dither_bits is not None:
         dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
     kernel = functools.partial(_fir_kernel_b3t, k_pad=k_pad,
                                t_tiles=t_tiles, **dkw)
     if dither_bits is not None:
-        kern = lambda sidx, s, a, b, c, d, e, f, rio, o: kernel(
-            a, b, c, d, e, f, o, seed_ref=s)
+        if emit_tail:
+            kern = lambda sidx, s, a, b, c, d, e, f, rio, o, th, tl: kernel(
+                a, b, c, d, e, f, o, seed_ref=s, thi_o=th, tlo_o=tl)
+        else:
+            kern = lambda sidx, s, a, b, c, d, e, f, rio, o: kernel(
+                a, b, c, d, e, f, o, seed_ref=s)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[seed_spec, ring_spec, ring_spec, t_spec, t_spec,
                       band_spec, band_spec, ring_io_spec],
-            out_specs=out_spec)
+            out_specs=out_specs)
         return pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shape,
             input_output_aliases={8: 0}, interpret=interpret,
         )(idx, seed, ring_hi, ring_lo, tail_hi, tail_lo, b_hi, b_lo, out_ring)
-    kern = lambda sidx, a, b, c, d, e, f, rio, o: kernel(a, b, c, d, e, f, o)
+    if emit_tail:
+        kern = lambda sidx, a, b, c, d, e, f, rio, o, th, tl: kernel(
+            a, b, c, d, e, f, o, thi_o=th, tlo_o=tl)
+    else:
+        kern = lambda sidx, a, b, c, d, e, f, rio, o: kernel(
+            a, b, c, d, e, f, o)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid,
         in_specs=[ring_spec, ring_spec, t_spec, t_spec,
                   band_spec, band_spec, ring_io_spec],
-        out_specs=out_spec)
+        out_specs=out_specs)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         input_output_aliases={7: 0}, interpret=interpret,
@@ -665,7 +743,8 @@ def fir_td_mxu_ring(ring_hi: jnp.ndarray, ring_lo: jnp.ndarray, idx,
                     interpret: bool = False,
                     dither_seed=None, dither_bits: int | None = None,
                     dither_tpdf: bool = True,
-                    out_clip: float | None = None) -> jnp.ndarray:
+                    out_clip: float | None = None,
+                    emit_tail: bool = False):
     """Zero-copy serving-ring FIR step: convolve block `idx` of an
     HBM-resident input ring straight into slot `idx` of the output ring.
 
@@ -687,6 +766,11 @@ def fir_td_mxu_ring(ring_hi: jnp.ndarray, ring_lo: jnp.ndarray, idx,
     `out_ring`: [S, B, T] f32, DONATED — returns the updated ring (slot
     `idx` replaced, all other slots preserved).  Numerics are identical to
     :func:`fir_td_mxu_pair` on the sliced block (same kernel body).
+
+    With ``emit_tail=True`` returns ``(out_ring, next_tail_hi,
+    next_tail_lo)`` — the overlap pair for the next step, emitted from the
+    VMEM-resident block so the serving loop's tail carry costs no separate
+    `dynamic_slice` over the HBM ring (see :func:`fir_td_mxu_pair_to_ring`).
     """
     assert ring_hi.dtype == jnp.bfloat16 and tail_hi.dtype == jnp.bfloat16
     band = jnp.asarray(band, dtype=jnp.float32)
@@ -703,7 +787,7 @@ def fir_td_mxu_ring(ring_hi: jnp.ndarray, ring_lo: jnp.ndarray, idx,
     return _fir_td_ring_call(idx, ring_hi, ring_lo, tail_hi, tail_lo, band,
                              out_ring, interpret=interpret, seed=dither_seed,
                              dither_bits=dither_bits, dither_tpdf=dither_tpdf,
-                             out_clip=out_clip)
+                             out_clip=out_clip, emit_tail=emit_tail)
 
 
 def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,

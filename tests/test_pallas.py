@@ -369,6 +369,46 @@ def test_fir_td_pair_to_ring_matches_pair(rng):
     np.testing.assert_array_equal(out[[0, 2]], sentinel[[0, 2]])
 
 
+def test_fir_td_ring_emit_tail(rng):
+    """``emit_tail``: the ring kernels additionally return the NEXT step's
+    overlap pair — bit-identical to slicing the last k_pad samples of
+    ``concat(tail, x)`` — while the ring output stays identical to the
+    non-emitting call.  Covers both tail regimes (k_pad < T and k_pad > T,
+    where the emitted tail stitches old-tail and block columns)."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import (fir_td_mxu_pair_to_ring,
+                                           fir_td_mxu_ring, split_bf16)
+
+    B, S = 8, 3
+    for taps, T in ((129, 512), (257, 128)):
+        kp = -(-(taps - 1) // 128) * 128
+        h = (rng.normal(size=taps) * 0.1).astype(np.float32)
+        band = jnp.asarray(band_matrix(h))
+        ring = (rng.normal(size=(S, B, T)) * 0.4).astype(np.float32)
+        rh, rl = split_bf16(jnp.asarray(ring))
+        tail = (rng.normal(size=(B, kp)) * 0.4).astype(np.float32)
+        th, tl = split_bf16(jnp.asarray(tail))
+        sentinel = jnp.full((S, B, T), 7.0, jnp.float32)
+        exth = np.concatenate([np.asarray(th), np.asarray(rh[1])], axis=-1)
+        extl = np.concatenate([np.asarray(tl), np.asarray(rl[1])], axis=-1)
+
+        base = np.asarray(fir_td_mxu_ring(rh, rl, 1, th, tl, band, sentinel,
+                                          interpret=True))
+        out, nh, nl = fir_td_mxu_ring(rh, rl, 1, th, tl, band, sentinel,
+                                      interpret=True, emit_tail=True)
+        np.testing.assert_array_equal(np.asarray(out), base)
+        np.testing.assert_array_equal(np.asarray(nh), exth[:, -kp:])
+        np.testing.assert_array_equal(np.asarray(nl), extl[:, -kp:])
+
+        out2, nh2, nl2 = fir_td_mxu_pair_to_ring(
+            rh[1], rl[1], th, tl, band, 1, sentinel, interpret=True,
+            emit_tail=True)
+        np.testing.assert_array_equal(np.asarray(out2)[1], base[1])
+        np.testing.assert_array_equal(np.asarray(nh2), exth[:, -kp:])
+        np.testing.assert_array_equal(np.asarray(nl2), extl[:, -kp:])
+
+
 def test_fir_td_pair_rejects_bad_shapes(rng):
     """The pair kernel must raise cleanly (not silently truncate) on a batch
     no tile divides and on T not a multiple of 128."""
