@@ -298,9 +298,78 @@ def check_agc_fused() -> dict:
     return results
 
 
+def check_serving_ring() -> dict:
+    """The zero-copy serving rings (scalar-prefetch slot select, aliased
+    output ring, kernel-emitted tail carry) vs per-block ``step()`` on the
+    compiled lowering — BOTH ring forms: pair ingest and the fused AGC
+    chain.  Bit-exact is required: ring and staged paths share the same
+    kernel bodies and the same per-step key fold."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    rng = np.random.default_rng(8)
+    K, B, T = 3, 1024, 2048
+    sig = (rng.standard_normal((K, B, T)) * 0.1).astype(np.float32)
+    results = {}
+
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=T, upsample_factor=2, numtaps=129,
+        batch=B, eq_enabled=True, dither_kind="tpdf", output_clip=0.99,
+        downsample_mode="decimate", conv_strategy="td_mxu", ingest="pair",
+    )
+    p = Pipeline(cfg)
+    assert p.supports_ring_step and p._pair_ingest
+    params = p.device_params(PipelineParams.design(p.cfg))
+    rh, rl = split_bf16(jnp.asarray(sig))
+    st = p.init_state(seed=4)
+    gold = []
+    for i in range(K):
+        st, y = p.step(params, st, (rh[i], rl[i]))
+        gold.append(np.asarray(y))
+    ring = jnp.zeros((K, B, T), jnp.float32)
+    st2, ring = p.run_ring(params, p.init_state(seed=4), rh, rl, ring, K)
+    d = float(np.max(np.abs(np.asarray(ring) - np.stack(gold))))
+    assert d == 0.0, f"pair serving ring vs staged steps diverge: {d}"
+    th, th2 = np.asarray(st.conv_tail[0]), np.asarray(st2.conv_tail[0])
+    assert np.array_equal(th, th2), "emitted tail carry diverges"
+    results["serving_ring_pair_max_abs_diff"] = d
+
+    acfg = dataclasses.replace(
+        cfg, ingest="f32", agc_enabled=True, agc_mode="exact",
+        agc_window_size=512, agc_carry=True,
+    )
+    pa = Pipeline(acfg)
+    assert pa.supports_ring_step and not pa._pair_ingest, (
+        "fused AGC chain must engage on TPU at the C8 shape")
+    aparams = pa.device_params(PipelineParams.design(pa.cfg))
+    st = pa.init_state(seed=4)
+    gold = []
+    for i in range(K):
+        st, y = pa.step(aparams, st, jnp.asarray(sig[i]))
+        gold.append(np.asarray(y))
+    ring = jnp.zeros((K, B, T), jnp.float32)
+    st2, ring = pa.run_ring(aparams, pa.init_state(seed=4),
+                            jnp.asarray(sig), None, ring, K)
+    d = float(np.max(np.abs(np.asarray(ring) - np.stack(gold))))
+    assert d == 0.0, f"AGC serving ring vs staged steps diverge: {d}"
+    ga, gb = np.asarray(st.agc_gain), np.asarray(st2.agc_gain)
+    assert np.array_equal(ga, gb), "AGC gain carry diverges in ring mode"
+    results["serving_ring_agc_max_abs_diff"] = d
+    return results
+
+
 def main() -> None:
     import jax
 
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # honor an explicit CPU pin before the first backend init — the axon
+        # plugin overrides the env var during discovery, and a wedged tunnel
+        # would hang the guard check below instead of exiting cleanly
+        jax.config.update("jax_platforms", "cpu")
     dev = jax.devices()[0]
     if dev.platform != "tpu":
         print(json.dumps({"ok": False,
@@ -309,7 +378,7 @@ def main() -> None:
     out = {"device": str(dev), "ok": True}
     for fn in (check_fir_td, check_fir_per_stream, check_agc_scan,
                check_dither, check_fused_dither, check_fused_clip,
-               check_agc_fused, check_conv_pair):
+               check_agc_fused, check_conv_pair, check_serving_ring):
         print(f"hw_check: {fn.__name__}...", file=sys.stderr, flush=True)
         out.update(fn())
     print(json.dumps(out))
