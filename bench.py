@@ -581,6 +581,31 @@ def agc_parallel_vs_exact_db(strategy: str) -> float:
     return float(round(20 * np.log10(err / scale + 1e-300), 1))
 
 
+def _device_contact_watchdog(seconds: int):
+    """Hard watchdog around the FIRST device contact.
+
+    A wedged/unreachable tunnel blocks jax's backend init inside a C++
+    call — the GIL is released (measured), but the main thread never
+    returns to the bytecode loop, so Python-level SIGALRM handlers
+    (:func:`_alarm`) can never run.  A daemon thread still gets scheduled:
+    it prints the bench-contract JSON error line and hard-exits so the
+    driver records a failure instead of hanging."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "aggregate_xrt_1001tap_4x_44k1", "value": 0.0,
+            "unit": "x_realtime_per_chip", "vs_baseline": 0.0,
+            "error": f"device contact timed out after {seconds}s "
+                     "(tunnel unreachable)"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> None:
     batch = int(os.environ.get("AFP_BENCH_BATCH", "4096"))
     nblocks = int(os.environ.get("AFP_BENCH_BLOCKS", "64"))
@@ -588,6 +613,13 @@ def main() -> None:
     strategy = os.environ.get("AFP_BENCH_STRATEGY", "td_mxu")
     precision = os.environ.get("AFP_TD_PRECISION", "B3")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/afp_jax_cache")
+
+    wd = _device_contact_watchdog(
+        int(os.environ.get("AFP_BENCH_CONTACT_TIMEOUT", "600")))
+    import jax
+
+    jax.devices()  # first tunnel contact — the only unalarmable stage
+    wd.cancel()
 
     # primary attempt ladder, alarm-guarded (the Pallas compile through a
     # tunneled device can be slow): td_mxu/B3 → td_mxu/HIGHEST → fft.
