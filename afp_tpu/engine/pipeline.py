@@ -930,6 +930,74 @@ class Pipeline:
         return self._run_ring(params, state, ring_hi, ring_lo, out_ring,
                               n_steps, start)
 
+    def _run_ring_mega_impl(self, params: DeviceParams, state: StreamState,
+                            ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
+                            out_ring: jnp.ndarray, n_steps: int, start):
+        """Whole-dispatch serving loop in ONE kernel launch
+        (`fir_td_mxu_ring_mega`): per-step math, slot order, and dither
+        seed folds identical to :meth:`_run_ring_impl` in pair-ingest
+        mode, but without the `lax.scan`, the per-step kernel launches,
+        or the tail carry traffic.  Requires fused dither (TPU) or
+        ``dither_kind='off'`` — the interpret-mode post-kernel dither
+        pass has no per-step hook here."""
+        cfg = self.cfg
+        if not (self.supports_ring_step and self._pair_ingest):
+            raise ValueError("run_ring_mega requires pair ingest with the "
+                             "waterfall disabled (see supports_ring_step)")
+        has_eq = cfg.eq_enabled and len(cfg.eq_bands) > 0
+        if has_eq and params.eq_gains.ndim == 2:
+            raise ValueError("run_ring_mega does not support per-stream EQ "
+                             "banks — use step()")
+        fuse_dither = cfg.dither_kind != "off" and not self._pl_interpret
+        if cfg.dither_kind != "off" and not fuse_dither:
+            raise ValueError(
+                "run_ring_mega needs the fused dither epilogue (TPU); in "
+                "interpret mode run it with dither_kind='off' or use "
+                "run_ring")
+        from ..ops.pallas.fir_td import fir_td_mxu_ring_mega
+
+        k = params.combined_cascade(has_eq)
+        band = jnp.where(self._band_mask, jnp.take(k, self._band_idx), 0.0)
+        key = state.key
+        seeds = None
+        dkw = {}
+        if fuse_dither:
+            from ..ops.pallas.dither_pl import fold_seed
+
+            def fold(k_, _):
+                k_, sub = jax.random.split(k_)
+                return k_, fold_seed(sub)
+
+            # same per-step key walk as _ring_step_impl → bit-exact dither
+            key, seeds = jax.lax.scan(fold, key, None, length=n_steps)
+            seeds = seeds.reshape(n_steps, 1)
+            dkw = dict(dither_bits=cfg.dither_bits,
+                       dither_tpdf=(cfg.dither_kind == "tpdf"))
+        tail_hi, tail_lo = state.conv_tail
+        out_ring, nt_hi, nt_lo = fir_td_mxu_ring_mega(
+            ring_hi, ring_lo, start, tail_hi, tail_lo, band, out_ring,
+            n_steps, seeds=seeds, interpret=self._pl_interpret,
+            out_clip=cfg.output_clip, **dkw)
+        new_state = StreamState(
+            asrc=state.asrc, up=state.up, conv_tail=(nt_hi, nt_lo),
+            down=state.down, agc_gain=state.agc_gain, key=key, wf=state.wf,
+        )
+        return new_state, out_ring
+
+    def run_ring_mega(self, params: DeviceParams, state: StreamState,
+                      ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
+                      out_ring: jnp.ndarray, n_steps: int, start=0):
+        """One-launch variant of :meth:`run_ring` (pair-ingest form only):
+        the whole `n_steps` dispatch runs inside a single Pallas kernel —
+        final ring, tail carry, and dither bit-identical to
+        :meth:`run_ring`.  `out_ring` is donated; `n_steps` is static."""
+        if not hasattr(self, "_run_ring_mega"):
+            self._run_ring_mega = jax.jit(self._run_ring_mega_impl,
+                                          static_argnums=(5,),
+                                          donate_argnums=(4,))
+        return self._run_ring_mega(params, state, ring_hi, ring_lo, out_ring,
+                                   n_steps, start)
+
     # ---------------- scan over many blocks ----------------
 
     def _run_impl(self, params: DeviceParams, state: StreamState,

@@ -790,6 +790,173 @@ def fir_td_mxu_ring(ring_hi: jnp.ndarray, ring_lo: jnp.ndarray, idx,
                              out_clip=out_clip, emit_tail=emit_tail)
 
 
+def _fir_kernel_b3mega(xhi_ref, xlo_ref, thi_ref, tlo_ref, bhi_ref, blo_ref,
+                       o_ref, thi_o, tlo_o, *, k_pad: int, t_tiles: int,
+                       seed_ref=None, lsb: float = 0.0, tpdf: bool = True,
+                       out_clip=None):
+    """Serving-loop megakernel body — the math of :func:`_fir_kernel_b3t`
+    with the whole dispatch inside ONE ``pallas_call``.
+
+    The grid walks (batch-tile MAJOR, serving step minor): each batch tile
+    streams every ring slot through its VMEM in step order, so the overlap
+    tail has no cross-tile dependency and can live in the (VMEM-resident,
+    readable) tail OUTPUT refs across the inner step loop — initialized
+    from the carried tail input at step 0, read for the straddle tiles,
+    rewritten after the straddle reads.  Mosaic flushes the constant-index
+    tail blocks once per tile, i.e. the FINAL tail — exactly the cross-
+    dispatch carry.  No per-step kernel launch, no per-step tail HBM
+    round trip, no `lax.scan` bookkeeping."""
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _init_tail():
+        thi_o[:, :] = thi_ref[:, :]
+        tlo_o[:, :] = tlo_ref[:, :]
+
+    if seed_ref is not None:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    for t in range(t_tiles):
+        off = t * LANE
+        if off < k_pad:  # window straddles the tail/block boundary
+            w_hi = jnp.concatenate(
+                [thi_o[:, off:], xhi_ref[:, : off + LANE]], axis=-1)
+            w_lo = jnp.concatenate(
+                [tlo_o[:, off:], xlo_ref[:, : off + LANE]], axis=-1)
+        else:
+            s = off - k_pad
+            w_hi = xhi_ref[:, s : s + k_pad + LANE]
+            w_lo = xlo_ref[:, s : s + k_pad + LANE]
+        y = (
+            jnp.dot(w_hi, bhi_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
+        )
+        o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
+            y, seed_ref, lsb, tpdf, out_clip)
+    T = t_tiles * LANE
+    if k_pad <= T:
+        thi_o[:, :] = xhi_ref[:, T - k_pad :]
+        tlo_o[:, :] = xlo_ref[:, T - k_pad :]
+    else:
+        nh = jnp.concatenate([thi_o[:, T:], xhi_ref[:, :]], axis=-1)
+        nl = jnp.concatenate([tlo_o[:, T:], xlo_ref[:, :]], axis=-1)
+        thi_o[:, :] = nh
+        tlo_o[:, :] = nl
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_steps", "interpret", "dither_bits", "dither_tpdf", "out_clip"))
+def _fir_td_ring_mega_call(start, seeds, ring_hi, ring_lo, tail_hi, tail_lo,
+                           band, out_ring, n_steps: int,
+                           interpret: bool = False,
+                           dither_bits: int | None = None,
+                           dither_tpdf: bool = True,
+                           out_clip: float | None = None):
+    S, B, T = ring_hi.shape
+    k_pad = tail_hi.shape[1]
+    n_taps = band.shape[0] - LANE + 1
+    assert k_pad % LANE == 0 and k_pad >= n_taps - 1, (k_pad, n_taps)
+    band_p = jnp.pad(band, ((k_pad - (n_taps - 1), 0), (0, 0)))
+    t_tiles = T // LANE
+    b_hi, b_lo = split_bf16(band_p)
+    bt = _pick_b_tile_b3t(B, k_pad, T)
+    grid = (B // bt, n_steps)  # tile MAJOR, step minor (see kernel docstring)
+    ring_spec = pl.BlockSpec((None, bt, T),
+                             lambda i, st, s: ((s[0] + st) % S, i, 0),
+                             memory_space=pltpu.VMEM)
+    t_in_spec = pl.BlockSpec((bt, k_pad), lambda i, st, s: (i, 0),
+                             memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((band_p.shape[0], LANE), lambda i, st, s: (0, 0),
+                             memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 1), lambda i, st, s: (st, 0),
+                             memory_space=pltpu.SMEM)
+    ring_io_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_specs = [
+        pl.BlockSpec((None, bt, T), lambda i, st, s: ((s[0] + st) % S, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, k_pad), lambda i, st, s: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, k_pad), lambda i, st, s: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((S, B, T), jnp.float32),
+                 jax.ShapeDtypeStruct((B, k_pad), jnp.bfloat16),
+                 jax.ShapeDtypeStruct((B, k_pad), jnp.bfloat16)]
+    dkw = {"out_clip": out_clip}
+    if dither_bits is not None:
+        dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
+    kernel = functools.partial(_fir_kernel_b3mega, k_pad=k_pad,
+                               t_tiles=t_tiles, **dkw)
+    if dither_bits is not None:
+        assert seeds is not None and seeds.shape == (n_steps, 1), seeds
+        kern = lambda sidx, sd, a, b, c, d, e, f, rio, o, th, tl: kernel(
+            a, b, c, d, e, f, o, th, tl, seed_ref=sd)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[seed_spec, ring_spec, ring_spec, t_in_spec, t_in_spec,
+                      band_spec, band_spec, ring_io_spec],
+            out_specs=out_specs)
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shape,
+            input_output_aliases={8: 0}, interpret=interpret,
+        )(start, seeds, ring_hi, ring_lo, tail_hi, tail_lo, b_hi, b_lo,
+          out_ring)
+    kern = lambda sidx, a, b, c, d, e, f, rio, o, th, tl: kernel(
+        a, b, c, d, e, f, o, th, tl)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[ring_spec, ring_spec, t_in_spec, t_in_spec,
+                  band_spec, band_spec, ring_io_spec],
+        out_specs=out_specs)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        input_output_aliases={7: 0}, interpret=interpret,
+    )(start, ring_hi, ring_lo, tail_hi, tail_lo, b_hi, b_lo, out_ring)
+
+
+def fir_td_mxu_ring_mega(ring_hi: jnp.ndarray, ring_lo: jnp.ndarray, start,
+                         tail_hi: jnp.ndarray, tail_lo: jnp.ndarray,
+                         band: jnp.ndarray, out_ring: jnp.ndarray,
+                         n_steps: int, seeds=None,
+                         interpret: bool = False,
+                         dither_bits: int | None = None,
+                         dither_tpdf: bool = True,
+                         out_clip: float | None = None):
+    """Whole-dispatch serving loop in ONE kernel launch: convolve ring slots
+    ``(start+i) mod S`` for ``i < n_steps`` into the same slots of the
+    DONATED output ring, carrying the overlap tail in VMEM across steps.
+
+    Equivalent to ``n_steps`` chained :func:`fir_td_mxu_ring` calls (same
+    per-step math, same per-step dither seed fold) but with no per-step
+    kernel launch, no `lax.scan` carry traffic, and no tail HBM round
+    trips.  When ``n_steps > S`` slots are revisited cyclically and each
+    revisit fully overwrites the slot — the final ring matches the chained
+    calls' final ring (intermediate overwrites are not observable within
+    one dispatch).
+
+    `seeds`: [n_steps, 1] int32 per-step hardware-PRNG seeds (required
+    with `dither_bits`; build with the same per-step key fold as the
+    chained path for bit-exact equivalence).  Returns ``(out_ring,
+    next_tail_hi, next_tail_lo)``.
+    """
+    assert ring_hi.dtype == jnp.bfloat16 and tail_hi.dtype == jnp.bfloat16
+    band = jnp.asarray(band, dtype=jnp.float32)
+    if ring_hi.shape[-1] % LANE:
+        raise ValueError(f"T={ring_hi.shape[-1]} must be a multiple of {LANE}")
+    k = band.shape[0] - LANE
+    k_pad = -(-max(k, 1) // LANE) * LANE
+    if tail_hi.shape[1] != k_pad:
+        pad = k_pad - tail_hi.shape[1]
+        assert pad > 0, (tail_hi.shape, k_pad)
+        tail_hi = jnp.pad(tail_hi, ((0, 0), (pad, 0)))
+        tail_lo = jnp.pad(tail_lo, ((0, 0), (pad, 0)))
+    start = jnp.asarray(start, dtype=jnp.int32).reshape(1)
+    return _fir_td_ring_mega_call(
+        start, seeds, ring_hi, ring_lo, tail_hi, tail_lo, band, out_ring,
+        n_steps=int(n_steps), interpret=interpret, dither_bits=dither_bits,
+        dither_tpdf=dither_tpdf, out_clip=out_clip)
+
+
 def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,
                interpret: bool = False,
                precision: str | None = None,

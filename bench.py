@@ -194,6 +194,41 @@ def _sustained_ring_xrt(pipe, params, pblocks, reps: int):
     return xrt
 
 
+def _sustained_ring_mega_xrt(pipe, params, pblocks, reps: int):
+    """One-launch serving megakernel (`Pipeline.run_ring_mega`): the whole
+    n_sust-step dispatch inside a single Pallas kernel — no per-step
+    launches, no lax.scan carries, no tail HBM round trips.  Same slot
+    order, numerics, and dither folds as :func:`_sustained_ring_xrt`."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
+    if not n_sust or not pipe.supports_ring_step or not pipe._pair_ingest:
+        return None
+    ring_hi, ring_lo = pblocks
+    K, batch, blocksize = ring_hi.shape
+    st = pipe.init_state(seed=0)
+    out_ring = jnp.zeros((K, batch, blocksize), jnp.float32)
+    st, out_ring = pipe.run_ring_mega(  # compile + warm
+        params, st, ring_hi, ring_lo, out_ring, n_sust)
+    float(jnp.sum(out_ring))
+    times = []
+    for _ in range(max(2, reps - 2)):
+        t0 = _time.perf_counter()
+        st, out_ring = pipe.run_ring_mega(
+            params, st, ring_hi, ring_lo, out_ring, n_sust)
+        checksum = float(jnp.sum(out_ring))
+        times.append(_time.perf_counter() - t0)
+    assert np.isfinite(checksum)
+    sbest = min(times)
+    xrt = float(round(
+        n_sust * batch * blocksize / pipe.cfg.samplerate / sbest, 1))
+    print(f"bench: ring-mega best={sbest:.4f}s ({n_sust} blocks/dispatch) "
+          f"xrt={xrt:.0f}", file=sys.stderr, flush=True)
+    return xrt
+
+
 def run_config(batch: int, nblocks: int, reps: int, strategy: str,
                precision: str) -> dict:
     import jax
@@ -310,6 +345,7 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
     # sizes; the full-size pair ring also OOM'd at 16 GB).
     sustained_pair_xrt = None
     sustained_pair_ring_xrt = None
+    sustained_pair_ring_mega_xrt = None
     sustained_xrt_ring16 = None
     mfu_ring = None
     if (strategy == "td_mxu" and precision.startswith("B3")
@@ -337,9 +373,17 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
             # staging slice/update around the kernel removed
             sustained_pair_ring_xrt = _sustained_ring_xrt(
                 ppipe, pparams, pblocks, reps)
-            if sustained_pair_ring_xrt is not None and pipe.n_casc:
+            try:  # one-launch megakernel variant, same ring/conditions
+                sustained_pair_ring_mega_xrt = _sustained_ring_mega_xrt(
+                    ppipe, pparams, pblocks, reps)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: ring-mega variant failed ({e})",
+                      file=sys.stderr, flush=True)
+            best_ring = max(sustained_pair_ring_xrt or 0,
+                            sustained_pair_ring_mega_xrt or 0) or None
+            if best_ring is not None and pipe.n_casc:
                 ring_per_block = (batch * cfg.blocksize / cfg.samplerate
-                                  ) / sustained_pair_ring_xrt
+                                  ) / best_ring
                 mfu_ring = float(round(
                     2.0 * batch * cfg.blocksize * pipe.n_casc
                     / ring_per_block / _peak_flops(), 4))
@@ -368,6 +412,7 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
         "sustained_xrt": sustained_xrt,
         "sustained_pair_xrt": sustained_pair_xrt,
         "sustained_pair_ring_xrt": sustained_pair_ring_xrt,
+        "sustained_pair_ring_mega_xrt": sustained_pair_ring_mega_xrt,
         "strategy": strategy,
         "precision": precision if strategy == "td_mxu" else None,
         "mfu": mfu,

@@ -383,6 +383,51 @@ def test_run_ring_matches_step_loop_with_wraparound(rng):
                                   np.asarray(st2.conv_tail[0]))
 
 
+def test_run_ring_mega_matches_run_ring(rng):
+    """The one-launch serving megakernel (`run_ring_mega`) must equal the
+    scan-of-ring-steps path — final ring, tail carry, slot wraparound, and
+    nonzero start offset — in interpret mode with dither off (the fused
+    dither epilogue is TPU-only; hw_check covers the dithered form)."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    cfg = make_cfg(
+        blocksize=512, upsample_factor=1, numtaps=65, batch=4,
+        conv_strategy="td_mxu", ingest="pair", dither_kind="off",
+        eq_enabled=True, output_clip=0.8,
+    )
+    K = 3
+    sig = (rng.normal(size=(K, 4, 512)) * 0.4).astype(np.float32)
+    p = Pipeline(cfg)
+    pp = p.device_params(PipelineParams.design(p.cfg))
+    rh, rl = split_bf16(jnp.asarray(sig))
+    for n_steps, start in ((3, 0), (5, 2)):  # exact cover + wraparound
+        st = p.init_state(seed=1)
+        ring = jnp.full(sig.shape, 5.0, jnp.float32)
+        st, ring = p.run_ring(pp, st, rh, rl, ring, n_steps, start=start)
+        st2 = p.init_state(seed=1)
+        ring2 = jnp.full(sig.shape, 5.0, jnp.float32)
+        st2, ring2 = p.run_ring_mega(pp, st2, rh, rl, ring2, n_steps,
+                                     start=start)
+        np.testing.assert_array_equal(np.asarray(ring2), np.asarray(ring))
+        np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
+                                      np.asarray(st2.conv_tail[0]))
+        np.testing.assert_array_equal(np.asarray(st.conv_tail[1]),
+                                      np.asarray(st2.conv_tail[1]))
+
+    # interpret mode + dither on → clean rejection (no silent numerics gap)
+    dcfg = make_cfg(blocksize=512, upsample_factor=1, numtaps=65, batch=4,
+                    conv_strategy="td_mxu", ingest="pair",
+                    dither_kind="tpdf")
+    pd = Pipeline(dcfg)
+    ppd = pd.device_params(PipelineParams.design(pd.cfg))
+    with _pytest.raises(ValueError, match="fused dither"):
+        pd.run_ring_mega(ppd, pd.init_state(seed=0), rh, rl,
+                         jnp.zeros(sig.shape, jnp.float32), K)
+
+
 def test_pair_ingest_engine_accepts_and_bad_configs_reject():
     """StreamEngine accepts ingest='pair' since the engine-level pair
     ladder landed (r3); the config-level incompatibilities still raise."""

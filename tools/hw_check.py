@@ -338,6 +338,15 @@ def check_serving_ring() -> dict:
     assert np.array_equal(th, th2), "emitted tail carry diverges"
     results["serving_ring_pair_max_abs_diff"] = d
 
+    # one-launch megakernel form (dithered — the TPU-only fused epilogue)
+    ring = jnp.zeros((K, B, T), jnp.float32)
+    st3, ring = p.run_ring_mega(params, p.init_state(seed=4), rh, rl, ring, K)
+    d = float(np.max(np.abs(np.asarray(ring) - np.stack(gold))))
+    assert d == 0.0, f"mega serving ring vs staged steps diverge: {d}"
+    assert np.array_equal(np.asarray(st3.conv_tail[0]), th), (
+        "mega tail carry diverges")
+    results["serving_ring_mega_max_abs_diff"] = d
+
     acfg = dataclasses.replace(
         cfg, ingest="f32", agc_enabled=True, agc_mode="exact",
         agc_window_size=512, agc_carry=True,
