@@ -255,3 +255,42 @@ class ShardedPipeline:
         return self._exec_cache[key](
             params, state, ring_hi, ring_lo, out_ring,
             jnp.asarray(start, jnp.int32))
+
+    def run_ring_mega(self, params: DeviceParams, state: StreamState,
+                      ring_hi, ring_lo, out_ring, n_steps: int, start=0):
+        """Sharded one-launch serving megakernel
+        (`Pipeline.run_ring_mega`): one Pallas launch per shard covers the
+        whole `n_steps` dispatch — same sharding layout, per-shard key
+        fold, and zero hot-loop collectives as :meth:`run_ring`.
+        Pair-ingest form only; `out_ring` is donated, `n_steps` static."""
+        if not (self.pipeline.supports_ring_step
+                and self.pipeline._pair_ingest):
+            raise ValueError("run_ring_mega requires pair ingest with the "
+                             "waterfall disabled (see supports_ring_step)")
+        pspec = _param_spec_tree(params)
+        key = ("ring_mega", n_steps) + tuple(
+            getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)
+        )
+        if key not in self._exec_cache:
+            mesh, sspec = self.mesh, self._sspec
+            rspec = P(None, "streams", None)
+
+            def local_mega(params, state, rh, rl, rg, start):
+                idx = jax.lax.axis_index("streams")
+                state = state._replace(key=jax.random.fold_in(state.key, idx))
+                return self.pipeline._run_ring_mega_impl(
+                    params, state, rh, rl, rg, n_steps, start)
+
+            self._exec_cache[key] = jax.jit(
+                jax.shard_map(
+                    local_mega,
+                    mesh=mesh,
+                    in_specs=(pspec, sspec, rspec, rspec, rspec, P()),
+                    out_specs=(sspec, rspec),
+                    check_vma=False,
+                ),
+                donate_argnums=(4,),
+            )
+        return self._exec_cache[key](
+            params, state, ring_hi, ring_lo, out_ring,
+            jnp.asarray(start, jnp.int32))

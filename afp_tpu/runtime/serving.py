@@ -69,12 +69,19 @@ class RingServer:
         oldest undrained one — bounds host runahead (and with it serve
         latency).  ``(max_inflight + 1) * chunk`` must fit in `slots` so
         a refill never lands in a slot whose output is still undrained.
+    mega:
+        Dispatch each chunk through the one-launch serving megakernel
+        (`Pipeline.run_ring_mega`) instead of the scan of ring steps —
+        same numerics, fewer kernel launches.  Pair-ingest form only;
+        off-TPU it additionally requires ``dither_kind='off'`` (the
+        fused dither epilogue has no interpret lowering).
     """
 
     def __init__(self, pipeline: Pipeline,
                  params: Optional[DeviceParams] = None,
                  slots: int = 16, chunk: int = 4,
-                 max_inflight: int = 2, seed: int = 0):
+                 max_inflight: int = 2, seed: int = 0,
+                 mega: bool = False):
         if not pipeline.supports_ring_step:
             raise ValueError(
                 "RingServer requires a ring-capable pipeline: pair ingest "
@@ -89,6 +96,15 @@ class RingServer:
                 f"(max_inflight+1)*chunk = {(max_inflight + 1) * chunk} "
                 f"exceeds slots {slots}: refills would overwrite undrained "
                 "output slots")
+        if mega:
+            if not pipeline._pair_ingest:
+                raise ValueError("mega=True requires pair ingest "
+                                 "(StreamConfig(ingest='pair'))")
+            if pipeline._pl_interpret and pipeline.cfg.dither_kind != "off":
+                raise ValueError("mega=True off-TPU requires "
+                                 "dither_kind='off' (no interpret lowering "
+                                 "for the fused dither epilogue)")
+        self.mega = bool(mega)
         self.pipe = pipeline
         self.params = params if params is not None else (
             pipeline.device_params(PipelineParams.design(pipeline.cfg)))
@@ -155,7 +171,9 @@ class RingServer:
                 self._land(slot + pending, block)
                 pending += 1
             if pending and (pending == self.chunk or exhausted):
-                self._state, self._out = self.pipe.run_ring(
+                dispatch = (self.pipe.run_ring_mega if self.mega
+                            else self.pipe.run_ring)
+                self._state, self._out = dispatch(
                     self.params, self._state, self._ring_hi, self._ring_lo,
                     self._out, pending, start=slot)
                 # slice the produced slots out of THIS ring version now —

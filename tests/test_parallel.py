@@ -151,6 +151,35 @@ def test_sharded_run_ring_matches_sharded_run(rng, mesh):
     assert np.any(np.asarray(ngold))  # the noise is actually there
 
 
+def test_sharded_run_ring_mega_matches_run_ring(rng, mesh):
+    """ShardedPipeline.run_ring_mega (one Pallas launch per shard) must
+    equal the sharded scan-of-ring-steps path — final ring and tail carry,
+    dither off (interpret mode; the dithered form is hardware-certified by
+    tools/hw_check.py)."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    cfg = make_cfg(blocksize=256, upsample_factor=2, numtaps=65, batch=16,
+                   conv_strategy="td_mxu", ingest="pair", dither_kind="off",
+                   eq_enabled=True, output_clip=0.9)
+    sp = ShardedPipeline(cfg, mesh)
+    params = sp.device_params(PipelineParams.design(sp.cfg))
+    K, n = 3, 5  # wraparound
+    blocks = (rng.normal(size=(K, cfg.batch, cfg.blocksize)) * 0.3
+              ).astype(np.float32)
+    rh, rl = split_bf16(jnp.asarray(blocks))
+    ring = jnp.zeros((K, cfg.batch, cfg.blocksize), jnp.float32)
+    st, ring = sp.run_ring(params, sp.init_state(seed=6), rh, rl, ring, n,
+                           start=1)
+    ring2 = jnp.zeros((K, cfg.batch, cfg.blocksize), jnp.float32)
+    st2, ring2 = sp.run_ring_mega(params, sp.init_state(seed=6), rh, rl,
+                                  ring2, n, start=1)
+    np.testing.assert_array_equal(np.asarray(ring2), np.asarray(ring))
+    np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
+                                  np.asarray(st2.conv_tail[0]))
+
+
 def test_sharded_agc_ring_matches_sharded_run(rng, monkeypatch):
     """The fused-AGC serving ring (single f32 input ring, ring_lo=None)
     sharded over the mesh must match ShardedPipeline.run — certifies the

@@ -50,6 +50,35 @@ def test_ring_server_matches_run(rng):
                                   np.asarray(srv.state.key))
 
 
+def test_ring_server_mega_matches_run(rng):
+    """RingServer(mega=True) dispatches through the one-launch serving
+    megakernel — outputs and carried tail must stay bit-identical to
+    Pipeline.run (dither off: the fused epilogue is TPU-only).  mega with
+    the f32 AGC ring form or interpret+dither must be rejected."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    cfg = make_cfg(dither_kind="off", eq_enabled=True, output_clip=0.9)
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    n = 7
+    blocks = (rng.normal(size=(n, cfg.batch, cfg.blocksize)) * 0.4
+              ).astype(np.float32)
+    st, gold = pipe.run(params, pipe.init_state(seed=5),
+                        split_bf16(jnp.asarray(blocks)))
+    srv = RingServer(pipe, params, slots=8, chunk=2, max_inflight=2, seed=5,
+                     mega=True)
+    outs = list(srv.stream(iter(blocks)))
+    assert len(outs) == n and srv.blocks_served == n
+    np.testing.assert_array_equal(np.stack(outs), np.asarray(gold))
+    np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
+                                  np.asarray(srv.state.conv_tail[0]))
+
+    with pytest.raises(ValueError, match="dither"):
+        RingServer(Pipeline(make_cfg()), slots=8, chunk=2, mega=True)
+
+
 def test_ring_server_pair_source_and_serve_metrics(rng):
     """A source yielding pre-split (hi, lo) pairs is accepted; serve()
     reports block count and a finite xRT."""
