@@ -11,6 +11,9 @@ Run: python examples/live_audio.py [--device-in 1 --device-out 0] [--seconds 10]
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+if _os.environ.get("AFP_FORCE_CPU"):  # the axon plugin ignores JAX_PLATFORMS
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
 import argparse
 import time
 

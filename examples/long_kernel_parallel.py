@@ -12,6 +12,9 @@ Runs on the 8-virtual-device CPU mesh by default so it works anywhere:
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+if _os.environ.get("AFP_FORCE_CPU"):  # the axon plugin ignores JAX_PLATFORMS
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
 import argparse
 
 import numpy as np

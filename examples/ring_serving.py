@@ -9,7 +9,12 @@ blocks with the conv kernel reading/writing ring slots in place
 already queued.  On a TPU v5e this mode measures 924k× realtime
 (docs/BENCHMARKS.md "Zero-copy serving rings").
 
-Run: python examples/ring_serving.py [--streams 64] [--blocks 32]
+Run: python examples/ring_serving.py [--streams 64] [--blocks 32] [--mega]
+
+`--mega` dispatches each chunk through the one-launch serving megakernel
+(`Pipeline.run_ring_mega`): the whole chunk runs inside a single Pallas
+kernel — bit-identical output, fewer launches.  (Off-TPU the fused dither
+epilogue has no interpret lowering, so `--mega` switches dither off.)
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -30,7 +35,12 @@ def main():
     ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=4)
+    ap.add_argument("--mega", action="store_true",
+                    help="one-launch megakernel dispatch (run_ring_mega)")
     args = ap.parse_args()
+    dither = "tpdf"
+    if args.mega and _os.environ.get("AFP_FORCE_CPU"):
+        dither = "off"  # fused dither epilogue has no interpret lowering
 
     cfg = StreamConfig(
         samplerate=44100,
@@ -44,13 +54,14 @@ def main():
         eq_enabled=False,
         agc_enabled=False,
         downsample_mode="decimate",
-        dither_kind="tpdf",
+        dither_kind=dither,
         output_clip=None,
         conv_strategy="td_mxu",
         ingest="pair",
     )
     pipe = Pipeline(cfg)
-    srv = RingServer(pipe, slots=4 * args.chunk, chunk=args.chunk)
+    srv = RingServer(pipe, slots=4 * args.chunk, chunk=args.chunk,
+                     mega=args.mega)
 
     rng = np.random.default_rng(0)
     blocks = (rng.standard_normal(
