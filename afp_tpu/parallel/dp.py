@@ -144,7 +144,11 @@ class ShardedPipeline:
                 out_specs=(sspec, out_bspec),
                 check_vma=False,
             ),
-            donate_argnums=(1,),
+            # state is NOT donated, matching Pipeline's contract
+            # (pipeline.py: the caller may retry/compare with the old
+            # state — e.g. a degradation ladder or checkpoint of the
+            # pre-step state); it is tiny (tails + key), so donation
+            # buys nothing
         )
 
         def local_run(params, state, blocks):
@@ -166,7 +170,6 @@ class ShardedPipeline:
                 out_specs=(sspec, tspec),
                 check_vma=False,
             ),
-            donate_argnums=(1,),
         )
         self._exec_cache[key] = (step, run)
         return step, run

@@ -22,9 +22,11 @@ never race the scan that reads slot *i*.
 
 This is the production analog of the reference's callback → queue →
 worker pipeline (`/root/reference/stream_process_EQ_GUI.py:47-48,65-113`)
-at the throughput operating point: maximal device occupancy, latency of
-up to ``chunk × max_inflight`` blocks.  For the latency-first,
-callback-shaped operating point use `BlockDispatcher`/`StreamEngine`.
+at the throughput operating point: maximal device occupancy, worst-case
+latency ~``(max_inflight + 1) × chunk`` blocks (a chunk's first block is
+drained only after `max_inflight` further chunks have been landed and
+dispatched).  For the latency-first, callback-shaped operating point use
+`BlockDispatcher`/`StreamEngine`.
 """
 from __future__ import annotations
 

@@ -13,8 +13,9 @@ Beyond the headline, the harness also publishes (as extra keys on the same
 JSON line):
 
 * ``mfu`` — model FLOP utilization of the fused FIR (useful MACs vs the
-  chip's bf16 peak); ``mfu_ring`` — the same for the zero-copy
-  serving-ring mode (``sustained_pair_ring_xrt``),
+  chip's bf16 peak); ``mfu_ring`` — the same for the best zero-copy
+  serving-ring mode (max of ``sustained_pair_ring_xrt`` and the
+  one-launch ``sustained_pair_ring_mega_xrt``),
 * ``agc_*_xrt`` — the C8 engine (9-band EQ + AGC, the reference's most
   advanced runtime, `stream_process_AGC.py`) for each AGC execution mode
   ('parallel' associative-scan, 'exact' per-sample scan, 'fast' chunked) —
@@ -137,21 +138,39 @@ def _sustained_xrt(pipe, params, blocks, reps: int):
         carry, _ = jax.lax.scan(body, (state, ring), jnp.arange(n_sust))
         return carry
 
+    return _time_sustained("sustained",
+                           lambda st, rg: sustained(st, rg, blocks),
+                           pipe, n_sust, K, batch, blocksize, reps)
+
+
+def _time_sustained(label, dispatch, pipe, n_sust, K, batch, blocksize,
+                    reps: int):
+    """Shared sustained-timing skeleton: warm (compile) dispatch, then
+    time `max(2, reps-2)` repeats, each chained on a scalar checksum
+    fetch (the tunnel's `block_until_ready` returns early — ROADMAP
+    dev-env note 3); report best as aggregate xRT.
+
+    `dispatch(state, out_ring) -> (state, out_ring)` — one device
+    dispatch covering `n_sust` blocks."""
+    import time as _time
+
+    import jax.numpy as jnp
+
     st = pipe.init_state(seed=0)
     ring = jnp.zeros((K, batch, blocksize), jnp.float32)
-    st, ring = sustained(st, ring, blocks)  # compile + warm
+    st, ring = dispatch(st, ring)  # compile + warm
     float(jnp.sum(ring))
     times = []
     for _ in range(max(2, reps - 2)):
         t0 = _time.perf_counter()
-        st, ring = sustained(st, ring, blocks)
+        st, ring = dispatch(st, ring)
         checksum = float(jnp.sum(ring))
         times.append(_time.perf_counter() - t0)
     assert np.isfinite(checksum)
     sbest = min(times)
     xrt = float(round(
         n_sust * batch * blocksize / pipe.cfg.samplerate / sbest, 1))
-    print(f"bench: sustained best={sbest:.4f}s ({n_sust} blocks/dispatch) "
+    print(f"bench: {label} best={sbest:.4f}s ({n_sust} blocks/dispatch) "
           f"xrt={xrt:.0f}", file=sys.stderr, flush=True)
     return xrt
 
@@ -172,26 +191,11 @@ def _sustained_ring_xrt(pipe, params, pblocks, reps: int):
         return None
     ring_hi, ring_lo = pblocks
     K, batch, blocksize = ring_hi.shape
-
-    st = pipe.init_state(seed=0)
-    out_ring = jnp.zeros((K, batch, blocksize), jnp.float32)
-    st, out_ring = pipe.run_ring(  # compile + warm
-        params, st, ring_hi, ring_lo, out_ring, n_sust)
-    float(jnp.sum(out_ring))
-    times = []
-    for _ in range(max(2, reps - 2)):
-        t0 = _time.perf_counter()
-        st, out_ring = pipe.run_ring(
-            params, st, ring_hi, ring_lo, out_ring, n_sust)
-        checksum = float(jnp.sum(out_ring))
-        times.append(_time.perf_counter() - t0)
-    assert np.isfinite(checksum)
-    sbest = min(times)
-    xrt = float(round(
-        n_sust * batch * blocksize / pipe.cfg.samplerate / sbest, 1))
-    print(f"bench: ring-mode best={sbest:.4f}s ({n_sust} blocks/dispatch) "
-          f"xrt={xrt:.0f}", file=sys.stderr, flush=True)
-    return xrt
+    return _time_sustained(
+        "ring-mode",
+        lambda st, rg: pipe.run_ring(params, st, ring_hi, ring_lo, rg,
+                                     n_sust),
+        pipe, n_sust, K, batch, blocksize, reps)
 
 
 def _sustained_ring_mega_xrt(pipe, params, pblocks, reps: int):
@@ -208,25 +212,11 @@ def _sustained_ring_mega_xrt(pipe, params, pblocks, reps: int):
         return None
     ring_hi, ring_lo = pblocks
     K, batch, blocksize = ring_hi.shape
-    st = pipe.init_state(seed=0)
-    out_ring = jnp.zeros((K, batch, blocksize), jnp.float32)
-    st, out_ring = pipe.run_ring_mega(  # compile + warm
-        params, st, ring_hi, ring_lo, out_ring, n_sust)
-    float(jnp.sum(out_ring))
-    times = []
-    for _ in range(max(2, reps - 2)):
-        t0 = _time.perf_counter()
-        st, out_ring = pipe.run_ring_mega(
-            params, st, ring_hi, ring_lo, out_ring, n_sust)
-        checksum = float(jnp.sum(out_ring))
-        times.append(_time.perf_counter() - t0)
-    assert np.isfinite(checksum)
-    sbest = min(times)
-    xrt = float(round(
-        n_sust * batch * blocksize / pipe.cfg.samplerate / sbest, 1))
-    print(f"bench: ring-mega best={sbest:.4f}s ({n_sust} blocks/dispatch) "
-          f"xrt={xrt:.0f}", file=sys.stderr, flush=True)
-    return xrt
+    return _time_sustained(
+        "ring-mega",
+        lambda st, rg: pipe.run_ring_mega(params, st, ring_hi, ring_lo, rg,
+                                          n_sust),
+        pipe, n_sust, K, batch, blocksize, reps)
 
 
 def run_config(batch: int, nblocks: int, reps: int, strategy: str,
@@ -514,8 +504,8 @@ def resample_tier_report() -> dict:
 
 
 def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
-                   agc_mode: str) -> float:
-    """Aggregate xRT for the C8 engine (9-band EQ + AGC + 2× upsample,
+                   agc_mode: str) -> dict:
+    """Chained/sustained/ring xRT for the C8 engine (9-band EQ + AGC + 2× upsample,
     block 2048 — `stream_process_AGC.py` operating point)."""
     import jax
     import jax.numpy as jnp
@@ -567,32 +557,14 @@ def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
 
 def _sustained_agc_ring_xrt(pipe, params, blocks, reps: int):
     """Ring-mode sustained serving for the fused AGC chain (f32 ring)."""
-    import time as _time
-
-    import jax.numpy as jnp
-
     n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
-    if not n_sust:
+    if not n_sust or not pipe.supports_ring_step:
         return None
     K, batch, blocksize = blocks.shape
-    st = pipe.init_state(seed=0)
-    out_ring = jnp.zeros((K, batch, blocksize), jnp.float32)
-    st, out_ring = pipe.run_ring(params, st, blocks, None, out_ring, n_sust)
-    float(jnp.sum(out_ring))
-    times = []
-    for _ in range(max(2, reps - 2)):
-        t0 = _time.perf_counter()
-        st, out_ring = pipe.run_ring(params, st, blocks, None, out_ring,
-                                     n_sust)
-        checksum = float(jnp.sum(out_ring))
-        times.append(_time.perf_counter() - t0)
-    assert np.isfinite(checksum)
-    sbest = min(times)
-    xrt = float(round(
-        n_sust * batch * blocksize / pipe.cfg.samplerate / sbest, 1))
-    print(f"bench: agc ring-mode best={sbest:.4f}s xrt={xrt:.0f}",
-          file=sys.stderr, flush=True)
-    return xrt
+    return _time_sustained(
+        "agc ring-mode",
+        lambda st, rg: pipe.run_ring(params, st, blocks, None, rg, n_sust),
+        pipe, n_sust, K, batch, blocksize, reps)
 
 
 def agc_parallel_vs_exact_db(strategy: str) -> float:
