@@ -417,6 +417,26 @@ def test_run_ring_mega_matches_run_ring(rng):
         np.testing.assert_array_equal(np.asarray(st.conv_tail[1]),
                                       np.asarray(st2.conv_tail[1]))
 
+    # k_pad > T regime: tail wider than the block — the in-kernel carry
+    # stitches old-tail and block columns across steps
+    wcfg = make_cfg(blocksize=128, upsample_factor=1, numtaps=385, batch=4,
+                    conv_strategy="td_mxu", ingest="pair", dither_kind="off",
+                    eq_enabled=False)
+    pw = Pipeline(wcfg)
+    assert pw._k_pad > pw.block
+    ppw = pw.device_params(PipelineParams.design(pw.cfg))
+    sigw = (rng.normal(size=(K, 4, 128)) * 0.4).astype(np.float32)
+    rhw, rlw = split_bf16(jnp.asarray(sigw))
+    stw = pw.init_state(seed=2)
+    ringw = jnp.zeros(sigw.shape, jnp.float32)
+    stw, ringw = pw.run_ring(ppw, stw, rhw, rlw, ringw, 5, start=0)
+    ringw2 = jnp.zeros(sigw.shape, jnp.float32)
+    stw2, ringw2 = pw.run_ring_mega(ppw, pw.init_state(seed=2), rhw, rlw,
+                                    ringw2, 5, start=0)
+    np.testing.assert_array_equal(np.asarray(ringw2), np.asarray(ringw))
+    np.testing.assert_array_equal(np.asarray(stw.conv_tail[0]),
+                                  np.asarray(stw2.conv_tail[0]))
+
     # interpret mode + dither on → clean rejection (no silent numerics gap)
     dcfg = make_cfg(blocksize=512, upsample_factor=1, numtaps=65, batch=4,
                     conv_strategy="td_mxu", ingest="pair",
