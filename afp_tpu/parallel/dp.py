@@ -5,8 +5,10 @@ The reference processes ONE mono stream on one pinned CPU core
 streams is sharded over the device mesh with `shard_map`; the pipeline step
 runs unchanged per shard (it is batch-size-agnostic), and — streams being
 independent — no collectives appear in the hot path.  The only cross-device
-touch is folding the mesh position into the dither key so streams on
-different devices draw decorrelated noise.
+touch is the per-shard dither key: the mesh position is folded in ONCE at
+`init_state` (a [n_shards] key vector sharded on 'streams'), so shards draw
+decorrelated noise while every entry point — step, run, chunked run_ring
+dispatches — advances the key by pure splits and composes bit-identically.
 
 Multi-slice scaling (DCN) is the same picture: pure DP over streams needs
 zero cross-slice communication (§5.8).
@@ -45,7 +47,7 @@ def _state_spec(state: StreamState) -> StreamState:
         conv_tail=tail_spec,
         down=_resampler_spec(state.down),
         agc_gain=None if state.agc_gain is None else P("streams"),
-        key=P(),
+        key=P("streams"),  # [n_shards] pre-folded per-shard keys
         wf=None if state.wf is None else P("streams", None, None),
     )
 
@@ -131,10 +133,10 @@ class ShardedPipeline:
         bspec = (self._bspec, self._bspec) if pair_blocks else self._bspec
 
         def local_step(params, state, block):
-            # decorrelate dither across shards: fold the mesh position in
-            idx = jax.lax.axis_index("streams")
-            state = state._replace(key=jax.random.fold_in(state.key, idx))
-            return self.pipeline._step_impl(params, state, block)
+            # per-shard key: pre-folded at init_state (shape [1] locally)
+            state = state._replace(key=state.key[0])
+            st, y = self.pipeline._step_impl(params, state, block)
+            return st._replace(key=st.key[None]), y
 
         step = jax.jit(
             jax.shard_map(
@@ -152,13 +154,13 @@ class ShardedPipeline:
         )
 
         def local_run(params, state, blocks):
-            idx = jax.lax.axis_index("streams")
-            state = state._replace(key=jax.random.fold_in(state.key, idx))
+            state = state._replace(key=state.key[0])
 
             def body(carry, blk):
                 return self.pipeline._step_impl(params, carry, blk)
 
-            return jax.lax.scan(body, state, blocks)
+            st, ys = jax.lax.scan(body, state, blocks)
+            return st._replace(key=st.key[None]), ys
 
         tspec = P(None, "streams", None)
         run = jax.jit(
@@ -176,6 +178,35 @@ class ShardedPipeline:
 
     # ---- public surface (global shapes) ----
 
+    # Pipeline-duck-typed attributes so serving hosts (`RingServer`) drive
+    # a ShardedPipeline unchanged: global batch, per-shard-agnostic block,
+    # and the inner pipeline's capability flags.
+    @property
+    def batch(self) -> int:
+        return self.cfg.batch
+
+    @property
+    def block(self) -> int:
+        return self.pipeline.block
+
+    @property
+    def supports_ring_step(self) -> bool:
+        return self.pipeline.supports_ring_step
+
+    @property
+    def _pair_ingest(self) -> bool:
+        return self.pipeline._pair_ingest
+
+    @property
+    def _pl_interpret(self) -> bool:
+        return self.pipeline._pl_interpret
+
+    @property
+    def ring_sharding(self):
+        """NamedSharding for [S, B_global, T] serving rings — hosts place
+        the rings once so per-dispatch resharding transfers never happen."""
+        return NamedSharding(self.mesh, P(None, "streams", None))
+
     def device_params(self, p: PipelineParams) -> DeviceParams:
         return self.pipeline.device_params(p)
 
@@ -183,7 +214,11 @@ class ShardedPipeline:
         """Global state: per-shard states concatenated on the batch axis.
         Which leaves widen is decided by the structural spec, not by shape."""
         local = self.pipeline.init_state(seed=seed)
-        spec = _state_spec(local)
+        # the dither key is folded with the shard index ONCE here (stored
+        # as a [n_shards] per-shard key vector sharded on 'streams'); the
+        # walk afterwards is pure splits, so every entry point — step, run,
+        # chunked run_ring dispatches — composes bit-identically
+        spec = _state_spec(local)._replace(key=None)
 
         def widen(leaf, s):
             if isinstance(s, P) and len(s) and s[0] == "streams":
@@ -194,6 +229,9 @@ class ShardedPipeline:
         wide = jax.tree_util.tree_map(
             widen, local, spec, is_leaf=lambda x: x is None
         )
+        wide = wide._replace(key=jax.vmap(
+            lambda i: jax.random.fold_in(local.key, i)
+        )(jnp.arange(self.n_shards)))
         return self._place_state(wide)
 
     def _place_state(self, state: StreamState) -> StreamState:
@@ -240,10 +278,10 @@ class ShardedPipeline:
             rspec = P(None, "streams", None)
 
             def local_ring(params, state, rh, rl, rg, start):
-                idx = jax.lax.axis_index("streams")
-                state = state._replace(key=jax.random.fold_in(state.key, idx))
-                return self.pipeline._run_ring_impl(
+                state = state._replace(key=state.key[0])
+                st, rg = self.pipeline._run_ring_impl(
                     params, state, rh, rl, rg, n_steps, start)
+                return st._replace(key=st.key[None]), rg
 
             self._exec_cache[key] = jax.jit(
                 jax.shard_map(
@@ -279,10 +317,10 @@ class ShardedPipeline:
             rspec = P(None, "streams", None)
 
             def local_mega(params, state, rh, rl, rg, start):
-                idx = jax.lax.axis_index("streams")
-                state = state._replace(key=jax.random.fold_in(state.key, idx))
-                return self.pipeline._run_ring_mega_impl(
+                state = state._replace(key=state.key[0])
+                st, rg = self.pipeline._run_ring_mega_impl(
                     params, state, rh, rl, rg, n_steps, start)
+                return st._replace(key=st.key[None]), rg
 
             self._exec_cache[key] = jax.jit(
                 jax.shard_map(

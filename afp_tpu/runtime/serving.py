@@ -59,6 +59,9 @@ class RingServer:
         A `Pipeline` with ``supports_ring_step``: pair ingest (bf16
         (hi, lo) input rings) or the fused AGC chain (one f32 input
         ring; exact-mode AGC on TPU).  Waterfall off, no device ASRC.
+        A `parallel.ShardedPipeline` works unchanged — the rings are
+        placed with its published `ring_sharding` (global batch over the
+        'streams' mesh), so one RingServer serves a whole slice.
     params:
         Device parameter bank (defaults to the pipeline's own design).
     slots:
@@ -115,15 +118,23 @@ class RingServer:
         self.max_inflight = max_inflight
         B, T = pipeline.batch, pipeline.block
         self._state: StreamState = pipeline.init_state(seed=seed)
+        # multi-chip pipelines (ShardedPipeline) publish a ring sharding:
+        # place the rings once so dispatches never pay a resharding copy
+        shard = getattr(pipeline, "ring_sharding", None)
+
+        def _alloc(dtype):
+            z = jnp.zeros((slots, B, T), dtype)
+            return z if shard is None else jax.device_put(z, shard)
+
         #: pair ingest → bf16 (hi, lo) rings; fused AGC chain → one f32 ring
         self.pair = bool(pipeline._pair_ingest)
         if self.pair:
-            self._ring_hi = jnp.zeros((slots, B, T), jnp.bfloat16)
-            self._ring_lo = jnp.zeros((slots, B, T), jnp.bfloat16)
+            self._ring_hi = _alloc(jnp.bfloat16)
+            self._ring_lo = _alloc(jnp.bfloat16)
         else:
-            self._ring_hi = jnp.zeros((slots, B, T), jnp.float32)
+            self._ring_hi = _alloc(jnp.float32)
             self._ring_lo = None
-        self._out = jnp.zeros((slots, B, T), jnp.float32)
+        self._out = _alloc(jnp.float32)
         self.blocks_served = 0
 
         from ..ops.pallas.fir_td import split_bf16

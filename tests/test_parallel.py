@@ -371,7 +371,10 @@ def test_sharded_structural_specs_no_shape_coincidence(rng, mesh):
     pipe = Pipeline(cfg)
     state = pipe.init_state()
     spec = _state_spec(state)
-    assert spec.key == P()  # PRNG key (shape (2,)) must NOT shard at batch=2
+    # the key leaf is the [n_shards] pre-folded per-shard key vector —
+    # sharded on 'streams' STRUCTURALLY (one key per shard), never because
+    # a key's shape happens to match the batch
+    assert spec.key == P("streams")
     assert spec.conv_tail == P("streams", None)
     assert spec.up is not None and spec.up.h == P()  # shared kernel replicates
     assert spec.up.hist == P("streams", None)

@@ -132,6 +132,43 @@ def test_ring_server_agc_chain_matches_run(rng, monkeypatch):
                                   np.asarray(srv.state.agc_gain))
 
 
+def test_ring_server_sharded_pipeline(rng):
+    """RingServer drives a ShardedPipeline unchanged (the multi-chip
+    serving surface): rings placed with the published ring_sharding,
+    outputs and carried tail bit-identical to ShardedPipeline.run —
+    including the per-shard dither key folds — in both dispatch modes."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+    from afp_tpu.parallel import ShardedPipeline, make_mesh
+
+    cfg = make_cfg(batch=4)
+    sp = ShardedPipeline(cfg, make_mesh(2, axis_names=("streams",)))
+    params = sp.device_params(PipelineParams.design(sp.cfg))
+    n = 5
+    blocks = (rng.normal(size=(n, cfg.batch, cfg.blocksize)) * 0.4
+              ).astype(np.float32)
+    st, gold = sp.run(params, sp.init_state(seed=5),
+                      split_bf16(jnp.asarray(blocks)))
+    srv = RingServer(sp, params, slots=8, chunk=2, max_inflight=2, seed=5)
+    outs = list(srv.stream(iter(blocks)))
+    assert len(outs) == n
+    np.testing.assert_array_equal(np.stack(outs), np.asarray(gold))
+    np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
+                                  np.asarray(srv.state.conv_tail[0]))
+
+    # megakernel dispatch over the mesh (dither off: fused epilogue is
+    # TPU-only)
+    mcfg = make_cfg(batch=4, dither_kind="off")
+    spm = ShardedPipeline(mcfg, make_mesh(2, axis_names=("streams",)))
+    mparams = spm.device_params(PipelineParams.design(spm.cfg))
+    _, mgold = spm.run(mparams, spm.init_state(seed=5),
+                       split_bf16(jnp.asarray(blocks)))
+    msrv = RingServer(spm, mparams, slots=8, chunk=2, seed=5, mega=True)
+    mouts = list(msrv.stream(iter(blocks)))
+    np.testing.assert_array_equal(np.stack(mouts), np.asarray(mgold))
+
+
 def test_ring_server_validation():
     cfg = make_cfg()
     pipe = Pipeline(cfg)
