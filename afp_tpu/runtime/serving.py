@@ -136,6 +136,9 @@ class RingServer:
             self._ring_lo = None
         self._out = _alloc(jnp.float32)
         self.blocks_served = 0
+        #: land→drain wall latency per served block (seconds, host clock),
+        #: appended by stream(); read via latency_stats()
+        self._latencies: list[float] = []
 
         from ..ops.pallas.fir_td import split_bf16
 
@@ -169,7 +172,10 @@ class RingServer:
         blocksize] f32 output per input block, in order.  The tail of a
         non-multiple-of-chunk source is served with a final short
         dispatch."""
-        inflight: list[jnp.ndarray] = []  # eager per-chunk output slices
+        import time as _time
+
+        inflight: list[tuple[jnp.ndarray, list[float]]] = []
+        land_ts: list[float] = []  # land time per pending block
         slot = 0
         pending = 0
         src = iter(source)
@@ -182,6 +188,7 @@ class RingServer:
                     exhausted = True
                     break
                 self._land(slot + pending, block)
+                land_ts.append(_time.perf_counter())
                 pending += 1
             if pending and (pending == self.chunk or exhausted):
                 dispatch = (self.pipe.run_ring_mega if self.mega
@@ -197,14 +204,18 @@ class RingServer:
                     chunk_out.copy_to_host_async()
                 except AttributeError:  # older jax: fetch blocks in drain
                     pass
-                inflight.append(chunk_out)
+                inflight.append((chunk_out, land_ts))
+                land_ts = []
                 slot = (slot + self.chunk) % self.K
                 pending = 0
             # (pending is always 0 here once the source is exhausted —
             # the final short chunk dispatches in the same iteration)
             limit = 0 if exhausted else self.max_inflight
             while len(inflight) > limit:
-                arr = np.asarray(inflight.pop(0))
+                dev, ts = inflight.pop(0)
+                arr = np.asarray(dev)
+                now = _time.perf_counter()
+                self._latencies.extend(now - t for t in ts)
                 self.blocks_served += arr.shape[0]
                 yield from arr
 
@@ -224,7 +235,23 @@ class RingServer:
         audio_s = n * self.pipe.batch * self.pipe.block / cfg.samplerate
         xrt = audio_s / wall if wall > 0 else float("inf")
         logger.info("served %d blocks, %.1f xRT", n, xrt)
-        return {"blocks": n, "wall_s": wall, "xrt": xrt}
+        return {"blocks": n, "wall_s": wall, "xrt": xrt,
+                "latency": self.latency_stats()}
+
+    def latency_stats(self) -> dict:
+        """Land→drain wall latency of every block served so far (host
+        clock): the serving analog of the reference GUI's overrun/cpu_load
+        self-monitoring (`stream_process_EQ_GUI.py:107-111,454-457`).
+        Returns {n, p50_ms, p95_ms, max_ms, mean_ms} (zeros when empty)."""
+        lat = np.asarray(self._latencies, dtype=np.float64)
+        if not lat.size:
+            return {"n": 0, "p50_ms": 0.0, "p95_ms": 0.0, "max_ms": 0.0,
+                    "mean_ms": 0.0}
+        q = np.quantile(lat, [0.5, 0.95])
+        return {"n": int(lat.size),
+                "p50_ms": float(q[0] * 1e3), "p95_ms": float(q[1] * 1e3),
+                "max_ms": float(lat.max() * 1e3),
+                "mean_ms": float(lat.mean() * 1e3)}
 
     @property
     def state(self) -> StreamState:

@@ -101,6 +101,9 @@ def test_ring_server_pair_source_and_serve_metrics(rng):
     m = srv.serve(pair_src, got.append)
     assert m["blocks"] == n and np.isfinite(m["xrt"]) and m["xrt"] > 0
     np.testing.assert_array_equal(np.stack(got), np.asarray(gold))
+    lat = m["latency"]
+    assert lat["n"] == n and 0 < lat["p50_ms"] <= lat["max_ms"]
+    assert lat["p50_ms"] <= lat["p95_ms"] <= lat["max_ms"]
 
 
 def test_ring_server_agc_chain_matches_run(rng, monkeypatch):
