@@ -137,6 +137,10 @@ def load_checkpoint(path: str) -> StreamEngine:
             pad = kp - ct.shape[-1]
             ct = split_bf16(jnp.pad(jnp.asarray(ct), ((0, 0), (pad, 0))))
         state = state._replace(conv_tail=ct)
-    engine.state = state
-    engine.params = jax.tree_util.tree_unflatten(param_tree, param_leaves)
+    params = jax.tree_util.tree_unflatten(param_tree, param_leaves)
+    # transfer once at load: raw numpy leaves would otherwise ride into
+    # every jitted step as a fresh host→device upload per block (state
+    # heals after the first step returns device arrays; params never do)
+    engine.state = jax.device_put(state)
+    engine.params = jax.device_put(params)
     return engine

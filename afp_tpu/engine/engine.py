@@ -166,9 +166,13 @@ class StreamEngine:
         import jax.numpy as jnp
 
         g = jnp.asarray(np.asarray(gains, dtype=np.float32))
-        if g.shape != self.params.eq_gains.shape:
-            raise ValueError("gain vector length must match the EQ band count")
-        self.params = self.params._replace(eq_gains=g)
+        with self._swap_lock:
+            # read-modify-write under the swap lock: an unlocked writer here
+            # could resurrect a pre-apply_config parameter bank mid-swap
+            if g.shape != self.params.eq_gains.shape:
+                raise ValueError(
+                    "gain vector length must match the EQ band count")
+            self.params = self.params._replace(eq_gains=g)
 
     # ---------------- block processing with the ladder ----------------
 
@@ -207,7 +211,12 @@ class StreamEngine:
             if pulled is None:
                 break
             if len(self._asrc_outq) == self._asrc_outq.maxlen:
+                # full output queue drops the INCOMING frame (the
+                # reference's put_nowait semantics,
+                # `stream_process_AGC.py:198-199`) — appending would evict
+                # the oldest buffered block and skip ahead in the timeline
                 self.metrics.drops += 1
+                continue
             self._asrc_outq.append(self._process_engine_block(pulled))
 
     def process_block(self, block: np.ndarray) -> np.ndarray:
@@ -342,7 +351,11 @@ class StreamEngine:
         frontend and every completed engine block is processed in order."""
         signal = np.asarray(signal, dtype=np.float32)
         if signal.ndim == 1:
-            signal = signal[None, :]
+            # broadcast to the full batch — the same coercion contract as
+            # process_block (a [1, T] array would raise in the ASRC
+            # frontend and batch-mismatch the non-ASRC path at batch > 1)
+            signal = np.broadcast_to(
+                signal[None, :], (self.cfg.batch, signal.shape[-1]))
         if self._asrc_frontend is not None:
             # batched offline path: pull every complete engine block at once
             # and run them through ONE lax.scan dispatch (per-block stepping

@@ -73,16 +73,20 @@ class BlockDispatcher:
                  prime: int = PRIME_BLOCKS):
         self.engine = engine
         shape = (engine.cfg.batch, engine.cfg.blocksize)
+        # output blocks may be longer than input blocks
+        # (output_rate='upsampled' → blocksize·upf) — size the output ring
+        # from the engine's actual output shape, not the input shape
+        out_shape = tuple(engine._out_shape)
         self.in_ring = BlockRing(queue_depth, shape)
-        self.out_ring = BlockRing(queue_depth, shape)
+        self.out_ring = BlockRing(queue_depth, out_shape)
         self._shape = shape
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         # prime the output queue with silence so the consumer never starves
         # at startup (`stream_process_EQ_GUI.py:147-148`)
         for _ in range(min(prime, queue_depth)):
-            self.out_ring.push(np.zeros(shape, dtype=np.float32))
-        self._last_out = np.zeros(shape, dtype=np.float32)
+            self.out_ring.push(np.zeros(out_shape, dtype=np.float32))
+        self._last_out = np.zeros(out_shape, dtype=np.float32)
 
     # --- producer side (the "audio callback" input half) ---
 

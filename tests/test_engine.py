@@ -124,6 +124,82 @@ def test_set_eq_gains_rejects_bad_length():
         eng.set_eq_gains([1.0, 2.0])
 
 
+def test_dispatcher_upsampled_output(rng):
+    """BlockDispatcher must size the output ring from the ENGINE's output
+    shape: output_rate='upsampled' emits blocksize*upf samples per block —
+    the input-shaped ring used to kill the worker thread on first push."""
+    from afp_tpu.runtime import BlockDispatcher
+
+    eng = make_engine(output_rate="upsampled")
+    d = BlockDispatcher(eng, queue_depth=4, prime=1)
+    d.start()
+    try:
+        assert d.submit(rng.normal(size=(2, 512)).astype(np.float32))
+        out = d.fetch_blocking(timeout=30.0)
+        import time as _time
+        t0 = _time.perf_counter()
+        while not np.any(out):  # drain the silence priming
+            assert _time.perf_counter() - t0 < 30.0
+            assert out.shape == (2, 1024)
+            out = d.fetch_blocking(timeout=30.0)
+        assert out.shape == (2, 1024), "output ring must carry upf-long blocks"
+    finally:
+        d.stop()
+
+
+def test_process_signal_1d_broadcasts_to_batch(rng):
+    """A 1-D signal broadcasts to the full batch (the process_block
+    contract) — it used to become batch 1 and raise in the ASRC frontend
+    / mismatch the non-ASRC path at batch > 1."""
+    sig = (rng.normal(size=4 * 512) * 0.3).astype(np.float32)
+    eng = make_engine()
+    out = eng.process_signal(sig)
+    assert out.shape[0] == 2
+    np.testing.assert_array_equal(out[0], out[1])  # identical streams
+
+    aeng = make_engine(source_samplerate=48000, asrc_mode="exact")
+    aout = aeng.process_signal(sig)  # used to raise ValueError
+    assert aout.shape[0] == 2 and np.all(np.isfinite(aout))
+
+
+def test_asrc_queue_overflow_drops_newest(rng):
+    """A full ASRC output queue must drop the INCOMING frame (reference
+    put_nowait semantics) — not silently evict the oldest buffered block."""
+    from collections import deque
+
+    eng = make_engine(source_samplerate=48000, asrc_mode="exact")
+    eng._asrc_outq = deque(maxlen=2)
+    # enough source data for several engine blocks in one drain (the
+    # frontend converts in l_dev-sized device steps)
+    n_src = 2 * eng._asrc_frontend.l_dev
+    sig = (rng.normal(size=(2, n_src)) * 0.3).astype(np.float32)
+    eng._asrc_drain(sig)
+    assert eng.metrics.drops >= 1
+    first = eng._asrc_outq[0].copy()
+
+    # replaying the same ingest on a fresh engine: the FIRST completed
+    # block must be what the full queue preserved (oldest kept)
+    eng2 = make_engine(source_samplerate=48000, asrc_mode="exact")
+    eng2._asrc_drain(sig)
+    np.testing.assert_array_equal(first, eng2._asrc_outq[0])
+
+
+def test_checkpoint_restores_device_arrays(tmp_path, rng):
+    """load_checkpoint must install device arrays, not raw numpy — numpy
+    params re-upload host→device on EVERY jitted step."""
+    import jax
+
+    eng = make_engine()
+    eng.process_block(rng.normal(size=(2, 512)).astype(np.float32))
+    path = str(tmp_path / "c.npz")
+    save_checkpoint(path, eng)
+    eng2 = load_checkpoint(path)
+    for leaf in jax.tree_util.tree_leaves(eng2.params):
+        assert isinstance(leaf, jax.Array), type(leaf)
+    for leaf in jax.tree_util.tree_leaves(eng2.state):
+        assert isinstance(leaf, jax.Array), type(leaf)
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     eng = make_engine()
     sig = rng.normal(size=(2, 512 * 3)).astype(np.float32)
