@@ -99,6 +99,14 @@ def design_windowed_sinc(
     else:
         raise ValueError("Invalid filter type")
 
+    if numtaps % 2 == 0 and filter_type in ("highpass", "bandstop"):
+        # a type-II FIR (even length, symmetric) has a structural zero at
+        # Nyquist: the reference's own contract is odd numtaps
+        # (`filter_methods.py:12`), and the highpass normalization below
+        # would divide by a ~1e-14 cos-sum and return ~1e14-scaled garbage
+        raise ValueError(
+            f"{filter_type} requires odd numtaps (even-length symmetric "
+            "FIRs have zero response at Nyquist)")
     h = h * window_vals
 
     # --- unity-gain normalization, reference rules verbatim ---

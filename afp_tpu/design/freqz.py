@@ -53,6 +53,33 @@ def freqz(h: np.ndarray, worN: int = 8000, fs: float = 2 * np.pi):
     return w, H
 
 
+def _mulmod_tables(n_host: np.ndarray, M: int):
+    """Host tables for :func:`_mulmod_i32`: ``(n mod M, (s·n) mod M,
+    s_bits)`` with the split point ``s = 2^s_bits ~ sqrt(M)``."""
+    import jax.numpy as jnp
+
+    s_bits = (M.bit_length() + 1) // 2
+    s = 1 << s_bits
+    n_mod = jnp.asarray((n_host % M).astype(np.int32))
+    n_shift = jnp.asarray(((s * n_host) % M).astype(np.int32))
+    return n_mod, n_shift, s_bits
+
+
+def _mulmod_i32(k, n_mod, n_shift, s_bits: int, M: int):
+    """Exact ``(k·n) mod M`` without 64-bit ints (jax x64 is off).
+
+    Split ``k = hi·s + lo`` at ``s = 2^s_bits ~ sqrt(M)`` with the
+    host-precomputed ``n_shift = (s·n) mod M``; then both device products
+    stay below 2^31 for ``M <= 2^20``::
+
+        hi < M/s ~ sqrt(M),  n_shift < M  ->  hi·n_shift < M^1.5
+        lo < s,              n_mod   < M  ->  lo·n_mod   < s·M
+    """
+    hi = k >> s_bits
+    lo = k & ((1 << s_bits) - 1)
+    return ((hi * n_shift) % M + lo * n_mod) % M
+
+
 def freqz_jax(h, worN: int = 8000, fs: float = 2 * np.pi):
     """JAX version of :func:`freqz` (float32 on device; jit/vmap friendly).
 
@@ -74,19 +101,26 @@ def freqz_jax(h, worN: int = 8000, fs: float = 2 * np.pi):
         # would be ~6.4 GB complex64 (r2 review) — cap the chunk at ~4M
         # elements and scan.  The phase π·k·n/worN reaches ~1e5 rad for long
         # filters (f32 trig args lose ~1e-2 there), so reduce it EXACTLY in
-        # integer space first: m = (k·(n mod 2·worN)) mod 2·worN stays
-        # < 2^24, making the f32 phase exact.
+        # integer space first: m = (k·n) mod 2·worN stays < 2^20, making
+        # the f32 phase exact (see _mulmod_i32 for the overflow-safe
+        # product — a plain int32 k·n wraps at worN >= ~2^15).
         n_taps = h.shape[-1]
         M = 2 * worN
+        if M > (1 << 20):
+            raise ValueError(
+                f"worN={worN} exceeds the exact-phase-reduction bound "
+                "(2*worN must be <= 2^20); evaluate on the numpy path")
         chunk = max(8, min(worN, (1 << 22) // max(n_taps, 1)))
         n_chunks = -(-worN // chunk)
-        k_pad = jnp.arange(n_chunks * chunk, dtype=jnp.int32)
-        n_mod = (jnp.arange(n_taps, dtype=jnp.int32) % M)
+        k_pad = jnp.arange(n_chunks * chunk, dtype=jnp.int32) % M
         hc = h.astype(jnp.complex64)
         scale = jnp.float32(np.pi / worN)
+        n_host = np.arange(n_taps, dtype=np.int64)
+        n_mod, n_shift, s_bits = _mulmod_tables(n_host, M)
 
         def eval_chunk(_, kc):
-            m = (kc[:, None] * n_mod[None, :]) % M  # exact int32 (< 2^31)
+            m = _mulmod_i32(kc[:, None], n_mod[None, :], n_shift[None, :],
+                            s_bits, M)
             E = jnp.exp(-1j * (scale * m.astype(jnp.float32)))
             return None, jnp.einsum("wn,...n->...w", E, hc)
 

@@ -211,6 +211,13 @@ def remez(numtaps: int, bands, desired, weight=None, fs: float = 1.0,
             break
         last_dev = abs(dev)
         iext = new_iext
+    else:
+        # exhausted maxiter without the extremal set settling — returning
+        # the last iterate would silently miss the minimax ripple; raise
+        # like scipy.signal.remez ("failed to converge")
+        raise RemezError(
+            f"Parks-McClellan exchange failed to converge in {maxiter} "
+            "iterations; relax the band spec or raise maxiter")
 
     # --- final coefficients: sample A(f) on the (2*nfcns-1)-point cosine grid ---
     xe = x_grid[iext]

@@ -181,6 +181,11 @@ class StreamConfig:
         blocksize = _pow2_clamp(self.blocksize, 256, 8192)
         upf = max(1, min(4, int(self.upsample_factor)))
         numtaps = max(16, min(2048, int(self.numtaps)))
+        if numtaps % 2 == 0 and self.filter_type in ("highpass", "bandstop"):
+            # type-II FIRs have a structural Nyquist zero — the design layer
+            # rejects them (firwin.py); clamp to the next odd length instead
+            # of failing the never-raise engine build
+            numtaps += 1
         nyq = samplerate / 2
         if self.filter_type in ("bandpass", "bandstop"):
             c = self.cutoff if isinstance(self.cutoff, (tuple, list)) else (500.0, 15000.0)

@@ -36,11 +36,11 @@ parameters.  Per-tier resampling error vs a reference-grade float64 oracle
 under the ``resample_err_db`` key.
 
 The compute primitive is :func:`upfirdn` — zero-stuff by `up`, FIR, decimate
-by `down` — expressed as a single ``lax.conv_general_dilated`` with
-``lhs_dilation=up`` and ``window_strides=down``, which XLA lowers to TPU
-(polyphase decomposition happens in the compiler).  Streaming mode carries an
-input-history tail so blocked output equals the one-shot transform
-(SURVEY.md §4 item 3).
+by `down` — implemented as explicit zero-stuffing + one pow-2 FFT convolution
++ a stride slice (``conv_general_dilated`` with ``lhs_dilation`` is avoided:
+its 1-D lowering compiles poorly on TPU; see upfirdn's own docstring).
+Streaming mode carries an input-history tail so blocked output equals the
+one-shot transform (SURVEY.md §4 item 3).
 """
 from __future__ import annotations
 
@@ -77,6 +77,25 @@ QUALITY_TIERS = {
 }
 
 
+def _reduce_ratio(up: int, down: int) -> tuple[int, int]:
+    """Lowest terms of the rational ratio — every entry point reduces the
+    SAME way, so kernel design and padding always agree."""
+    up, down = int(up), int(down)
+    g = math.gcd(up, down)
+    return up // g, down // g
+
+
+def _prepad_kernel(h: np.ndarray, down: int):
+    """scipy's centering pre-pad: ``(h_padded, n_pre_remove)``.  The single
+    source of truth shared by :func:`streaming_kernel` and
+    :class:`PolyResampler` — their streamed-equals-one-shot invariant
+    depends on byte-identical padding."""
+    half_len = (len(h) - 1) // 2
+    n_pre_pad = down - half_len % down
+    n_pre_remove = (half_len + n_pre_pad) // down
+    return np.concatenate([np.zeros(n_pre_pad), h]), n_pre_remove
+
+
 def quality_kernel(up: int, down: int, quality: str = "fast") -> np.ndarray:
     """The published tier kernel for a rational `up/down` resample."""
     try:
@@ -97,10 +116,7 @@ def design_resample_kernel(up: int, down: int, half_len_mult: int = 10,
     kaiser(beta)-windowed sinc, cutoff 1/max(up, down) of Nyquist,
     ``2·half_len_mult·max(up,down)+1`` taps, scaled by `up`.  float64 design.
     """
-    up, down = int(up), int(down)
-    g = math.gcd(up, down)
-    up //= g
-    down //= g
+    up, down = _reduce_ratio(up, down)
     if up == down == 1:
         return np.ones(1)
     max_rate = max(up, down)
@@ -116,7 +132,11 @@ def design_resample_kernel(up: int, down: int, half_len_mult: int = 10,
         filter_type="lowpass",
         samplerate=2.0,  # Nyquist-normalized axis
     )
-    return h * up
+    h = h * up
+    # this array is CACHED (lru_cache) and handed to every caller: freeze
+    # it so an in-place edit cannot poison later resamples
+    h.setflags(write=False)
+    return h
 
 
 def output_len(len_h: int, in_len: int, up: int, down: int) -> int:
@@ -179,10 +199,7 @@ def resample_poly(x: jnp.ndarray, up: int, down: int,
 
     `x`: [..., T].  Output: [..., ceil(T·up/down)].
     """
-    up, down = int(up), int(down)
-    g = math.gcd(up, down)
-    up //= g
-    down //= g
+    up, down = _reduce_ratio(up, down)
     if up == down == 1:
         return jnp.asarray(x, dtype=jnp.float32)
     if h is None:
@@ -201,17 +218,13 @@ def streaming_kernel(up: int, down: int, h: np.ndarray | None = None,
     the exact impulse response of the causal streaming resampler, for
     building fused cascade kernels (float64 numpy)."""
     up, down = int(up), int(down)
-    g = math.gcd(up, down)
-    up //= g
-    down //= g
+    up, down = _reduce_ratio(up, down)
     if h is None:
         h = quality_kernel(up, down, quality)
     h = np.asarray(h, dtype=np.float64)
     if up == down == 1:
         return h
-    half_len = (len(h) - 1) // 2
-    n_pre_pad = down - half_len % down
-    return np.concatenate([np.zeros(n_pre_pad), h])
+    return _prepad_kernel(h, down)[0]
 
 
 def decimate(x: jnp.ndarray, factor: int, offset: int = 0) -> jnp.ndarray:
@@ -252,10 +265,7 @@ class PolyResampler(NamedTuple):
     def init(cls, up: int, down: int, block: int, batch_shape: tuple = (),
              h: np.ndarray | None = None,
              quality: str = "fast") -> "PolyResampler":
-        up, down = int(up), int(down)
-        g = math.gcd(up, down)
-        up //= g
-        down //= g
+        up, down = _reduce_ratio(up, down)
         if block % down:
             raise ValueError("block length must be a multiple of down")
         if h is None:
@@ -267,10 +277,7 @@ class PolyResampler(NamedTuple):
                 h=jnp.asarray(h, dtype=jnp.float32),
                 up=1, down=1, hist_len=0, skip=0, delay_outputs=0,
             )
-        half_len = (len(h) - 1) // 2
-        n_pre_pad = down - half_len % down
-        n_pre_remove = (half_len + n_pre_pad) // down
-        h_padded = np.concatenate([np.zeros(n_pre_pad), h])
+        h_padded, n_pre_remove = _prepad_kernel(h, down)
         K = len(h_padded)
         # smallest multiple of `down` with hist_len*up >= K-1
         hist_len = -(-(K - 1) // up)
@@ -289,6 +296,12 @@ class PolyResampler(NamedTuple):
         if self.up == self.down == 1:
             return self, x
         L = x.shape[-1]
+        if L % self.down:
+            # a ragged block would shift the decimation phase of every
+            # subsequent block — enforce init()'s contract where it is
+            # actually consumed
+            raise ValueError(
+                f"block length {L} must be a multiple of down={self.down}")
         n_out = (L * self.up) // self.down
         ext = jnp.concatenate([self.hist, x], axis=-1)
         y = upfirdn(self.h, ext, self.up, self.down)

@@ -122,6 +122,47 @@ def test_freqz_long_filter_direct_path():
     np.testing.assert_allclose(H_ours, H_gold, rtol=1e-7, atol=1e-7)
 
 
+def test_freqz_mulmod_exact_no_overflow():
+    """The long-filter phase reduction must compute (k·n) mod M exactly in
+    int32 — a plain product wraps at worN >= ~2^15 (the phases then come
+    out garbage).  Check the split mulmod against a numpy int64 oracle at
+    the largest supported M and random operands."""
+    import jax.numpy as jnp
+
+    from afp_tpu.design.freqz import _mulmod_i32, _mulmod_tables
+
+    rng = np.random.default_rng(3)
+    for M in (16000, 2**17, 2**20):  # small, overflowing, bound
+        n = rng.integers(0, 2**28, size=64).astype(np.int64)
+        k = rng.integers(0, M, size=37).astype(np.int64)
+        n_mod, n_shift, s_bits = _mulmod_tables(n, M)
+        got = np.asarray(_mulmod_i32(
+            jnp.asarray(k.astype(np.int32))[:, None],
+            n_mod[None, :], n_shift[None, :], s_bits, M))
+        gold = (k[:, None] * n[None, :]) % M
+        np.testing.assert_array_equal(got, gold)
+
+
+def test_firwin_even_numtaps_highpass_rejected():
+    """Even-length symmetric FIRs have a structural Nyquist zero: highpass /
+    bandstop must raise (the old normalization divided by a ~1e-14 cos-sum
+    and returned ~1e14-scaled garbage)."""
+    import pytest as _pytest
+
+    for ftype, cutoff in (("highpass", 1000.0), ("bandstop", [500.0, 2000.0])):
+        with _pytest.raises(ValueError, match="odd numtaps"):
+            design_windowed_sinc(cutoff, numtaps=100, filter_type=ftype,
+                                 window=np.hamming(100), samplerate=44100)
+        with _pytest.raises(ValueError):
+            create_fir_filter("window", cutoff, numtaps=100,
+                              filter_type=ftype, window_type="hamming",
+                              samplerate=44100)
+    # odd numtaps still fine
+    h = design_windowed_sinc(1000.0, numtaps=101, filter_type="highpass",
+                             window=np.hamming(101), samplerate=44100)
+    assert np.max(np.abs(h)) < 10.0
+
+
 def test_freqz_jax_matches_numpy():
     h = oracle_design(11000, 129, "hamming", "lowpass", 88200)
     from afp_tpu.design import freqz_jax

@@ -109,3 +109,14 @@ def test_remez_stress(numtaps, bands, desired):
     for (lo, hi), d in zip(pairs, desired):
         m = (w >= lo) & (w <= hi)
         assert np.max(np.abs(np.abs(H1[m]) - d)) <= np.max(np.abs(np.abs(H2[m]) - d)) * 1.1 + 1e-9
+
+
+def test_remez_raises_on_nonconvergence():
+    """Exhausting maxiter must raise RemezError (scipy raises 'failed to
+    converge') instead of silently returning a non-minimax filter."""
+    import pytest
+
+    from afp_tpu.design import RemezError, remez
+
+    with pytest.raises(RemezError, match="converge"):
+        remez(65, [0.0, 0.2, 0.3, 0.5], [1.0, 0.0], maxiter=0)
