@@ -111,10 +111,16 @@ class PresetStore:
             _logger().warning(
                 "Preset %r: dropping settings unknown to this build: %s",
                 name, sorted(unknown))
+        saved_bands = settings.pop(
+            "eq_bands", [dataclasses.asdict(x) for x in base.eq_bands])
+        if len(saved_bands) != len(p["gains"]):
+            # zip() would silently truncate bands or gains
+            _logger().warning(
+                "Preset %r: %d gains for %d EQ bands; extra entries ignored",
+                name, len(p["gains"]), len(saved_bands))
         bands = tuple(
             dataclasses.replace(EQBand(**b) if isinstance(b, dict) else b, gain=g)
-            for b, g in zip(settings.pop("eq_bands", [dataclasses.asdict(x) for x in base.eq_bands]),
-                            p["gains"])
+            for b, g in zip(saved_bands, p["gains"])
         )
         merged = {**base.to_dict(), **settings}
         for k in EXCLUDED_FIELDS:
@@ -135,6 +141,11 @@ class PresetStore:
 
     def _flush(self) -> None:
         if self.path:
-            with open(self.path, "w") as f:
+            # atomic replace: a crash mid-dump must never leave a truncated
+            # file (the constructor treats corrupt JSON as an empty store,
+            # so an in-place write could silently destroy every preset)
+            tmp = f"{self.path}.tmp"
+            with open(tmp, "w") as f:
                 json.dump({"version": FORMAT_VERSION, "presets": self._presets},
                           f, indent=2)
+            os.replace(tmp, self.path)

@@ -59,7 +59,6 @@ def halo_convolve(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
     def local(chunk, h_rep):
         # chunk: [B, T/D] local shard
         tail = chunk[:, -(N - 1):] if N > 1 else chunk[:, :0]
-        idx = jax.lax.axis_index(axis)
         D_ = jax.lax.axis_size(axis)
         # push my tail to my right neighbor; shard 0 receives zeros
         left_halo = jax.lax.ppermute(

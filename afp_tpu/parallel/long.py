@@ -82,17 +82,32 @@ def _agc_apply_long(pipe: Pipeline, params: DeviceParams, x: jnp.ndarray,
     ))(x)
 
     if cfg.agc_carry:
-        # sequential hand-off: smooth shard i with init = shard i−1's last
-        # gain (the carry upgrade makes the stream block-size-invariant, so
-        # the recurrence spans the whole signal)
-        smooth = jax.jit(lambda dc, g0: smooth_gain_scan(
-            dc, float(pipe.agc.a_att), float(pipe.agc.a_rel), init=g0))
+        # sequential hand-off in ENGINE-BLOCK granularity: the streaming
+        # engine clips the smoothed gain to [0.1, max_gain] per block and
+        # feeds the CLIPPED last value as the next block's recurrence init
+        # (pipeline.py) — carrying an unclipped shard-wide gain would
+        # diverge from streaming whenever the gain hits a bound
+        a_att, a_rel = float(pipe.agc.a_att), float(pipe.agc.a_rel)
+        mg = params.agc_max_gain
+
+        def smooth_chunk(dc, g0):
+            nb = dc.shape[-1] // L
+
+            def body(gc, dblk):
+                gb = smooth_gain_scan(dblk, a_att, a_rel, init=gc)
+                gb = jnp.clip(gb, 0.1, mg)
+                return gb[..., -1], gb
+
+            g_last, gbs = jax.lax.scan(
+                body, g0, jnp.moveaxis(dc.reshape(B, nb, L), 1, 0))
+            return jnp.moveaxis(gbs, 0, 1).reshape(B, -1), g_last
+
+        smooth = jax.jit(smooth_chunk)
         carry = jnp.ones((B,), dtype=jnp.float32)  # engine init_state gain
         gs = []
         for i in range(D):
-            g = smooth(jax.lax.slice_in_dim(d, i * C, (i + 1) * C, axis=-1),
-                       carry)
-            carry = g[..., -1]
+            g, carry = smooth(
+                jax.lax.slice_in_dim(d, i * C, (i + 1) * C, axis=-1), carry)
             gs.append(g)
         g = jnp.concatenate(gs, axis=-1)
     else:
@@ -126,7 +141,9 @@ def filter_long_signal(pipe: Pipeline, params: DeviceParams, x: jnp.ndarray,
     else:
         # reconstruct time-domain cascade from the spectrum
         H = params.combined_response(has_eq, premultiplied=True)
-        k = jnp.fft.irfft(H, n=pipe.nfft)[: pipe.n_casc]
+        # taps axis is LAST: H may be per-stream [B, F] (a leading-axis
+        # slice would truncate streams and keep nfft wraparound taps)
+        k = jnp.fft.irfft(H, n=pipe.nfft)[..., : pipe.n_casc]
     y = halo_convolve(x, k, mesh, axis=axis)
     if pipe.cfg.dither_kind != "off" and dither_seed is not None:
         from ..ops.dither import dither

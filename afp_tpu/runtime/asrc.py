@@ -102,11 +102,15 @@ class AsrcFrontend:
         )
 
     def flush(self) -> np.ndarray:
-        """Drain: pad the input to a whole super-block, convert, return all
-        remaining output (end-of-stream)."""
+        """Drain: pad the input with enough zeros to flush BOTH the residual
+        super-block and the resampler's causal group delay, convert, return
+        all remaining output (end-of-stream).  Padding only to the
+        super-block boundary would leave the final `delay_outputs`
+        engine-rate samples of real audio stuck in the filter history."""
         n_in = self._in.shape[1]
-        if n_in:
-            pad = (-n_in) % self.l_dev
+        need_src = -(-int(self._state.delay_outputs) * self.down // self.up)
+        pad = -(-(n_in + need_src) // self.l_dev) * self.l_dev - n_in
+        if pad:
             self.push(np.zeros((self.batch, pad), dtype=np.float32))
         out = self._out
         self._out = np.zeros((self.batch, 0), dtype=np.float32)

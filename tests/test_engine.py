@@ -652,3 +652,25 @@ def test_checkpoint_cross_layout_restore(tmp_path, rng, monkeypatch):
     got2 = restored2.process_block(nxt)
     err2 = np.max(np.abs(got2 - ref)) / (np.max(np.abs(ref)) + 1e-300)
     assert 20 * np.log10(max(float(err2), 1e-300)) < -90
+
+
+def test_preset_flush_is_atomic_and_mismatched_gains_logged(tmp_path, rng):
+    """_flush must go through a temp file + os.replace (a crash mid-dump
+    then can't destroy the store), and a preset whose gains count doesn't
+    match its bands loads without silent truncation surprises."""
+    import json
+
+    path = str(tmp_path / "p.json")
+    store = PresetStore(path)
+    eng = make_engine()
+    store.save_preset("a", eng.cfg)
+    assert not os.path.exists(path + ".tmp")  # temp file replaced away
+    with open(path) as f:
+        data = json.load(f)  # valid JSON on disk
+    # hand-truncate the gains list (older build / hand-edited preset)
+    data["presets"]["a"]["gains"] = data["presets"]["a"]["gains"][:2]
+    with open(path, "w") as f:
+        json.dump(data, f)
+    store2 = PresetStore(path)
+    cfg = store2.load_preset("a", eng.cfg)  # logs a warning, no crash
+    assert len(cfg.eq_bands) == 2

@@ -306,6 +306,31 @@ def test_filter_long_signal_agc_matches_streaming(rng, carry):
     )
 
 
+def test_filter_long_signal_agc_gain_clipping_matches_streaming(rng):
+    """When the gain HITS the [0.1, max_gain] bounds, long-signal mode must
+    still match streaming: the engine clips the smoothed gain per engine
+    block and carries the CLIPPED value — an unclipped shard-wide carry
+    diverges on the post-loud-passage recovery trajectory."""
+    from afp_tpu.parallel.long import filter_long_signal
+
+    cfg = make_cfg(batch=1, upsample_factor=2, blocksize=512,
+                   dither_kind="off", agc_enabled=True, agc_carry=True,
+                   agc_window_size=256, agc_target_level=0.05)
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+
+    T = 8 * 1024
+    sig = (rng.normal(size=(1, T)) * 0.02).astype(np.float32)
+    sig[:, T // 4 : T // 2] *= 200.0  # loud passage → desired gain < 0.1
+    _, streamed = pipe.process_signal(params, pipe.init_state(), sig)
+
+    tmesh = make_mesh(8, axis_names=("time",))
+    sharded = filter_long_signal(pipe, params, sig, tmesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(streamed), atol=2e-5
+    )
+
+
 def test_filter_long_signal_agc_chunk_alignment(rng):
     """A per-device chunk that doesn't hold whole engine blocks is rejected
     (the per-block RMS centering is part of the reference semantics)."""

@@ -143,3 +143,26 @@ def test_asrc_frontend_rate_bookkeeping():
     # 2 super-blocks in → exactly 2·l_dev·up/down out
     assert fe.available() == 2 * fe.l_dev * fe.up // fe.down
     assert fe.pull(10**9) is None  # can't overdraw
+
+
+def test_asrc_frontend_flush_drains_group_delay(rng):
+    """flush() must emit the final `delay_outputs` engine-rate samples of
+    real audio — padding only to the super-block boundary left them stuck
+    in the filter history (and an exactly-aligned residual got no padding
+    at all)."""
+    from afp_tpu.runtime.asrc import AsrcFrontend
+
+    fe = AsrcFrontend(48000, 44100, batch=1)
+    T = fe.l_dev  # EXACTLY one super-block: the old flush pushed nothing
+    sig = (0.3 * rng.standard_normal(T)).astype(np.float32)
+    fe.push(sig)
+    outs = [fe.pull(fe.available())] if fe.available() else []
+    outs.append(fe.flush())
+    streamed = np.concatenate([o for o in outs if o is not None], axis=1)[0]
+
+    import scipy.signal as sps
+    gold = sps.upfirdn(np.asarray(fe._state.h), sig.astype(np.float64),
+                       fe.up, fe.down)
+    n_real = (T * fe.up) // fe.down  # engine samples covering the input
+    assert streamed.shape[0] >= n_real, (streamed.shape, n_real)
+    np.testing.assert_allclose(streamed[:n_real], gold[:n_real], atol=2e-5)
