@@ -146,44 +146,9 @@ def _pick_tile(B: int, T: int, W: int, two_level: bool = False) -> int:
 def _call(x, b_hi, b_lo, scal, lp: int, rp: int, interpret: bool = False,
           exact: bool = True, transposed: bool = False,
           two_level_w: int = 0):
-    B, T = x.shape
-    n_taps = two_level_w if two_level_w else b_hi.shape[0] - LANE + 1
-    t_tiles = T // LANE
-    bt = _pick_tile(B, T, n_taps, two_level=bool(two_level_w))
-    grid = (B // bt,)
-    x_spec = pl.BlockSpec((bt, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((b_hi.shape[0], LANE), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    if transposed:
-        out_spec = pl.BlockSpec((T, bt), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((T, B), jnp.float32)
-    else:
-        out_spec = pl.BlockSpec((bt, T), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((B, T), jnp.float32)
-    if two_level_w:
-        kern2 = functools.partial(
-            _kernel_two_level, w=two_level_w, t_tiles=t_tiles, lp=lp, rp=rp,
-            transposed=transposed)
-        return pl.pallas_call(
-            kern2, grid=grid, in_specs=[s_spec, x_spec, b_spec],
-            out_specs=out_spec, out_shape=out_shape, interpret=interpret,
-        )(scal, x, b_hi)
-    kw = dict(n_taps=n_taps, t_tiles=t_tiles, lp=lp, rp=rp,
-              transposed=transposed)
-    if exact:
-        kern = functools.partial(_kernel, **kw)
-        return pl.pallas_call(
-            kern, grid=grid, in_specs=[s_spec, x_spec, b_spec],
-            out_specs=out_spec, out_shape=out_shape, interpret=interpret,
-        )(scal, x, b_hi)
-    kern3 = lambda s, xr, bh, bl, o: _kernel(s, xr, bh, o, blo_ref=bl, **kw)
-    return pl.pallas_call(
-        kern3, grid=grid, in_specs=[s_spec, x_spec, b_spec, b_spec],
-        out_specs=out_spec, out_shape=out_shape, interpret=interpret,
-    )(scal, x, b_hi, b_lo)
+    return _rms_call(x, b_hi, b_lo, scal, lp, rp, interpret=interpret,
+                     exact=exact, transposed=transposed,
+                     two_level_w=two_level_w)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -195,53 +160,74 @@ def _call_ring(idx, x_ring, b_hi, b_lo, scal, lp: int, rp: int,
     kernel streams slot `idx` (scalar-prefetch) HBM→VMEM directly — no
     staged `dynamic_slice` copy of the block.  Kernel bodies are shared
     (the squeezed (None, bt, T) block is exactly the (bt, T) block)."""
-    S, B, T = x_ring.shape
+    return _rms_call(x_ring, b_hi, b_lo, scal, lp, rp, interpret=interpret,
+                     exact=exact, transposed=transposed,
+                     two_level_w=two_level_w, idx=idx)
+
+
+def _rms_call(x, b_hi, b_lo, scal, lp: int, rp: int, interpret: bool,
+              exact: bool, transposed: bool, two_level_w: int, idx=None):
+    """Shared builder for the plain and ring-input forms: the only
+    differences are the x BlockSpec (slot-selecting, scalar-prefetch) and
+    the grid spec — index maps lift to the extra scalar-ref arg, kernels
+    and every other spec are identical."""
+    ring = idx is not None
+    if ring:
+        S, B, T = x.shape
+    else:
+        B, T = x.shape
     n_taps = two_level_w if two_level_w else b_hi.shape[0] - LANE + 1
     t_tiles = T // LANE
     bt = _pick_tile(B, T, n_taps, two_level=bool(two_level_w))
     grid = (B // bt,)
-    x_spec = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
+    lift = (lambda f: (lambda i, s: f(i))) if ring else (lambda f: f)
+    if ring:
+        x_spec = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((bt, T), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((b_hi.shape[0], LANE), lift(lambda i: (0, 0)),
                           memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((b_hi.shape[0], LANE), lambda i, s: (0, 0),
-                          memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((1, 2), lambda i, s: (0, 0),
+    s_spec = pl.BlockSpec((1, 2), lift(lambda i: (0, 0)),
                           memory_space=pltpu.SMEM)
     if transposed:
-        out_spec = pl.BlockSpec((T, bt), lambda i, s: (0, i),
+        out_spec = pl.BlockSpec((T, bt), lift(lambda i: (0, i)),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((T, B), jnp.float32)
     else:
-        out_spec = pl.BlockSpec((bt, T), lambda i, s: (i, 0),
+        out_spec = pl.BlockSpec((bt, T), lift(lambda i: (i, 0)),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((B, T), jnp.float32)
+
+    def launch(kern, in_specs, *args):
+        if ring:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid,
+                in_specs=in_specs, out_specs=out_spec)
+            return pl.pallas_call(
+                lambda sidx, *rest: kern(*rest),
+                grid_spec=grid_spec, out_shape=out_shape,
+                interpret=interpret,
+            )(idx, *args)
+        return pl.pallas_call(
+            kern, grid=grid, in_specs=in_specs, out_specs=out_spec,
+            out_shape=out_shape, interpret=interpret,
+        )(*args)
+
     if two_level_w:
         kern2 = functools.partial(
             _kernel_two_level, w=two_level_w, t_tiles=t_tiles, lp=lp, rp=rp,
             transposed=transposed)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=grid,
-            in_specs=[s_spec, x_spec, b_spec], out_specs=out_spec)
-        return pl.pallas_call(
-            lambda sidx, s, xr, bh, o: kern2(s, xr, bh, o),
-            grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-        )(idx, scal, x_ring, b_hi)
+        return launch(kern2, [s_spec, x_spec, b_spec], scal, x, b_hi)
     kw = dict(n_taps=n_taps, t_tiles=t_tiles, lp=lp, rp=rp,
               transposed=transposed)
     if exact:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=grid,
-            in_specs=[s_spec, x_spec, b_spec], out_specs=out_spec)
-        return pl.pallas_call(
-            lambda sidx, s, xr, bh, o: _kernel(s, xr, bh, o, **kw),
-            grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-        )(idx, scal, x_ring, b_hi)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=grid,
-        in_specs=[s_spec, x_spec, b_spec, b_spec], out_specs=out_spec)
-    return pl.pallas_call(
-        lambda sidx, s, xr, bh, bl, o: _kernel(s, xr, bh, o, blo_ref=bl, **kw),
-        grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-    )(idx, scal, x_ring, b_hi, b_lo)
+        kern = functools.partial(_kernel, **kw)
+        return launch(kern, [s_spec, x_spec, b_spec], scal, x, b_hi)
+    kern3 = lambda s, xr, bh, bl, o: _kernel(s, xr, bh, o, blo_ref=bl, **kw)
+    return launch(kern3, [s_spec, x_spec, b_spec, b_spec],
+                  scal, x, b_hi, b_lo)
 
 
 def rms_desired_pallas(x: jnp.ndarray, band: jnp.ndarray, lp: int, rp: int,

@@ -47,7 +47,8 @@ LANES = 128
 
 def _pick_sublanes(B: int) -> int:
     """Smallest multiple-of-8 sublane count whose tile covers the batch,
-    capped at SUBLANES — batch 256 runs a 2048-lane tile, not 4096."""
+    capped at SUBLANES — batch 256 needs 2 lane-groups → 8 sublanes, a
+    1024-lane tile, not the full 4096."""
     need = -(-B // LANES)  # lane-groups required
     sub = -(-need // 8) * 8
     return max(8, min(SUBLANES, sub))

@@ -83,9 +83,29 @@ class EqualizerController:
     # ---------------- gains (live, no redesign) ----------------
 
     def get_gains(self) -> list:
-        return [float(g) for g in np.asarray(self.engine.params.eq_gains)]
+        """Per-band gains.  With per-stream 2-D banks the controller view
+        is the cross-stream mean (one slider per band, like the GUI)."""
+        g = np.asarray(self.engine.params.eq_gains)
+        if g.ndim == 2:
+            g = g.mean(axis=0)
+        return [float(v) for v in g]
 
     def set_gain(self, index: int, gain: float) -> None:
+        g = np.asarray(self.engine.params.eq_gains)
+        if g.ndim == 2:
+            # per-stream banks: the GUI slider sets band `index` for EVERY
+            # stream (column broadcast), preserving the other bands'
+            # per-stream values
+            g = g.copy()
+            g[:, index] = float(gain)
+            self.engine.set_eq_gains(g)
+            gains = [float(v) for v in g.mean(axis=0)]
+            bands = tuple(
+                dataclasses.replace(b, gain=v)
+                for b, v in zip(self.pending.eq_bands, gains)
+            )
+            self.pending = dataclasses.replace(self.pending, eq_bands=bands)
+            return
         gains = self.get_gains()
         gains[index] = float(gain)
         self.engine.set_eq_gains(gains)
@@ -96,7 +116,12 @@ class EqualizerController:
         self.pending = dataclasses.replace(self.pending, eq_bands=bands)
 
     def set_gains(self, gains: Sequence[float]) -> None:
-        self.engine.set_eq_gains(list(gains))
+        g = np.asarray(list(gains), dtype=np.float32)
+        if np.asarray(self.engine.params.eq_gains).ndim == 2 and g.ndim == 1:
+            # per-stream banks: broadcast the per-band vector to all streams
+            g = np.broadcast_to(
+                g, np.asarray(self.engine.params.eq_gains).shape).copy()
+        self.engine.set_eq_gains(g)
         bands = tuple(
             dataclasses.replace(b, gain=float(g))
             for b, g in zip(self.pending.eq_bands, gains)
@@ -111,12 +136,13 @@ class EqualizerController:
 
     def reset_to_defaults(self) -> bool:
         """GUI reset (`stream_process_EQ_GUI.py:308-344`): unity gains +
-        default design, keeping the engine's batch/deployment fields."""
-        keep = dict(
-            batch=self.engine.cfg.batch,
-            source_samplerate=self.engine.cfg.source_samplerate,
-        )
-        self.pending = dataclasses.replace(DEFAULT_CONFIG, **keep)
+        the default filter DESIGN — deployment and static execution fields
+        (blocksize, batch, rates, AGC, strategy, ...) stay as deployed, so
+        a reset never forces a pipeline rebuild or reframes the stream."""
+        sound_fields = ("cutoff", "numtaps", "window_type", "filter_type",
+                        "design_method", "eq_enabled", "eq_bands")
+        keep = {k: getattr(DEFAULT_CONFIG, k) for k in sound_fields}
+        self.pending = dataclasses.replace(self.engine.cfg, **keep)
         return self.apply_changes()
 
     @property
@@ -200,6 +226,14 @@ class EqualizerController:
             self._stream.stop()
         if self._stream_thread is not None:
             self._stream_thread.join(timeout=timeout)
+            if self._stream_thread.is_alive():
+                # the stream thread did not exit in time: KEEP the
+                # references (streaming stays True) so a start_stream()
+                # cannot race a second thread into the non-thread-safe
+                # engine; the caller can retry stop_stream()
+                raise TimeoutError(
+                    "stream thread did not stop within "
+                    f"{timeout}s; retry stop_stream()")
             self._stream_thread = None
         self._stream = None
 

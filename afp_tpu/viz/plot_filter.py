@@ -121,8 +121,10 @@ def plot_filter_response(coefficients, fs: float = 44100,
         lo = 1 if data.log_axis and sfreqs[0] == 0 else 0
         plot(sfreqs[lo:], sdb[lo:], color="C3", alpha=0.6,
              linewidth=0.8, label=spectrum_label)
-        # peak annotation (`stream_process_EQ_GUI.py:404-409`)
-        pk = int(np.argmax(sdb))
+        # peak annotation (`stream_process_EQ_GUI.py:404-409`) — search
+        # the same bins the overlay draws (a DC peak at x=0 would render
+        # nowhere on a semilogx axis)
+        pk = lo + int(np.argmax(sdb[lo:]))
         ax_mag.plot([sfreqs[pk]], [sdb[pk]], "C3v", markersize=7)
         ax_mag.annotate(
             f"Peak: {sfreqs[pk]:.0f} Hz ({raw_peak_db:.1f} dB)",

@@ -48,14 +48,21 @@ def test_bandpass_cutoff_pair(ctl):
 
 
 def test_reset_to_defaults(ctl):
+    """Reset restores unity gains + the default filter DESIGN, but never
+    touches deployment/static execution fields (blocksize, batch, rates) —
+    a GUI reset must not force a pipeline rebuild or reframe the stream."""
+    before = ctl.engine.cfg
     ctl.set_gains([2.0] * 9)
     ctl.set_field(cutoff=5000.0)
     ctl.apply_changes()
     ctl.reset_to_defaults()
     cfg = ctl.engine.cfg
     assert cfg.cutoff == 14000.0 and cfg.numtaps == 129
-    assert cfg.blocksize == 2048 and cfg.upsample_factor == 2
-    assert ctl.upsampled_rate == 88200
+    assert all(abs(b.gain - 1.0) < 1e-6 for b in cfg.eq_bands)
+    # deployment shape untouched
+    assert cfg.blocksize == before.blocksize
+    assert cfg.upsample_factor == before.upsample_factor
+    assert cfg.batch == before.batch
 
 
 def test_presets_via_controller(ctl):
@@ -219,3 +226,31 @@ def test_engine_scan_carried_waterfall(rng):
     ))
     with pytest.raises(ValueError):
         eng2.waterfall_ring()
+
+
+def test_controller_per_stream_gain_banks(tmp_path):
+    """With per-stream 2-D gain banks the controller view is the
+    cross-stream mean; a slider write broadcasts its band to every stream
+    and preserves the other bands' per-stream values (used to TypeError)."""
+    import jax.numpy as jnp
+
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=512, upsample_factor=1, numtaps=65,
+        batch=2, eq_enabled=True, dither_kind="off",
+        downsample_mode="decimate", output_clip=None,
+    )
+    eng = StreamEngine(cfg)
+    n = len(cfg.eq_bands)
+    bank = np.tile(np.linspace(0.5, 1.5, n, dtype=np.float32), (2, 1))
+    bank[1] *= 2.0
+    eng.params = eng.params._replace(eq_gains=jnp.asarray(bank))
+    ctl = EqualizerController(eng, preset_path=str(tmp_path / "p.json"))
+    got = ctl.get_gains()
+    np.testing.assert_allclose(got, bank.mean(axis=0), rtol=1e-6)
+    ctl.set_gain(2, 3.0)
+    g = np.asarray(eng.params.eq_gains)
+    assert g.shape == (2, n)
+    np.testing.assert_allclose(g[:, 2], 3.0)
+    np.testing.assert_allclose(g[0, 3], bank[0, 3])  # others preserved
+    ctl.set_gains([1.0] * n)  # 1-D broadcast onto the 2-D bank
+    np.testing.assert_allclose(np.asarray(eng.params.eq_gains), 1.0)
