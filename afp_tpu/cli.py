@@ -11,9 +11,15 @@ speed::
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+if os.environ.get("AFP_FORCE_CPU"):  # the axon plugin ignores JAX_PLATFORMS
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 __all__ = ["main"]
 
@@ -90,9 +96,18 @@ def cmd_process(args) -> int:
         # framing, then trim to the exact converted length
         pad = 2 * cfg.blocksize * rate // sr + engine._asrc_frontend.l_dev
         x = np.concatenate([x, np.zeros((x.shape[0], pad), np.float32)], axis=1)
+    elif n_in % cfg.blocksize:
+        # zero-pad the final partial block (process_signal scans whole
+        # blocks; the causal chain lets us trim back to the input length,
+        # so no audio is dropped)
+        rem = cfg.blocksize - n_in % cfg.blocksize
+        x = np.concatenate([x, np.zeros((x.shape[0], rem), np.float32)],
+                           axis=1)
     out = engine.process_signal(x)
     if engine._asrc_frontend is not None:
         out = out[:, : int(n_in * sr / rate)]
+    elif out.shape[1] > n_in:
+        out = out[:, : n_in]
     write_wav(args.output, out, cfg.samplerate, width=3)
     m = engine.metrics
     print(f"{args.input} → {args.output}: {x.shape[0]} ch × {x.shape[1]} samples, "

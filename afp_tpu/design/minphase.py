@@ -51,6 +51,10 @@ def minimum_phase(h: np.ndarray, method: str = "hilbert", n_fft: int | None = No
     h = np.asarray(h, dtype=np.float64)
     if h.ndim != 1:
         raise ValueError("minimum_phase expects a 1-D filter")
+    if len(h) <= 2:
+        # scipy's guard: the homomorphic/hilbert construction is undefined
+        # this short (len 1 also overflows the default n_fft formula)
+        raise ValueError("h must have at least 3 taps")
     if n_fft is None:
         n_fft = 2 ** int(np.ceil(np.log2(2 * (len(h) - 1) / 0.01)))
     n_fft = int(n_fft)

@@ -154,6 +154,10 @@ class AudioStream:
         self.dispatcher.stop()
 
     def close(self) -> None:
+        # stop the dispatcher worker too: close() without stop() otherwise
+        # leaves the daemon thread pumping silence through the engine for
+        # the life of the process
+        self.dispatcher.stop()
         self._stream.close()
 
     @property

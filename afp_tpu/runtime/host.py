@@ -27,8 +27,13 @@ _lib_lock = threading.Lock()
 
 
 def _build() -> None:
-    subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)], check=True,
-                   capture_output=True)
+    r = subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       capture_output=True, text=True)
+    if r.returncode:
+        # surface the compiler diagnostics — CalledProcessError alone
+        # reports only the exit status
+        raise RuntimeError(
+            f"native build failed (exit {r.returncode}):\n{r.stderr}")
 
 
 def load_library() -> ctypes.CDLL:
@@ -37,8 +42,10 @@ def load_library() -> ctypes.CDLL:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
-            _build()
+        # ALWAYS run make: its timestamp check is a cheap no-op when the
+        # .so is current, and an edited host_ring.cpp otherwise silently
+        # loads stale (the .so-exists gate skipped rebuilds entirely)
+        _build()
         lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
         # signatures
         lib.afp_ring_create.restype = ctypes.c_void_p

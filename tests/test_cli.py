@@ -54,3 +54,17 @@ def test_cli_design(tmp_path, capsys):
 def test_cli_devices(capsys):
     assert main(["devices"]) == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_cli_process_keeps_partial_final_block(tmp_path, rng):
+    """An input that isn't a whole number of blocks must come back at full
+    length (the final partial block used to be silently dropped)."""
+    src, dst = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    x = (0.3 * rng.standard_normal((1, 22050))).astype(np.float32).clip(-1, 1)
+    write_wav(src, x, 44100)
+    rc = main(["process", src, dst, "--blocksize", "1024", "--upsample", "1",
+               "--numtaps", "65", "--dither", "off"])
+    assert rc == 0
+    y, _ = read_wav(dst)
+    assert y.shape == (1, 22050)
+    assert np.any(y[:, -512:])  # the tail carries real audio, not silence
