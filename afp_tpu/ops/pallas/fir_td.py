@@ -814,7 +814,12 @@ def _fir_kernel_b3mega(xhi_ref, xlo_ref, thi_ref, tlo_ref, bhi_ref, blo_ref,
         tlo_o[:, :] = tlo_ref[:, :]
 
     if seed_ref is not None:
-        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        # seed_ref is the FULL [n_steps, 1] seeds array, delivered as a
+        # scalar-prefetch SMEM operand and indexed by the step program id
+        # (a blocked (1,1) SMEM spec over [n_steps, 1] fails Mosaic's
+        # sublane-divisibility rule on hardware — found on the first
+        # on-TPU run; interpret mode accepts it)
+        pltpu.prng_seed(seed_ref[step, 0] + pl.program_id(0))
     for t in range(t_tiles):
         off = t * LANE
         if off < k_pad:  # window straddles the tail/block boundary
@@ -861,22 +866,25 @@ def _fir_td_ring_mega_call(start, seeds, ring_hi, ring_lo, tail_hi, tail_lo,
     b_hi, b_lo = split_bf16(band_p)
     bt = _pick_b_tile_b3t(B, k_pad, T)
     grid = (B // bt, n_steps)  # tile MAJOR, step minor (see kernel docstring)
+    # index maps take *pref so the same specs serve both the 1-prefetch
+    # (no dither) and 2-prefetch (start + per-step seeds) forms; pref[0]
+    # is always the start-slot ref
     ring_spec = pl.BlockSpec((None, bt, T),
-                             lambda i, st, s: ((s[0] + st) % S, i, 0),
+                             lambda i, st, *pref: ((pref[0][0] + st) % S, i, 0),
                              memory_space=pltpu.VMEM)
-    t_in_spec = pl.BlockSpec((bt, k_pad), lambda i, st, s: (i, 0),
+    t_in_spec = pl.BlockSpec((bt, k_pad), lambda i, st, *pref: (i, 0),
                              memory_space=pltpu.VMEM)
-    band_spec = pl.BlockSpec((band_p.shape[0], LANE), lambda i, st, s: (0, 0),
+    band_spec = pl.BlockSpec((band_p.shape[0], LANE),
+                             lambda i, st, *pref: (0, 0),
                              memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec((1, 1), lambda i, st, s: (st, 0),
-                             memory_space=pltpu.SMEM)
     ring_io_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_specs = [
-        pl.BlockSpec((None, bt, T), lambda i, st, s: ((s[0] + st) % S, i, 0),
+        pl.BlockSpec((None, bt, T),
+                     lambda i, st, *pref: ((pref[0][0] + st) % S, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, k_pad), lambda i, st, s: (i, 0),
+        pl.BlockSpec((bt, k_pad), lambda i, st, *pref: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, k_pad), lambda i, st, s: (i, 0),
+        pl.BlockSpec((bt, k_pad), lambda i, st, *pref: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((S, B, T), jnp.float32),
@@ -889,11 +897,15 @@ def _fir_td_ring_mega_call(start, seeds, ring_hi, ring_lo, tail_hi, tail_lo,
                                t_tiles=t_tiles, **dkw)
     if dither_bits is not None:
         assert seeds is not None and seeds.shape == (n_steps, 1), seeds
+        # seeds ride as a SECOND scalar-prefetch operand (the whole
+        # [n_steps, 1] array lands in SMEM; the kernel indexes it by the
+        # step program id) — a blocked (1,1) SMEM spec over it violates
+        # Mosaic's sublane rule on hardware
         kern = lambda sidx, sd, a, b, c, d, e, f, rio, o, th, tl: kernel(
             a, b, c, d, e, f, o, th, tl, seed_ref=sd)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=grid,
-            in_specs=[seed_spec, ring_spec, ring_spec, t_in_spec, t_in_spec,
+            num_scalar_prefetch=2, grid=grid,
+            in_specs=[ring_spec, ring_spec, t_in_spec, t_in_spec,
                       band_spec, band_spec, ring_io_spec],
             out_specs=out_specs)
         return pl.pallas_call(
