@@ -648,14 +648,20 @@ class Pipeline:
                     if x_pair:
                         # pair-input kernel: no staging pass at all — the
                         # AGC kernel emitted the pair, the tail is carried
-                        # as a pair, the concat happens in VMEM, and the
-                        # kernel emits the next tail pair on its way out
+                        # as a pair, and the concat happens in VMEM.  The
+                        # tail carry stays a post-kernel slice here: with
+                        # ``emit_tail=True`` the kernel's extra outputs break
+                        # XLA's in-place aliasing of y into the caller's
+                        # donated output buffer, costing a full-block copy
+                        # (measured 857k→636k xRT on v5e).  Only the ring
+                        # step (`_ring_step_impl`), whose output slot the
+                        # kernel writes itself, wins from emit_tail.
                         from ..ops.pallas.fir_td import fir_td_mxu_pair
 
-                        y, *emitted_tail = fir_td_mxu_pair(
+                        y = fir_td_mxu_pair(
                             x[0], x[1], tail_hi, tail_lo, band,
                             interpret=self._pl_interpret, out_clip=oc,
-                            emit_tail=True, **dkw,
+                            **dkw,
                         )
                     else:
                         y = fir_td_mxu(ext, band, interpret=self._pl_interpret,
