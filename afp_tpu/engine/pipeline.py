@@ -37,6 +37,12 @@ from .config import PipelineParams, StreamConfig
 
 __all__ = ["DeviceParams", "StreamState", "Pipeline"]
 
+#: max serving steps per megakernel launch (`run_ring_mega`): Mosaic's fixed
+#: SMEM footprint for the mega kernel leaves only ~7 KB of the 1 MB SMEM for
+#: the [n_steps, 1] scalar-prefetch dither-seed array, so longer dispatches
+#: chain multiple launches (bit-identical — see _run_ring_mega_impl).
+MEGA_CHUNK_STEPS = int(os.environ.get("AFP_MEGA_CHUNK_STEPS", "512"))
+
 
 class DeviceParams(NamedTuple):
     """Runtime (dynamic) parameter bank living in HBM.
@@ -980,10 +986,26 @@ class Pipeline:
             dkw = dict(dither_bits=cfg.dither_bits,
                        dither_tpdf=(cfg.dither_kind == "tpdf"))
         tail_hi, tail_lo = state.conv_tail
-        out_ring, nt_hi, nt_lo = fir_td_mxu_ring_mega(
-            ring_hi, ring_lo, start, tail_hi, tail_lo, band, out_ring,
-            n_steps, seeds=seeds, interpret=self._pl_interpret,
-            out_clip=cfg.output_clip, **dkw)
+        # Chained ≤MEGA_CHUNK_STEPS launches: Mosaic's fixed SMEM footprint
+        # for this kernel sits ~7 KB under the 1 MB cap, so the [n_steps, 1]
+        # scalar-prefetch seed array overflows SMEM for n_steps ≳ 1024
+        # (measured: 2048 steps exceeded the cap by 1.1 KB on v5e).  Each
+        # chunk is one kernel launch carrying the VMEM tail out/in — the
+        # per-launch overhead returns only once per 512 blocks, and the
+        # step math, slot order, and seed schedule stay bit-identical to
+        # the single-launch form (seeds are sliced from the same key walk).
+        start = jnp.asarray(start, dtype=jnp.int32)
+        nt_hi, nt_lo = tail_hi, tail_lo
+        off = 0
+        while off < n_steps:
+            n = min(MEGA_CHUNK_STEPS, n_steps - off)
+            sd = None if seeds is None else jax.lax.slice_in_dim(
+                seeds, off, off + n, axis=0)
+            out_ring, nt_hi, nt_lo = fir_td_mxu_ring_mega(
+                ring_hi, ring_lo, start + off, nt_hi, nt_lo, band, out_ring,
+                n, seeds=sd, interpret=self._pl_interpret,
+                out_clip=cfg.output_clip, **dkw)
+            off += n
         new_state = StreamState(
             asrc=state.asrc, up=state.up, conv_tail=(nt_hi, nt_lo),
             down=state.down, agc_gain=state.agc_gain, key=key, wf=state.wf,
@@ -993,10 +1015,11 @@ class Pipeline:
     def run_ring_mega(self, params: DeviceParams, state: StreamState,
                       ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
                       out_ring: jnp.ndarray, n_steps: int, start=0):
-        """One-launch variant of :meth:`run_ring` (pair-ingest form only):
-        the whole `n_steps` dispatch runs inside a single Pallas kernel —
-        final ring, tail carry, and dither bit-identical to
-        :meth:`run_ring`.  `out_ring` is donated; `n_steps` is static."""
+        """Megakernel variant of :meth:`run_ring` (pair-ingest form only):
+        the dispatch runs as one Pallas launch per ≤`MEGA_CHUNK_STEPS`
+        blocks (vs one per block) — final ring, tail carry, and dither
+        bit-identical to :meth:`run_ring`.  `out_ring` is donated;
+        `n_steps` is static."""
         if not hasattr(self, "_run_ring_mega"):
             self._run_ring_mega = jax.jit(self._run_ring_mega_impl,
                                           static_argnums=(5,),

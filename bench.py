@@ -175,7 +175,8 @@ def _time_sustained(label, dispatch, pipe, n_sust, K, batch, blocksize,
     return xrt
 
 
-def _sustained_ring_xrt(pipe, params, pblocks, reps: int):
+def _sustained_ring_xrt(pipe, params, pblocks, reps: int,
+                        n_sust: int | None = None):
     """Zero-copy serving mode: like :func:`_sustained_xrt` in pair mode,
     but via `Pipeline._ring_step_impl` — the conv kernel reads slot i of
     the HBM-resident input ring directly (scalar-prefetch BlockSpec) and
@@ -186,19 +187,21 @@ def _sustained_ring_xrt(pipe, params, pblocks, reps: int):
 
     import jax.numpy as jnp
 
-    n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
+    if n_sust is None:
+        n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
     if not n_sust or not pipe.supports_ring_step:
         return None
     ring_hi, ring_lo = pblocks
     K, batch, blocksize = ring_hi.shape
     return _time_sustained(
-        "ring-mode",
+        f"ring-mode[{n_sust}]",
         lambda st, rg: pipe.run_ring(params, st, ring_hi, ring_lo, rg,
                                      n_sust),
         pipe, n_sust, K, batch, blocksize, reps)
 
 
-def _sustained_ring_mega_xrt(pipe, params, pblocks, reps: int):
+def _sustained_ring_mega_xrt(pipe, params, pblocks, reps: int,
+                             n_sust: int | None = None):
     """One-launch serving megakernel (`Pipeline.run_ring_mega`): the whole
     n_sust-step dispatch inside a single Pallas kernel — no per-step
     launches, no lax.scan carries, no tail HBM round trips.  Same slot
@@ -207,13 +210,14 @@ def _sustained_ring_mega_xrt(pipe, params, pblocks, reps: int):
 
     import jax.numpy as jnp
 
-    n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
+    if n_sust is None:
+        n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
     if not n_sust or not pipe.supports_ring_step or not pipe._pair_ingest:
         return None
     ring_hi, ring_lo = pblocks
     K, batch, blocksize = ring_hi.shape
     return _time_sustained(
-        "ring-mega",
+        f"ring-mega[{n_sust}]",
         lambda st, rg: pipe.run_ring_mega(params, st, ring_hi, ring_lo, rg,
                                           n_sust),
         pipe, n_sust, K, batch, blocksize, reps)
@@ -336,8 +340,11 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
     sustained_pair_xrt = None
     sustained_pair_ring_xrt = None
     sustained_pair_ring_mega_xrt = None
+    sustained_pair_ring_asym_xrt = None
+    sustained_pair_ring_mega_asym_xrt = None
     sustained_xrt_ring16 = None
     mfu_ring = None
+    mfu_ring_asym = None
     if (strategy == "td_mxu" and precision.startswith("B3")
             and os.environ.get("AFP_BENCH_PAIR", "1") != "0"):
         import dataclasses
@@ -369,6 +376,27 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
             except Exception as e:  # noqa: BLE001
                 print(f"bench: ring-mega variant failed ({e})",
                       file=sys.stderr, flush=True)
+            # asymptote leg: the same ring/mega modes at a 2048-step
+            # dispatch — per-dispatch tunnel RTT (~26 ms) amortized 4×
+            # further (51 → 13 µs/block at the headline shape).  Extra
+            # keys, NOT the 512-step default methodology; a co-located
+            # production host with long-lived dispatches sees this number.
+            n_asym = int(os.environ.get("AFP_BENCH_SUSTAIN_ASYMPTOTE",
+                                        "2048"))
+            if n_asym > int(os.environ.get("AFP_BENCH_SUSTAIN", "512")):
+                try:
+                    sustained_pair_ring_asym_xrt = _sustained_ring_xrt(
+                        ppipe, pparams, pblocks, reps, n_sust=n_asym)
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench: ring asymptote failed ({e})",
+                          file=sys.stderr, flush=True)
+                try:
+                    sustained_pair_ring_mega_asym_xrt = (
+                        _sustained_ring_mega_xrt(
+                            ppipe, pparams, pblocks, reps, n_sust=n_asym))
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench: ring-mega asymptote failed ({e})",
+                          file=sys.stderr, flush=True)
             best_ring = max(sustained_pair_ring_xrt or 0,
                             sustained_pair_ring_mega_xrt or 0) or None
             if best_ring is not None and pipe.n_casc:
@@ -377,6 +405,14 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
                 mfu_ring = float(round(
                     2.0 * batch * cfg.blocksize * pipe.n_casc
                     / ring_per_block / _peak_flops(), 4))
+            best_asym = max(sustained_pair_ring_asym_xrt or 0,
+                            sustained_pair_ring_mega_asym_xrt or 0) or None
+            if best_asym is not None and pipe.n_casc:
+                asym_per_block = (batch * cfg.blocksize / cfg.samplerate
+                                  ) / best_asym
+                mfu_ring_asym = float(round(
+                    2.0 * batch * cfg.blocksize * pipe.n_casc
+                    / asym_per_block / _peak_flops(), 4))
             del pblocks
         except Exception as e:  # noqa: BLE001
             print(f"bench: pair-ingest variant failed ({e})",
@@ -403,10 +439,14 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
         "sustained_pair_xrt": sustained_pair_xrt,
         "sustained_pair_ring_xrt": sustained_pair_ring_xrt,
         "sustained_pair_ring_mega_xrt": sustained_pair_ring_mega_xrt,
+        "sustained_pair_ring_asym2048_xrt": sustained_pair_ring_asym_xrt,
+        "sustained_pair_ring_mega_asym2048_xrt":
+            sustained_pair_ring_mega_asym_xrt,
         "strategy": strategy,
         "precision": precision if strategy == "td_mxu" else None,
         "mfu": mfu,
         "mfu_ring": mfu_ring,
+        "mfu_ring_asym2048": mfu_ring_asym,
         "best_run_s": round(best, 4),
         "error_db_vs_oracle": err_db,
         "device": str(jax.devices()[0]),
@@ -647,7 +687,11 @@ def main() -> None:
     result = None
     for strat, prec in attempts:
         try:
-            _alarm(1080 if strat == "td_mxu" else 600)
+            # td_mxu budget covers the primary + sustained + pair + ring +
+            # mega + the two 2048-step asymptote legs (each a fresh trace);
+            # a mid-pair-section BenchTimeout is caught by that section's
+            # except and only skips the remaining pair metrics
+            _alarm(1500 if strat == "td_mxu" else 600)
             result = run_config(batch, nblocks, reps, strat, prec)
             signal.alarm(0)
             break
@@ -706,9 +750,14 @@ def main() -> None:
     if result.get("strategy") == "td_mxu" and str(
             result.get("precision", "")).startswith("B3"):
         try:
-            _alarm(600)
+            # 4 blocks (256 MB at the headline shape): the stage certifies
+            # the host-facing engine surface at scale — it is dominated by
+            # host↔device staging over the dev tunnel (~25 MB/s), so a
+            # bigger signal measures the same thing slower (the 16-block
+            # form blew the stage alarm when the tunnel ran slow)
+            _alarm(900)
             result["engine_pair_xrt"] = run_engine_pair_xrt(
-                batch, min(nblocks, 16), reps)
+                batch, min(nblocks, 4), reps)
             signal.alarm(0)
         except (BenchTimeout, Exception) as e:  # noqa: BLE001
             signal.alarm(0)

@@ -448,6 +448,40 @@ def test_run_ring_mega_matches_run_ring(rng):
                          jnp.zeros(sig.shape, jnp.float32), K)
 
 
+def test_run_ring_mega_chunked_launches(rng, monkeypatch):
+    """n_steps > MEGA_CHUNK_STEPS chains multiple mega launches, carrying
+    the VMEM tail between them — output and tail must stay bit-identical
+    to the per-step ring scan (the SMEM-cap workaround: Mosaic's fixed
+    footprint leaves no room for a long scalar-prefetch seed array)."""
+    import jax.numpy as jnp
+
+    import afp_tpu.engine.pipeline as plmod
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    monkeypatch.setattr(plmod, "MEGA_CHUNK_STEPS", 2)
+    cfg = make_cfg(blocksize=512, upsample_factor=1, numtaps=65, batch=4,
+                   conv_strategy="td_mxu", ingest="pair", dither_kind="off",
+                   eq_enabled=True, output_clip=0.8)
+    K = 3
+    sig = (rng.normal(size=(K, 4, 512)) * 0.4).astype(np.float32)
+    p = Pipeline(cfg)
+    pp = p.device_params(PipelineParams.design(p.cfg))
+    rh, rl = split_bf16(jnp.asarray(sig))
+    # 5 steps at chunk 2 → 3 launches (2+2+1), with slot wraparound and a
+    # nonzero start crossing chunk boundaries
+    st = p.init_state(seed=1)
+    ring = jnp.full(sig.shape, 5.0, jnp.float32)
+    st, ring = p.run_ring(pp, st, rh, rl, ring, 5, start=2)
+    st2 = p.init_state(seed=1)
+    ring2 = jnp.full(sig.shape, 5.0, jnp.float32)
+    st2, ring2 = p.run_ring_mega(pp, st2, rh, rl, ring2, 5, start=2)
+    np.testing.assert_array_equal(np.asarray(ring2), np.asarray(ring))
+    np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
+                                  np.asarray(st2.conv_tail[0]))
+    np.testing.assert_array_equal(np.asarray(st.conv_tail[1]),
+                                  np.asarray(st2.conv_tail[1]))
+
+
 def test_pair_ingest_engine_accepts_and_bad_configs_reject():
     """StreamEngine accepts ingest='pair' since the engine-level pair
     ladder landed (r3); the config-level incompatibilities still raise."""
