@@ -585,24 +585,36 @@ def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
     # pair chain): the f32 input ring feeds the ring-input RMS/apply
     # kernels, the conv writes the output ring in place
     ring = None
+    ring_asym = None
     if pipe.supports_ring_step:
         try:
             ring = _sustained_agc_ring_xrt(pipe, params, blocks, reps)
         except Exception as e:  # noqa: BLE001
             print(f"bench: agc ring mode failed ({e})",
                   file=sys.stderr, flush=True)
+        n_asym = int(os.environ.get("AFP_BENCH_SUSTAIN_ASYMPTOTE", "2048"))
+        if ring is not None and n_asym > int(
+                os.environ.get("AFP_BENCH_SUSTAIN", "512")):
+            try:
+                ring_asym = _sustained_agc_ring_xrt(pipe, params, blocks,
+                                                    reps, n_sust=n_asym)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: agc ring asymptote failed ({e})",
+                      file=sys.stderr, flush=True)
     return {"chained": float(round(xrt, 1)), "sustained": sustained,
-            "ring": ring}
+            "ring": ring, "ring_asym": ring_asym}
 
 
-def _sustained_agc_ring_xrt(pipe, params, blocks, reps: int):
+def _sustained_agc_ring_xrt(pipe, params, blocks, reps: int,
+                            n_sust: int | None = None):
     """Ring-mode sustained serving for the fused AGC chain (f32 ring)."""
-    n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
+    if n_sust is None:
+        n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
     if not n_sust or not pipe.supports_ring_step:
         return None
     K, batch, blocksize = blocks.shape
     return _time_sustained(
-        "agc ring-mode",
+        f"agc ring-mode[{n_sust}]",
         lambda st, rg: pipe.run_ring(params, st, blocks, None, rg, n_sust),
         pipe, n_sust, K, batch, blocksize, reps)
 
@@ -722,6 +734,8 @@ def main() -> None:
             result[f"agc_{mode}_chained_xrt"] = r["chained"]
             if r.get("ring") is not None:
                 result[f"agc_{mode}_ring_xrt"] = r["ring"]
+            if r.get("ring_asym") is not None:
+                result[f"agc_{mode}_ring_asym2048_xrt"] = r["ring_asym"]
         except (BenchTimeout, Exception) as e:  # noqa: BLE001
             signal.alarm(0)
             print(f"bench: agc {mode} failed ({e})", file=sys.stderr, flush=True)
