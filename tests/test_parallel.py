@@ -179,6 +179,22 @@ def test_sharded_run_ring_mega_matches_run_ring(rng, mesh):
     np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
                                   np.asarray(st2.conv_tail[0]))
 
+    # chunk-crossing form: per-shard launches chain when n > MEGA_CHUNK_STEPS
+    # (the SMEM-cap workaround) — still identical under shard_map
+    import afp_tpu.engine.pipeline as plmod
+    orig = plmod.MEGA_CHUNK_STEPS
+    plmod.MEGA_CHUNK_STEPS = 2
+    try:
+        sp3 = ShardedPipeline(cfg, mesh)
+        ring3 = jnp.zeros((K, cfg.batch, cfg.blocksize), jnp.float32)
+        st3, ring3 = sp3.run_ring_mega(params, sp3.init_state(seed=6), rh, rl,
+                                       ring3, n, start=1)
+    finally:
+        plmod.MEGA_CHUNK_STEPS = orig
+    np.testing.assert_array_equal(np.asarray(ring3), np.asarray(ring))
+    np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
+                                  np.asarray(st3.conv_tail[0]))
+
 
 def test_sharded_agc_ring_matches_sharded_run(rng, monkeypatch):
     """The fused-AGC serving ring (single f32 input ring, ring_lo=None)
