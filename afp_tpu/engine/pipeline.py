@@ -261,9 +261,13 @@ class Pipeline:
                 "ingest='pair' requires a bf16-class conv precision "
                 f"(AFP_TD_PRECISION is {_td_prec!r})")
         self._conv_pair = self._conv_pair or self._pair_ingest
-        if self._conv_pair:
-            # pair tail is carried padded to a LANE multiple so every window
-            # slice in the pair kernel is lane-aligned (fir_td.py:_fir_kernel_b3t)
+        #: bf16-class conv precision — the B3 split kernels (pair ingest,
+        #: fused AGC pair chain, f32 serving ring) all require it
+        self._td_b3 = _td_prec in ("B3", "B3F", "B3C")
+        if self._use_td:
+            # tail is carried padded to a LANE multiple so every window
+            # slice in the ring/pair kernels is lane-aligned
+            # (fir_td.py:_fir_kernel_b3t / _fir_kernel_b3t_f32)
             from ..ops.pallas.fir_td import LANE as _lane
 
             self._k_pad = -(-max(self.n_casc - 1, 1) // _lane) * _lane
@@ -596,7 +600,12 @@ class Pipeline:
                     tail_f32 = merge_bf16(tail_hi, tail_lo)[:, -(n_conv - 1):]
                     ext = jnp.concatenate([tail_f32, x], axis=-1)
             else:
-                ext = jnp.concatenate([state.conv_tail, x], axis=-1)
+                # [..., -(n_conv-1):] is an identity slice for the staged
+                # tail; after an f32 ring step the carried tail is k_pad
+                # wide (lane-aligned) and the slice drops the inert leading
+                # history so the staged kernel's output alignment holds
+                ext = jnp.concatenate(
+                    [state.conv_tail[..., -(n_conv - 1):], x], axis=-1)
             if self._use_td:
                 per_stream = has_eq and params.eq_gains.ndim == 2
                 # fuse the output stage (±clip, then dither — the reference
@@ -774,24 +783,32 @@ class Pipeline:
 
     @property
     def supports_ring_step(self) -> bool:
-        """True when :meth:`ring_step` is available — either form:
+        """True when :meth:`ring_step` is available — three forms:
 
         * pair ingest (bf16 (hi, lo) input rings; `StreamConfig.validate`
           already restricts it to td_mxu, no AGC/ASRC, base-rate output);
         * the fused AGC chain (``_conv_pair`` without pair ingest): a
           single f32 input ring feeds the ring-input RMS and fused-apply
           kernels, whose pair output feeds the ring-output conv — the C8
-          chain with zero staging copies.
+          chain with zero staging copies;
+        * the f32 conv ring (no AGC, f32 ingest, td_mxu B3-class): a
+          single f32 input ring feeds `fir_td_mxu_ring_f32`, which splits
+          in VMEM — the reference's f32 input contract with the
+          pair-ring's zero-copy dispatch (a bf16 pair costs exactly the
+          bytes of one f32 array, so the HBM traffic is identical).
 
-        Both require the scan-carried waterfall off and no device-side
+        All require the scan-carried waterfall off and no device-side
         ASRC; per-stream EQ banks are rejected at call time (their kernel
         consumes f32)."""
         if self.cfg.waterfall_enabled or not self.fused:
             return False
         if self._pair_ingest:
             return True
-        return bool(self._conv_pair and self._rms_band is not None
-                    and not self._asrc_device)
+        if self._conv_pair and self._rms_band is not None \
+                and not self._asrc_device:
+            return True
+        return bool(self._use_td and self._td_b3
+                    and not self.cfg.agc_enabled and not self._asrc_device)
 
     def _ring_step_impl(self, params: DeviceParams, state: StreamState,
                         ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
@@ -818,13 +835,16 @@ class Pipeline:
                 "wide-dot kernel consumes f32) — use step()")
         if not self.supports_ring_step:
             raise ValueError(
-                "ring_step requires pair ingest or the fused AGC chain, "
-                "with the waterfall disabled (see supports_ring_step)")
-        agc_mode = ring_lo is None  # f32 AGC ring vs bf16 pair rings
-        if agc_mode != (not self._pair_ingest):
+                "ring_step requires pair ingest, the fused AGC chain, or "
+                "the f32 conv ring, with the waterfall disabled (see "
+                "supports_ring_step)")
+        f32_ring = ring_lo is None  # one f32 ring vs bf16 pair rings
+        if f32_ring == self._pair_ingest:
             raise ValueError(
                 "ring form mismatch: pair-ingest pipelines take (hi, lo) "
-                "rings, the fused AGC chain takes one f32 ring")
+                "rings, the fused AGC chain and the f32 conv ring take one "
+                "f32 ring")
+        agc_mode = f32_ring and cfg.agc_enabled  # fused AGC chain
 
         S, B, T = ring_hi.shape
         kp = self._k_pad
@@ -841,8 +861,33 @@ class Pipeline:
             dkw = dict(dither_seed=fold_seed(sub),
                        dither_bits=cfg.dither_bits,
                        dither_tpdf=(cfg.dither_kind == "tpdf"))
-        tail_hi, tail_lo = state.conv_tail
         agc_gain = state.agc_gain
+        if f32_ring and not agc_mode:
+            # f32 conv ring (C5/C6 chain, the reference input contract):
+            # the kernel reads the raw f32 slot, splits in VMEM, convolves
+            # into the donated output slot, and emits the next f32 tail.
+            # Bit-identical to the staged step (the split commutes with
+            # concat/slicing).
+            from ..ops.pallas.fir_td import fir_td_mxu_ring_f32
+
+            out_ring, new_tail = fir_td_mxu_ring_f32(
+                ring_hi, idx, state.conv_tail, band, out_ring,
+                interpret=self._pl_interpret, out_clip=cfg.output_clip,
+                **dkw,
+            )
+            if cfg.dither_kind != "off" and not fuse_dither:
+                key, sub = jax.random.split(key)
+                y = jax.lax.dynamic_index_in_dim(out_ring, idx,
+                                                 keepdims=False)
+                y = dither(sub, y, cfg.dither_bits, cfg.dither_kind)
+                out_ring = jax.lax.dynamic_update_index_in_dim(
+                    out_ring, y, idx, axis=0)
+            new_state = StreamState(
+                asrc=state.asrc, up=state.up, conv_tail=new_tail,
+                down=state.down, agc_gain=agc_gain, key=key, wf=state.wf,
+            )
+            return new_state, out_ring
+        tail_hi, tail_lo = state.conv_tail
         if agc_mode:
             # fused AGC chain over the f32 ring: RMS front half and the
             # scan+clip+apply back half stream slot `idx` directly
@@ -915,6 +960,14 @@ class Pipeline:
                        out_ring: jnp.ndarray, n_steps: int, start):
         K = ring_hi.shape[0]
         start = jnp.asarray(start, dtype=jnp.int32)
+        if ring_lo is None and not self.cfg.agc_enabled:
+            # f32 conv ring: the kernel emits a k_pad-wide tail, so the
+            # scan carry must enter at that width (one pad, outside the
+            # loop; the padded leading history is numerically inert)
+            t = state.conv_tail
+            if t.shape[-1] != self._k_pad:
+                state = state._replace(conv_tail=jnp.pad(
+                    t, ((0, 0), (self._k_pad - t.shape[-1], 0))))
 
         def body(carry, i):
             st, rg = carry
@@ -945,17 +998,22 @@ class Pipeline:
     def _run_ring_mega_impl(self, params: DeviceParams, state: StreamState,
                             ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
                             out_ring: jnp.ndarray, n_steps: int, start):
-        """Whole-dispatch serving loop in ONE kernel launch
-        (`fir_td_mxu_ring_mega`): per-step math, slot order, and dither
-        seed folds identical to :meth:`_run_ring_impl` in pair-ingest
-        mode, but without the `lax.scan`, the per-step kernel launches,
-        or the tail carry traffic.  Requires fused dither (TPU) or
-        ``dither_kind='off'`` — the interpret-mode post-kernel dither
-        pass has no per-step hook here."""
+        """Whole-dispatch serving loop in chained megakernel launches
+        (`fir_td_mxu_ring_mega` / `_mega_f32`): per-step math, slot order,
+        and dither seed folds identical to :meth:`_run_ring_impl` in the
+        matching ring form (pair rings, or the f32 conv ring when
+        ``ring_lo is None``), but without the `lax.scan`, the per-step
+        kernel launches, or the tail carry traffic.  Requires fused dither
+        (TPU) or ``dither_kind='off'`` — the interpret-mode post-kernel
+        dither pass has no per-step hook here."""
         cfg = self.cfg
-        if not (self.supports_ring_step and self._pair_ingest):
-            raise ValueError("run_ring_mega requires pair ingest with the "
-                             "waterfall disabled (see supports_ring_step)")
+        f32_form = ring_lo is None
+        if not self.supports_ring_step or cfg.agc_enabled or (
+                f32_form == self._pair_ingest):
+            raise ValueError(
+                "run_ring_mega requires pair ingest (bf16 (hi, lo) rings) "
+                "or the f32 conv ring (no AGC), with the waterfall "
+                "disabled (see supports_ring_step)")
         has_eq = cfg.eq_enabled and len(cfg.eq_bands) > 0
         if has_eq and params.eq_gains.ndim == 2:
             raise ValueError("run_ring_mega does not support per-stream EQ "
@@ -985,7 +1043,6 @@ class Pipeline:
             seeds = seeds.reshape(n_steps, 1)
             dkw = dict(dither_bits=cfg.dither_bits,
                        dither_tpdf=(cfg.dither_kind == "tpdf"))
-        tail_hi, tail_lo = state.conv_tail
         # Chained ≤MEGA_CHUNK_STEPS launches: Mosaic's fixed SMEM footprint
         # for this kernel sits ~7 KB under the 1 MB cap, so the [n_steps, 1]
         # scalar-prefetch seed array overflows SMEM for n_steps ≳ 1024
@@ -995,19 +1052,36 @@ class Pipeline:
         # step math, slot order, and seed schedule stay bit-identical to
         # the single-launch form (seeds are sliced from the same key walk).
         start = jnp.asarray(start, dtype=jnp.int32)
-        nt_hi, nt_lo = tail_hi, tail_lo
-        off = 0
-        while off < n_steps:
-            n = min(MEGA_CHUNK_STEPS, n_steps - off)
-            sd = None if seeds is None else jax.lax.slice_in_dim(
-                seeds, off, off + n, axis=0)
-            out_ring, nt_hi, nt_lo = fir_td_mxu_ring_mega(
-                ring_hi, ring_lo, start + off, nt_hi, nt_lo, band, out_ring,
-                n, seeds=sd, interpret=self._pl_interpret,
-                out_clip=cfg.output_clip, **dkw)
-            off += n
+        if f32_form:
+            from ..ops.pallas.fir_td import fir_td_mxu_ring_mega_f32
+
+            nt = state.conv_tail
+            off = 0
+            while off < n_steps:
+                n = min(MEGA_CHUNK_STEPS, n_steps - off)
+                sd = None if seeds is None else jax.lax.slice_in_dim(
+                    seeds, off, off + n, axis=0)
+                out_ring, nt = fir_td_mxu_ring_mega_f32(
+                    ring_hi, start + off, nt, band, out_ring, n, seeds=sd,
+                    interpret=self._pl_interpret,
+                    out_clip=cfg.output_clip, **dkw)
+                off += n
+            new_tail = nt
+        else:
+            nt_hi, nt_lo = state.conv_tail
+            off = 0
+            while off < n_steps:
+                n = min(MEGA_CHUNK_STEPS, n_steps - off)
+                sd = None if seeds is None else jax.lax.slice_in_dim(
+                    seeds, off, off + n, axis=0)
+                out_ring, nt_hi, nt_lo = fir_td_mxu_ring_mega(
+                    ring_hi, ring_lo, start + off, nt_hi, nt_lo, band,
+                    out_ring, n, seeds=sd, interpret=self._pl_interpret,
+                    out_clip=cfg.output_clip, **dkw)
+                off += n
+            new_tail = (nt_hi, nt_lo)
         new_state = StreamState(
-            asrc=state.asrc, up=state.up, conv_tail=(nt_hi, nt_lo),
+            asrc=state.asrc, up=state.up, conv_tail=new_tail,
             down=state.down, agc_gain=state.agc_gain, key=key, wf=state.wf,
         )
         return new_state, out_ring
@@ -1015,9 +1089,10 @@ class Pipeline:
     def run_ring_mega(self, params: DeviceParams, state: StreamState,
                       ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
                       out_ring: jnp.ndarray, n_steps: int, start=0):
-        """Megakernel variant of :meth:`run_ring` (pair-ingest form only):
-        the dispatch runs as one Pallas launch per ≤`MEGA_CHUNK_STEPS`
-        blocks (vs one per block) — final ring, tail carry, and dither
+        """Megakernel variant of :meth:`run_ring` (pair-ingest form with
+        (hi, lo) rings, or the f32 conv ring with ``ring_lo=None``): the
+        dispatch runs as one Pallas launch per ≤`MEGA_CHUNK_STEPS` blocks
+        (vs one per block) — final ring, tail carry, and dither
         bit-identical to :meth:`run_ring`.  `out_ring` is donated;
         `n_steps` is static."""
         if not hasattr(self, "_run_ring_mega"):

@@ -28,6 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["band_matrix", "wide_band_matrix", "fir_td_mxu",
            "fir_td_mxu_pair", "fir_td_mxu_per_stream", "fir_conv_xla",
+           "fir_td_mxu_ring", "fir_td_mxu_ring_f32", "fir_td_mxu_ring_mega",
+           "fir_td_mxu_ring_mega_f32", "fir_td_mxu_pair_to_ring",
            "split_bf16", "merge_bf16", "PRECISION_MODE"]
 
 import os as _os
@@ -790,6 +792,169 @@ def fir_td_mxu_ring(ring_hi: jnp.ndarray, ring_lo: jnp.ndarray, idx,
                              out_clip=out_clip, emit_tail=emit_tail)
 
 
+def _fir_kernel_b3t_f32(x_ref, t_ref, bhi_ref, blo_ref, o_ref, *, k_pad: int,
+                        t_tiles: int, seed_ref=None, lsb: float = 0.0,
+                        tpdf: bool = True, out_clip=None, t_o=None):
+    """f32-input variant of :func:`_fir_kernel_b3t`: the block and carried
+    overlap tail arrive as RAW f32 refs and the bf16 hi/lo split happens
+    once in VMEM (`_split_bf16_in_kernel` — the same integer-RN split the
+    staged path applies outside, so outputs are bit-identical: the split is
+    elementwise and commutes with the concat/window slicing).
+
+    This is what makes a zero-copy serving ring possible under the
+    reference's f32 input contract: the HBM ring holds plain f32 blocks
+    (no ingest-side split), and since a bf16 pair costs exactly the bytes
+    of one f32 array, the HBM traffic equals the pair-ring's.  With
+    ``t_o`` the kernel also emits the next step's f32 tail (last k_pad
+    samples of concat(tail, x)) from VMEM."""
+    if seed_ref is not None:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    x_hi, x_lo = _split_bf16_in_kernel(x_ref[:, :])
+    t_hi, t_lo = _split_bf16_in_kernel(t_ref[:, :])
+    for t in range(t_tiles):
+        off = t * LANE
+        if off < k_pad:  # window straddles the tail/block boundary
+            w_hi = jnp.concatenate(
+                [t_hi[:, off:], x_hi[:, : off + LANE]], axis=-1)
+            w_lo = jnp.concatenate(
+                [t_lo[:, off:], x_lo[:, : off + LANE]], axis=-1)
+        else:
+            s = off - k_pad
+            w_hi = x_hi[:, s : s + k_pad + LANE]
+            w_lo = x_lo[:, s : s + k_pad + LANE]
+        y = (
+            jnp.dot(w_hi, bhi_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
+        )
+        o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
+            y, seed_ref, lsb, tpdf, out_clip)
+    if t_o is not None:
+        T = t_tiles * LANE
+        if k_pad <= T:
+            t_o[:, :] = x_ref[:, T - k_pad :]
+        else:
+            t_o[:, :] = jnp.concatenate([t_ref[:, T:], x_ref[:, :]], axis=-1)
+
+
+def _pick_b_tile_b3t_f32(B: int, k_pad: int, T: int) -> int:
+    """Batch tile for the f32-ring kernel: f32 block (T·4 B/row) + its
+    in-kernel bf16 pair temporaries (another T·4 B/row) + f32 tail and its
+    pair + out, double-buffered IO."""
+    for b_tile in (128, 64, 32, 16, 8):
+        if B % b_tile:
+            continue
+        foot = (2 * b_tile * T * 4      # f32 block, double-buffered
+                + 2 * b_tile * T * 2    # in-kernel bf16 pair (single copy)
+                + 4 * b_tile * k_pad * 4  # f32 tail in/out + pair temporaries
+                + 2 * b_tile * T * 4)   # f32 out, double-buffered
+        if foot <= 12 * 2**20:
+            return b_tile
+    if B <= 8:
+        return B
+    raise ValueError(
+        f"batch {B} is not divisible by any supported batch tile "
+        "(must be ≤ 8 or a multiple of 8)")
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "dither_bits", "dither_tpdf", "out_clip"))
+def _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
+                          interpret: bool = False, seed=None,
+                          dither_bits: int | None = None,
+                          dither_tpdf: bool = True,
+                          out_clip: float | None = None):
+    S, B, T = ring.shape
+    k_pad = tail.shape[1]
+    n_taps = band.shape[0] - LANE + 1
+    assert k_pad % LANE == 0 and k_pad >= n_taps - 1, (k_pad, n_taps)
+    band_p = jnp.pad(band, ((k_pad - (n_taps - 1), 0), (0, 0)))
+    t_tiles = T // LANE
+    b_hi, b_lo = split_bf16(band_p)
+    bt = _pick_b_tile_b3t_f32(B, k_pad, T)
+    grid = (B // bt,)
+    ring_spec = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
+                             memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((bt, k_pad), lambda i, s: (i, 0),
+                          memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((band_p.shape[0], LANE), lambda i, s: (0, 0),
+                             memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 1), lambda i, s: (0, 0),
+                             memory_space=pltpu.SMEM)
+    ring_io_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_specs = [
+        pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, k_pad), lambda i, s: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((S, B, T), jnp.float32),
+                 jax.ShapeDtypeStruct((B, k_pad), jnp.float32)]
+    dkw = {"out_clip": out_clip}
+    if dither_bits is not None:
+        dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
+    kernel = functools.partial(_fir_kernel_b3t_f32, k_pad=k_pad,
+                               t_tiles=t_tiles, **dkw)
+    if dither_bits is not None:
+        kern = lambda sidx, s, x, t, e, f, rio, o, to: kernel(
+            x, t, e, f, o, seed_ref=s, t_o=to)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[seed_spec, ring_spec, t_spec, band_spec, band_spec,
+                      ring_io_spec],
+            out_specs=out_specs)
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shape,
+            input_output_aliases={6: 0}, interpret=interpret,
+        )(idx, seed, ring, tail, b_hi, b_lo, out_ring)
+    kern = lambda sidx, x, t, e, f, rio, o, to: kernel(x, t, e, f, o, t_o=to)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[ring_spec, t_spec, band_spec, band_spec, ring_io_spec],
+        out_specs=out_specs)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        input_output_aliases={5: 0}, interpret=interpret,
+    )(idx, ring, tail, b_hi, b_lo, out_ring)
+
+
+def fir_td_mxu_ring_f32(ring: jnp.ndarray, idx, tail: jnp.ndarray,
+                        band: jnp.ndarray, out_ring: jnp.ndarray,
+                        interpret: bool = False,
+                        dither_seed=None, dither_bits: int | None = None,
+                        dither_tpdf: bool = True,
+                        out_clip: float | None = None):
+    """Zero-copy serving-ring FIR step under the f32 INPUT CONTRACT: the
+    HBM input ring holds raw f32 blocks (no ingest-side bf16 split), the
+    kernel splits in VMEM and convolves slot `idx` straight into slot
+    `idx` of the DONATED output ring.
+
+    Same HBM bytes as the pair ring (a bf16 pair = one f32 array), same
+    three bf16 MXU passes, outputs bit-identical to the staged
+    ``fir_td_mxu(concat([tail, x]), band, precision='B3')`` path (the
+    integer-RN split commutes with concat/slicing).  `tail`: [B, k_pad]
+    f32 carried history (k_pad = n_taps−1 rounded up to a LANE multiple;
+    narrower tails are zero-padded here for one-shot use).  Returns
+    ``(out_ring, next_tail)`` — the next step's f32 tail emitted from the
+    VMEM-resident block.
+    """
+    assert ring.dtype == jnp.float32 and tail.dtype == jnp.float32
+    band = jnp.asarray(band, dtype=jnp.float32)
+    if ring.shape[-1] % LANE:
+        raise ValueError(f"T={ring.shape[-1]} must be a multiple of {LANE}")
+    k = band.shape[0] - LANE
+    k_pad = -(-max(k, 1) // LANE) * LANE
+    if tail.shape[1] != k_pad:
+        pad = k_pad - tail.shape[1]
+        assert pad > 0, (tail.shape, k_pad)
+        tail = jnp.pad(tail, ((0, 0), (pad, 0)))
+    idx = jnp.asarray(idx, dtype=jnp.int32).reshape(1)
+    return _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
+                                 interpret=interpret, seed=dither_seed,
+                                 dither_bits=dither_bits,
+                                 dither_tpdf=dither_tpdf, out_clip=out_clip)
+
+
 def _fir_kernel_b3mega(xhi_ref, xlo_ref, thi_ref, tlo_ref, bhi_ref, blo_ref,
                        o_ref, thi_o, tlo_o, *, k_pad: int, t_tiles: int,
                        seed_ref=None, lsb: float = 0.0, tpdf: bool = True,
@@ -966,6 +1131,142 @@ def fir_td_mxu_ring_mega(ring_hi: jnp.ndarray, ring_lo: jnp.ndarray, start,
     return _fir_td_ring_mega_call(
         start, seeds, ring_hi, ring_lo, tail_hi, tail_lo, band, out_ring,
         n_steps=int(n_steps), interpret=interpret, dither_bits=dither_bits,
+        dither_tpdf=dither_tpdf, out_clip=out_clip)
+
+
+def _fir_kernel_b3mega_f32(x_ref, t_in_ref, bhi_ref, blo_ref, o_ref, t_o,
+                           *, k_pad: int, t_tiles: int, seed_ref=None,
+                           lsb: float = 0.0, tpdf: bool = True,
+                           out_clip=None):
+    """f32 form of :func:`_fir_kernel_b3mega`: serving steps walk the grid's
+    minor axis, the f32 overlap tail lives in the (VMEM-resident, readable)
+    tail OUTPUT ref across the inner step loop, and the block/tail bf16
+    splits happen in VMEM per step (bit-identical to the staged B3 path —
+    the integer-RN split commutes with concat/slicing)."""
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _init_tail():
+        t_o[:, :] = t_in_ref[:, :]
+
+    if seed_ref is not None:
+        pltpu.prng_seed(seed_ref[step, 0] + pl.program_id(0))
+    x_hi, x_lo = _split_bf16_in_kernel(x_ref[:, :])
+    t_hi, t_lo = _split_bf16_in_kernel(t_o[:, :])
+    for t in range(t_tiles):
+        off = t * LANE
+        if off < k_pad:
+            w_hi = jnp.concatenate(
+                [t_hi[:, off:], x_hi[:, : off + LANE]], axis=-1)
+            w_lo = jnp.concatenate(
+                [t_lo[:, off:], x_lo[:, : off + LANE]], axis=-1)
+        else:
+            s = off - k_pad
+            w_hi = x_hi[:, s : s + k_pad + LANE]
+            w_lo = x_lo[:, s : s + k_pad + LANE]
+        y = (
+            jnp.dot(w_hi, bhi_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
+        )
+        o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
+            y, seed_ref, lsb, tpdf, out_clip)
+    T = t_tiles * LANE
+    if k_pad <= T:
+        t_o[:, :] = x_ref[:, T - k_pad :]
+    else:
+        t_o[:, :] = jnp.concatenate([t_o[:, T:], x_ref[:, :]], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_steps", "interpret", "dither_bits", "dither_tpdf", "out_clip"))
+def _fir_td_ring_mega_f32_call(start, seeds, ring, tail, band, out_ring,
+                               n_steps: int, interpret: bool = False,
+                               dither_bits: int | None = None,
+                               dither_tpdf: bool = True,
+                               out_clip: float | None = None):
+    S, B, T = ring.shape
+    k_pad = tail.shape[1]
+    n_taps = band.shape[0] - LANE + 1
+    assert k_pad % LANE == 0 and k_pad >= n_taps - 1, (k_pad, n_taps)
+    band_p = jnp.pad(band, ((k_pad - (n_taps - 1), 0), (0, 0)))
+    t_tiles = T // LANE
+    b_hi, b_lo = split_bf16(band_p)
+    bt = _pick_b_tile_b3t_f32(B, k_pad, T)
+    grid = (B // bt, n_steps)  # tile MAJOR, step minor
+    ring_spec = pl.BlockSpec((None, bt, T),
+                             lambda i, st, *pref: ((pref[0][0] + st) % S, i, 0),
+                             memory_space=pltpu.VMEM)
+    t_in_spec = pl.BlockSpec((bt, k_pad), lambda i, st, *pref: (i, 0),
+                             memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((band_p.shape[0], LANE),
+                             lambda i, st, *pref: (0, 0),
+                             memory_space=pltpu.VMEM)
+    ring_io_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_specs = [
+        pl.BlockSpec((None, bt, T),
+                     lambda i, st, *pref: ((pref[0][0] + st) % S, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, k_pad), lambda i, st, *pref: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((S, B, T), jnp.float32),
+                 jax.ShapeDtypeStruct((B, k_pad), jnp.float32)]
+    dkw = {"out_clip": out_clip}
+    if dither_bits is not None:
+        dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
+    kernel = functools.partial(_fir_kernel_b3mega_f32, k_pad=k_pad,
+                               t_tiles=t_tiles, **dkw)
+    if dither_bits is not None:
+        assert seeds is not None and seeds.shape == (n_steps, 1), seeds
+        kern = lambda sidx, sd, x, t, e, f, rio, o, to: kernel(
+            x, t, e, f, o, to, seed_ref=sd)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=grid,
+            in_specs=[ring_spec, t_in_spec, band_spec, band_spec,
+                      ring_io_spec],
+            out_specs=out_specs)
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shape,
+            input_output_aliases={6: 0}, interpret=interpret,
+        )(start, seeds, ring, tail, b_hi, b_lo, out_ring)
+    kern = lambda sidx, x, t, e, f, rio, o, to: kernel(x, t, e, f, o, to)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[ring_spec, t_in_spec, band_spec, band_spec, ring_io_spec],
+        out_specs=out_specs)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        input_output_aliases={5: 0}, interpret=interpret,
+    )(start, ring, tail, b_hi, b_lo, out_ring)
+
+
+def fir_td_mxu_ring_mega_f32(ring: jnp.ndarray, start, tail: jnp.ndarray,
+                             band: jnp.ndarray, out_ring: jnp.ndarray,
+                             n_steps: int, seeds=None,
+                             interpret: bool = False,
+                             dither_bits: int | None = None,
+                             dither_tpdf: bool = True,
+                             out_clip: float | None = None):
+    """f32-contract serving megakernel: ``n_steps`` ring steps inside one
+    Pallas launch, the f32 ring read/written in place and the f32 overlap
+    tail carried in VMEM across steps.  Equivalent to chained
+    :func:`fir_td_mxu_ring_f32` calls (same per-step math and seed fold).
+    Returns ``(out_ring, next_tail)``."""
+    assert ring.dtype == jnp.float32 and tail.dtype == jnp.float32
+    band = jnp.asarray(band, dtype=jnp.float32)
+    if ring.shape[-1] % LANE:
+        raise ValueError(f"T={ring.shape[-1]} must be a multiple of {LANE}")
+    k = band.shape[0] - LANE
+    k_pad = -(-max(k, 1) // LANE) * LANE
+    if tail.shape[1] != k_pad:
+        pad = k_pad - tail.shape[1]
+        assert pad > 0, (tail.shape, k_pad)
+        tail = jnp.pad(tail, ((0, 0), (pad, 0)))
+    start = jnp.asarray(start, dtype=jnp.int32).reshape(1)
+    return _fir_td_ring_mega_f32_call(
+        start, seeds, ring, tail, band, out_ring, n_steps=int(n_steps),
+        interpret=interpret, dither_bits=dither_bits,
         dither_tpdf=dither_tpdf, out_clip=out_clip)
 
 

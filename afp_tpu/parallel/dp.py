@@ -260,15 +260,15 @@ class ShardedPipeline:
         """Sharded zero-copy serving loop (`Pipeline.run_ring`): the
         [S, B_global, T] rings shard on 'streams', the slot index is
         replicated, and each shard's ring kernels read/write their own ring
-        slices in place — still zero hot-loop collectives.  Both ring forms
-        work: pair ingest (bf16 `(ring_hi, ring_lo)`) and the fused AGC
-        chain (single f32 ring, ``ring_lo=None``).  `out_ring` is donated;
-        `n_steps` is static."""
+        slices in place — still zero hot-loop collectives.  All three ring
+        forms work: pair ingest (bf16 `(ring_hi, ring_lo)`), the fused AGC
+        chain, and the f32 conv ring (both: single f32 ring,
+        ``ring_lo=None``).  `out_ring` is donated; `n_steps` is static."""
         if not self.pipeline.supports_ring_step:
             raise ValueError(
-                "run_ring requires a ring-capable pipeline — pair ingest "
-                "or the fused AGC chain, waterfall disabled (see "
-                "Pipeline.supports_ring_step)")
+                "run_ring requires a ring-capable pipeline — pair ingest, "
+                "the fused AGC chain, or the f32 conv ring, waterfall "
+                "disabled (see Pipeline.supports_ring_step)")
         pspec = _param_spec_tree(params)
         key = ("ring", n_steps) + tuple(
             getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)
@@ -303,11 +303,13 @@ class ShardedPipeline:
         (`Pipeline.run_ring_mega`): one Pallas launch per shard covers the
         whole `n_steps` dispatch — same sharding layout, per-shard key
         fold, and zero hot-loop collectives as :meth:`run_ring`.
-        Pair-ingest form only; `out_ring` is donated, `n_steps` static."""
-        if not (self.pipeline.supports_ring_step
-                and self.pipeline._pair_ingest):
-            raise ValueError("run_ring_mega requires pair ingest with the "
-                             "waterfall disabled (see supports_ring_step)")
+        Pair-ingest and f32-conv forms (no fused-AGC form); `out_ring` is
+        donated, `n_steps` static."""
+        if not self.pipeline.supports_ring_step or \
+                self.pipeline.cfg.agc_enabled:
+            raise ValueError("run_ring_mega requires pair ingest or the "
+                             "f32 conv ring (no AGC) with the waterfall "
+                             "disabled (see supports_ring_step)")
         pspec = _param_spec_tree(params)
         key = ("ring_mega", n_steps) + tuple(
             getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)

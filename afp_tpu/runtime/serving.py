@@ -57,8 +57,10 @@ class RingServer:
     ----------
     pipeline:
         A `Pipeline` with ``supports_ring_step``: pair ingest (bf16
-        (hi, lo) input rings) or the fused AGC chain (one f32 input
-        ring; exact-mode AGC on TPU).  Waterfall off, no device ASRC.
+        (hi, lo) input rings), the fused AGC chain (one f32 input
+        ring; exact-mode AGC on TPU), or the f32 conv ring (one f32
+        ring, no AGC — the reference's f32 input contract with
+        zero-copy dispatch).  Waterfall off, no device ASRC.
         A `parallel.ShardedPipeline` works unchanged — the rings are
         placed with its published `ring_sharding` (global batch over the
         'streams' mesh), so one RingServer serves a whole slice.
@@ -75,11 +77,12 @@ class RingServer:
         latency).  ``(max_inflight + 1) * chunk`` must fit in `slots` so
         a refill never lands in a slot whose output is still undrained.
     mega:
-        Dispatch each chunk through the one-launch serving megakernel
+        Dispatch each chunk through the serving megakernel
         (`Pipeline.run_ring_mega`) instead of the scan of ring steps —
-        same numerics, fewer kernel launches.  Pair-ingest form only;
-        off-TPU it additionally requires ``dither_kind='off'`` (the
-        fused dither epilogue has no interpret lowering).
+        same numerics, fewer kernel launches.  Pair-ingest and f32-conv
+        forms (no fused-AGC form); off-TPU it additionally requires
+        ``dither_kind='off'`` (the fused dither epilogue has no interpret
+        lowering).
     """
 
     def __init__(self, pipeline: Pipeline,
@@ -102,9 +105,9 @@ class RingServer:
                 f"exceeds slots {slots}: refills would overwrite undrained "
                 "output slots")
         if mega:
-            if not pipeline._pair_ingest:
-                raise ValueError("mega=True requires pair ingest "
-                                 "(StreamConfig(ingest='pair'))")
+            if pipeline.cfg.agc_enabled:
+                raise ValueError("mega=True has no fused-AGC form — the C8 "
+                                 "chain serves through run_ring")
             if pipeline._pl_interpret and pipeline.cfg.dither_kind != "off":
                 raise ValueError("mega=True off-TPU requires "
                                  "dither_kind='off' (no interpret lowering "

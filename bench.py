@@ -15,7 +15,11 @@ JSON line):
 * ``mfu`` — model FLOP utilization of the fused FIR (useful MACs vs the
   chip's bf16 peak); ``mfu_ring`` — the same for the best zero-copy
   serving-ring mode (max of ``sustained_pair_ring_xrt`` and the
-  one-launch ``sustained_pair_ring_mega_xrt``),
+  one-launch ``sustained_pair_ring_mega_xrt``); ``mfu_f32_ring`` — the
+  same for the f32 conv ring (``sustained_f32_ring_*_xrt``: zero-copy
+  serving under the reference's f32 input contract — the kernel splits
+  bf16 in VMEM, so it is headline-eligible and takes the headline when
+  it wins, under methodology name ``sustained_f32ring``),
 * ``agc_*_xrt`` — the C8 engine (9-band EQ + AGC, the reference's most
   advanced runtime, `stream_process_AGC.py`) for each AGC execution mode
   ('parallel' associative-scan, 'exact' per-sample scan, 'fast' chunked) —
@@ -205,14 +209,17 @@ def _sustained_ring_mega_xrt(pipe, params, pblocks, reps: int,
     """One-launch serving megakernel (`Pipeline.run_ring_mega`): the whole
     n_sust-step dispatch inside a single Pallas kernel — no per-step
     launches, no lax.scan carries, no tail HBM round trips.  Same slot
-    order, numerics, and dither folds as :func:`_sustained_ring_xrt`."""
+    order, numerics, and dither folds as :func:`_sustained_ring_xrt`.
+    Pair-ingest and f32-conv forms (pass ``(ring_f32, None)`` as
+    `pblocks` for the latter); the fused AGC chain has no mega form."""
     import time as _time
 
     import jax.numpy as jnp
 
     if n_sust is None:
         n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
-    if not n_sust or not pipe.supports_ring_step or not pipe._pair_ingest:
+    if (not n_sust or not pipe.supports_ring_step
+            or pipe.cfg.agc_enabled):
         return None
     ring_hi, ring_lo = pblocks
     K, batch, blocksize = ring_hi.shape
@@ -418,11 +425,83 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
             print(f"bench: pair-ingest variant failed ({e})",
                   file=sys.stderr, flush=True)
 
+    # f32 conv serving ring: the SAME pipeline/params as the headline (f32
+    # ingest — the reference's input contract), but dispatched through the
+    # zero-copy ring (`fir_td_mxu_ring_f32`: kernel reads the raw f32 slot,
+    # splits bf16 in VMEM, convolves into the donated output slot).  A bf16
+    # pair costs exactly the bytes of one f32 array, so this carries the
+    # pair-ring's HBM traffic under the f32 contract — it is headline-
+    # eligible (same contract, same 512-step dispatch granularity; ring
+    # slots 16, same as `sustained_xrt_ring16` for like-for-like).
+    sustained_f32_ring_xrt = None
+    sustained_f32_ring_mega_xrt = None
+    sustained_f32_ring_asym_xrt = None
+    sustained_f32_ring_mega_asym_xrt = None
+    mfu_f32_ring = None
+    mfu_f32_ring_asym = None
+    if (pipe.supports_ring_step
+            and os.environ.get("AFP_BENCH_F32RING", "1") != "0"):
+        try:
+            ring_n = min(16, blocks.shape[0])
+            fring = (blocks[:ring_n], None)
+            print("bench: f32 conv ring compiling...",
+                  file=sys.stderr, flush=True)
+            sustained_f32_ring_xrt = _sustained_ring_xrt(
+                pipe, params, fring, reps)
+            try:
+                sustained_f32_ring_mega_xrt = _sustained_ring_mega_xrt(
+                    pipe, params, fring, reps)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: f32 ring-mega variant failed ({e})",
+                      file=sys.stderr, flush=True)
+            n_asym = int(os.environ.get("AFP_BENCH_SUSTAIN_ASYMPTOTE",
+                                        "2048"))
+            if n_asym > int(os.environ.get("AFP_BENCH_SUSTAIN", "512")):
+                try:
+                    sustained_f32_ring_asym_xrt = _sustained_ring_xrt(
+                        pipe, params, fring, reps, n_sust=n_asym)
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench: f32 ring asymptote failed ({e})",
+                          file=sys.stderr, flush=True)
+                try:
+                    sustained_f32_ring_mega_asym_xrt = (
+                        _sustained_ring_mega_xrt(
+                            pipe, params, fring, reps, n_sust=n_asym))
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench: f32 ring-mega asymptote failed ({e})",
+                          file=sys.stderr, flush=True)
+            _blk_audio = batch * cfg.blocksize / cfg.samplerate
+            _f32_best = max(sustained_f32_ring_xrt or 0,
+                            sustained_f32_ring_mega_xrt or 0) or None
+            if _f32_best is not None and pipe.n_casc:
+                mfu_f32_ring = float(round(
+                    2.0 * batch * cfg.blocksize * pipe.n_casc
+                    / (_blk_audio / _f32_best) / _peak_flops(), 4))
+            _f32_asym = max(sustained_f32_ring_asym_xrt or 0,
+                            sustained_f32_ring_mega_asym_xrt or 0) or None
+            if _f32_asym is not None and pipe.n_casc:
+                mfu_f32_ring_asym = float(round(
+                    2.0 * batch * cfg.blocksize * pipe.n_casc
+                    / (_blk_audio / _f32_asym) / _peak_flops(), 4))
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: f32 conv ring failed ({e})",
+                  file=sys.stderr, flush=True)
+
     # Metric NAME carries the methodology (r2 advisor: round 1's value was
     # chained-dispatch xRT, round 2 silently switched to sustained under the
     # same name).  Both numbers are always present under their own keys.
+    # The f32 conv ring keeps the f32 input contract AND the 512-step
+    # dispatch granularity, so it competes for the headline under its own
+    # methodology name.
     headline = sustained_xrt if sustained_xrt is not None else float(round(xrt, 1))
     methodology = "sustained" if sustained_xrt is not None else "chained"
+    _f32_headline = max(sustained_f32_ring_xrt or 0,
+                        sustained_f32_ring_mega_xrt or 0)
+    if _f32_headline > headline:
+        headline = _f32_headline
+        methodology = "sustained_f32ring"
+        if pipe.n_casc:
+            mfu = mfu_f32_ring
     return {
         "metric": f"{methodology}_xrt_1001tap_4x_44k1",
         "value": headline,
@@ -442,11 +521,18 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
         "sustained_pair_ring_asym2048_xrt": sustained_pair_ring_asym_xrt,
         "sustained_pair_ring_mega_asym2048_xrt":
             sustained_pair_ring_mega_asym_xrt,
+        "sustained_f32_ring_xrt": sustained_f32_ring_xrt,
+        "sustained_f32_ring_mega_xrt": sustained_f32_ring_mega_xrt,
+        "sustained_f32_ring_asym2048_xrt": sustained_f32_ring_asym_xrt,
+        "sustained_f32_ring_mega_asym2048_xrt":
+            sustained_f32_ring_mega_asym_xrt,
         "strategy": strategy,
         "precision": precision if strategy == "td_mxu" else None,
         "mfu": mfu,
         "mfu_ring": mfu_ring,
         "mfu_ring_asym2048": mfu_ring_asym,
+        "mfu_f32_ring": mfu_f32_ring,
+        "mfu_f32_ring_asym2048": mfu_f32_ring_asym,
         "best_run_s": round(best, 4),
         "error_db_vs_oracle": err_db,
         "device": str(jax.devices()[0]),
@@ -700,10 +786,11 @@ def main() -> None:
     for strat, prec in attempts:
         try:
             # td_mxu budget covers the primary + sustained + pair + ring +
-            # mega + the two 2048-step asymptote legs (each a fresh trace);
-            # a mid-pair-section BenchTimeout is caught by that section's
-            # except and only skips the remaining pair metrics
-            _alarm(1500 if strat == "td_mxu" else 600)
+            # mega + the 2048-step asymptote legs + the four f32-conv-ring
+            # legs (each a fresh trace); a mid-section BenchTimeout is
+            # caught by that section's except and only skips its remaining
+            # metrics
+            _alarm(2100 if strat == "td_mxu" else 600)
             result = run_config(batch, nblocks, reps, strat, prec)
             signal.alarm(0)
             break

@@ -196,6 +196,32 @@ def test_sharded_run_ring_mega_matches_run_ring(rng, mesh):
                                   np.asarray(st3.conv_tail[0]))
 
 
+def test_sharded_f32_ring_matches_sharded_run(rng, mesh):
+    """The f32 conv ring (reference input contract, kernel splits in VMEM)
+    sharded over the mesh — run_ring and run_ring_mega both — must match
+    ShardedPipeline.run bit-exactly."""
+    import jax.numpy as jnp
+
+    cfg = make_cfg(blocksize=256, upsample_factor=2, numtaps=65, batch=16,
+                   conv_strategy="td_mxu", dither_kind="off",
+                   eq_enabled=True, output_clip=0.9)  # ingest stays 'f32'
+    sp = ShardedPipeline(cfg, mesh)
+    assert sp.supports_ring_step and not sp._pair_ingest
+    params = sp.device_params(PipelineParams.design(sp.cfg))
+    K = 3
+    blocks = (rng.normal(size=(K, cfg.batch, cfg.blocksize)) * 0.3
+              ).astype(np.float32)
+    _, gold = sp.run(params, sp.init_state(seed=5), jnp.asarray(blocks))
+    ring = jnp.asarray(blocks)
+    out = jnp.zeros((K, cfg.batch, cfg.blocksize), jnp.float32)
+    _, out = sp.run_ring(params, sp.init_state(seed=5), ring, None, out, K)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(gold))
+    out2 = jnp.zeros((K, cfg.batch, cfg.blocksize), jnp.float32)
+    _, out2 = sp.run_ring_mega(params, sp.init_state(seed=5), ring, None,
+                               out2, K)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(gold))
+
+
 def test_sharded_agc_ring_matches_sharded_run(rng, monkeypatch):
     """The fused-AGC serving ring (single f32 input ring, ring_lo=None)
     sharded over the mesh must match ShardedPipeline.run — certifies the

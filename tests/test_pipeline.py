@@ -383,6 +383,100 @@ def test_run_ring_matches_step_loop_with_wraparound(rng):
                                   np.asarray(st2.conv_tail[0]))
 
 
+def test_f32_ring_matches_staged(rng):
+    """The f32 conv serving ring (kernel splits in VMEM — the reference's
+    f32 input contract with zero-copy dispatch) must be bit-identical to
+    the staged step loop: per-step, one-dispatch scan with wraparound,
+    the megakernel form, and a staged step resumed from ring-carried
+    state (the k_pad-wide tail)."""
+    import jax.numpy as jnp
+
+    cfg = make_cfg(blocksize=512, upsample_factor=2, numtaps=65, batch=4,
+                   conv_strategy="td_mxu", dither_kind="off",
+                   eq_enabled=True, output_clip=0.8)  # ingest stays 'f32'
+    K, n_steps, start = 3, 5, 2
+    sig = (rng.normal(size=(K, 4, 512)) * 0.4).astype(np.float32)
+    p = Pipeline(cfg)
+    assert p.supports_ring_step and not p._pair_ingest and not p._conv_pair
+    pp = p.device_params(PipelineParams.design(p.cfg))
+
+    # gold: classic staged f32 step loop in ring order
+    st = p.init_state(seed=1)
+    last = {}
+    for i in range(n_steps):
+        s = (start + i) % K
+        st, y = p._step_impl(pp, st, jnp.asarray(sig[s]))
+        last[s] = np.asarray(y)
+
+    ring = jnp.asarray(sig)
+    n_tail = st.conv_tail.shape[-1]
+
+    # per-step ring form
+    st1 = p.init_state(seed=1)
+    out1 = jnp.full(sig.shape, 5.0, jnp.float32)
+    for i in range(n_steps):
+        st1, out1 = p._ring_step_impl(pp, st1, ring, None,
+                                      (start + i) % K, out1)
+    for s, y in last.items():
+        np.testing.assert_array_equal(np.asarray(out1)[s], y)
+    np.testing.assert_array_equal(
+        np.asarray(st1.conv_tail)[:, -n_tail:], np.asarray(st.conv_tail))
+
+    # one-dispatch serving scan
+    st2 = p.init_state(seed=1)
+    out2 = jnp.full(sig.shape, 5.0, jnp.float32)
+    st2, out2 = p.run_ring(pp, st2, ring, None, out2, n_steps, start=start)
+    for s, y in last.items():
+        np.testing.assert_array_equal(np.asarray(out2)[s], y)
+    np.testing.assert_array_equal(
+        np.asarray(st2.conv_tail)[:, -n_tail:], np.asarray(st.conv_tail))
+
+    # megakernel form (incl. chunk-crossing launches)
+    import afp_tpu.engine.pipeline as plmod
+    orig = plmod.MEGA_CHUNK_STEPS
+    for chunk in (orig, 2):
+        plmod.MEGA_CHUNK_STEPS = chunk
+        try:
+            pm = Pipeline(cfg)
+            st3 = pm.init_state(seed=1)
+            out3 = jnp.full(sig.shape, 5.0, jnp.float32)
+            st3, out3 = pm.run_ring_mega(pp, st3, ring, None, out3, n_steps,
+                                         start=start)
+        finally:
+            plmod.MEGA_CHUNK_STEPS = orig
+        for s, y in last.items():
+            np.testing.assert_array_equal(np.asarray(out3)[s], y)
+        np.testing.assert_array_equal(
+            np.asarray(st3.conv_tail)[:, -n_tail:], np.asarray(st.conv_tail))
+
+    # staged step resumed from the ring's k_pad-wide tail state: the
+    # defensive tail slice must make it equal the all-staged continuation
+    nxt = (rng.normal(size=(4, 512)) * 0.4).astype(np.float32)
+    _, y_gold = p._step_impl(pp, st, jnp.asarray(nxt))
+    _, y_ring = p._step_impl(pp, st2, jnp.asarray(nxt))
+    np.testing.assert_array_equal(np.asarray(y_ring), np.asarray(y_gold))
+
+    # dithered form (interpret-mode post-kernel dither shares the staged
+    # path's key walk → still bit-identical)
+    import dataclasses
+    dcfg = dataclasses.replace(cfg, dither_kind="tpdf")
+    pd = Pipeline(dcfg)
+    ppd = pd.device_params(PipelineParams.design(pd.cfg))
+    std = pd.init_state(seed=4)
+    lastd = {}
+    for i in range(n_steps):
+        s = (start + i) % K
+        std, y = pd._step_impl(ppd, std, jnp.asarray(sig[s]))
+        lastd[s] = np.asarray(y)
+    std2 = pd.init_state(seed=4)
+    outd = jnp.zeros(sig.shape, jnp.float32)
+    std2, outd = pd.run_ring(ppd, std2, ring, None, outd, n_steps,
+                             start=start)
+    for s, y in lastd.items():
+        np.testing.assert_array_equal(np.asarray(outd)[s], y)
+    np.testing.assert_array_equal(np.asarray(std2.key), np.asarray(std.key))
+
+
 def test_run_ring_mega_matches_run_ring(rng):
     """The one-launch serving megakernel (`run_ring_mega`) must equal the
     scan-of-ring-steps path — final ring, tail carry, slot wraparound, and

@@ -106,6 +106,37 @@ def test_ring_server_pair_source_and_serve_metrics(rng):
     assert lat["p50_ms"] <= lat["p95_ms"] <= lat["max_ms"]
 
 
+def test_ring_server_f32_conv_ring_matches_run(rng):
+    """RingServer over the f32 conv ring (single f32 ring, no AGC — the
+    reference's f32 input contract with zero-copy dispatch) must be
+    bit-identical to Pipeline.run, in both dispatch modes (run_ring and
+    the serving megakernel)."""
+    import jax.numpy as jnp
+
+    cfg = make_cfg(ingest="f32", upsample_factor=2, numtaps=65,
+                   eq_enabled=True, output_clip=0.9, dither_kind="off")
+    pipe = Pipeline(cfg)
+    assert pipe.supports_ring_step
+    assert not pipe._pair_ingest and not pipe._conv_pair
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    n = 7
+    blocks = (rng.normal(size=(n, cfg.batch, cfg.blocksize)) * 0.4
+              ).astype(np.float32)
+    st, gold = pipe.run(params, pipe.init_state(seed=3),
+                        jnp.asarray(blocks))
+    for mega in (False, True):
+        srv = RingServer(pipe, params, slots=8, chunk=2, max_inflight=2,
+                         seed=3, mega=mega)
+        assert not srv.pair
+        outs = list(srv.stream(iter(blocks)))
+        assert len(outs) == n
+        np.testing.assert_array_equal(np.stack(outs), np.asarray(gold))
+        n_tail = st.conv_tail.shape[-1]
+        np.testing.assert_array_equal(
+            np.asarray(srv.state.conv_tail)[:, -n_tail:],
+            np.asarray(st.conv_tail))
+
+
 def test_ring_server_agc_chain_matches_run(rng, monkeypatch):
     """RingServer over the fused AGC chain (single f32 ring) must be
     bit-identical to Pipeline.run — the C8 serving mode."""
