@@ -866,8 +866,10 @@ class Pipeline:
             # f32 conv ring (C5/C6 chain, the reference input contract):
             # the kernel reads the raw f32 slot, splits in VMEM, convolves
             # into the donated output slot, and emits the next f32 tail.
-            # Bit-identical to the staged step (the split commutes with
-            # concat/slicing).
+            # Numerics: pair-kernel class — bit-identical to staged pair
+            # steps; vs the staged f32 step the padded band regroups the
+            # fp32 accumulation (≤ −110 dB, bit-exact in interpret mode —
+            # fir_td.py:_fir_kernel_b3t_f32).
             from ..ops.pallas.fir_td import fir_td_mxu_ring_f32
 
             out_ring, new_tail = fir_td_mxu_ring_f32(

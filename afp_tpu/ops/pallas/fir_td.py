@@ -797,9 +797,16 @@ def _fir_kernel_b3t_f32(x_ref, t_ref, bhi_ref, blo_ref, o_ref, *, k_pad: int,
                         tpdf: bool = True, out_clip=None, t_o=None):
     """f32-input variant of :func:`_fir_kernel_b3t`: the block and carried
     overlap tail arrive as RAW f32 refs and the bf16 hi/lo split happens
-    once in VMEM (`_split_bf16_in_kernel` — the same integer-RN split the
-    staged path applies outside, so outputs are bit-identical: the split is
-    elementwise and commutes with the concat/window slicing).
+    once in VMEM (`_split_bf16_in_kernel` — measured bit-identical to the
+    XLA-side :func:`split_bf16` on hardware, and elementwise, so it
+    commutes with the concat/window slicing).  Numerics class: identical
+    to the PAIR kernels (same k_pad-padded band, same window geometry) —
+    asserted bit-exact against staged `fir_td_mxu_pair` steps on hardware
+    (tools/hw_check.py); vs the UNPADDED staged f32 `fir_td_mxu` B3 path
+    the k_pad band pad changes the dot's K extent and the MXU regroups
+    the fp32 accumulation, a measured ≤ −110 dB ulp-scale bound (the
+    same effect documented for the conv-pair path; interpret mode is
+    bit-exact either way).
 
     This is what makes a zero-copy serving ring possible under the
     reference's f32 input contract: the HBM ring holds plain f32 blocks
@@ -840,8 +847,12 @@ def _fir_kernel_b3t_f32(x_ref, t_ref, bhi_ref, blo_ref, o_ref, *, k_pad: int,
 def _pick_b_tile_b3t_f32(B: int, k_pad: int, T: int) -> int:
     """Batch tile for the f32-ring kernel: f32 block (T·4 B/row) + its
     in-kernel bf16 pair temporaries (another T·4 B/row) + f32 tail and its
-    pair + out, double-buffered IO."""
-    for b_tile in (128, 64, 32, 16, 8):
+    pair + out, double-buffered IO.  Candidates match
+    :func:`_pick_b_tile_b3t` — when the shape lets both pick the same
+    tile, the fused-dither noise↔row mapping matches the pair kernels'
+    (the PRNG seeds per batch-tile program) and the dithered f32 ring is
+    bit-identical to the staged pair path."""
+    for b_tile in (256, 128, 64, 32, 16, 8):
         if B % b_tile:
             continue
         foot = (2 * b_tile * T * 4      # f32 block, double-buffered
@@ -930,9 +941,12 @@ def fir_td_mxu_ring_f32(ring: jnp.ndarray, idx, tail: jnp.ndarray,
     `idx` of the DONATED output ring.
 
     Same HBM bytes as the pair ring (a bf16 pair = one f32 array), same
-    three bf16 MXU passes, outputs bit-identical to the staged
-    ``fir_td_mxu(concat([tail, x]), band, precision='B3')`` path (the
-    integer-RN split commutes with concat/slicing).  `tail`: [B, k_pad]
+    three bf16 MXU passes.  Outputs are bit-identical to the staged PAIR
+    path (`fir_td_mxu_pair` — same padded-band geometry; asserted on
+    hardware) and match the staged f32
+    ``fir_td_mxu(concat([tail, x]), band, precision='B3')`` path to the
+    documented ≤ −110 dB accumulation-order bound (bit-exact in
+    interpret mode) — see :func:`_fir_kernel_b3t_f32`.  `tail`: [B, k_pad]
     f32 carried history (k_pad = n_taps−1 rounded up to a LANE multiple;
     narrower tails are zero-padded here for one-shot use).  Returns
     ``(out_ring, next_tail)`` — the next step's f32 tail emitted from the
@@ -1141,8 +1155,8 @@ def _fir_kernel_b3mega_f32(x_ref, t_in_ref, bhi_ref, blo_ref, o_ref, t_o,
     """f32 form of :func:`_fir_kernel_b3mega`: serving steps walk the grid's
     minor axis, the f32 overlap tail lives in the (VMEM-resident, readable)
     tail OUTPUT ref across the inner step loop, and the block/tail bf16
-    splits happen in VMEM per step (bit-identical to the staged B3 path —
-    the integer-RN split commutes with concat/slicing)."""
+    splits happen in VMEM per step (numerics class of the PAIR kernels —
+    see :func:`_fir_kernel_b3t_f32` for the exact equivalence contract)."""
     step = pl.program_id(1)
 
     @pl.when(step == 0)

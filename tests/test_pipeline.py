@@ -386,9 +386,14 @@ def test_run_ring_matches_step_loop_with_wraparound(rng):
 def test_f32_ring_matches_staged(rng):
     """The f32 conv serving ring (kernel splits in VMEM — the reference's
     f32 input contract with zero-copy dispatch) must be bit-identical to
-    the staged step loop: per-step, one-dispatch scan with wraparound,
-    the megakernel form, and a staged step resumed from ring-carried
-    state (the k_pad-wide tail)."""
+    the staged step loop IN INTERPRET MODE (where the dot is not
+    chunked; on hardware the ring kernel's k_pad-padded band regroups
+    the fp32 accumulation vs the unpadded staged f32 kernel — a ≤ −110 dB
+    bound asserted by tools/hw_check.py, which also asserts hardware
+    bit-equality against the staged PAIR path, the ring's true geometry
+    twin): per-step, one-dispatch scan with wraparound, the megakernel
+    form, and a staged step resumed from ring-carried state (the
+    k_pad-wide tail)."""
     import jax.numpy as jnp
 
     cfg = make_cfg(blocksize=512, upsample_factor=2, numtaps=65, batch=4,

@@ -303,7 +303,10 @@ def check_serving_ring() -> dict:
     output ring, kernel-emitted tail carry) vs per-block ``step()`` on the
     compiled lowering — BOTH ring forms: pair ingest and the fused AGC
     chain.  Bit-exact is required: ring and staged paths share the same
-    kernel bodies and the same per-step key fold."""
+    kernel bodies and the same per-step key fold.  The f32 conv ring
+    (kernel splits bf16 in VMEM) is additionally held to the staged f32
+    steps — the split must commute with concat/slicing on the compiled
+    lowering, not just in interpret mode."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -346,6 +349,51 @@ def check_serving_ring() -> dict:
     assert np.array_equal(np.asarray(st3.conv_tail[0]), th), (
         "mega tail carry diverges")
     results["serving_ring_mega_max_abs_diff"] = d
+
+    # f32 conv ring (single raw-f32 ring, in-VMEM bf16 split).  Numerics
+    # contract (fir_td.py:_fir_kernel_b3t_f32): BIT-exact vs the staged
+    # PAIR path (same padded-band kernel geometry; the in-VMEM split is
+    # measured bit-identical to split_bf16, and the tile pickers agree at
+    # this shape so the fused-dither noise↔row mapping matches too);
+    # ≤ −110 dB of the block peak vs the staged f32 path (the k_pad band
+    # pad changes the dot's K extent and the MXU regroups the fp32
+    # accumulation — same documented effect as the conv-pair path).
+    fcfg = dataclasses.replace(cfg, ingest="f32")
+    pf = Pipeline(fcfg)
+    assert pf.supports_ring_step and not pf._pair_ingest
+    fparams = pf.device_params(PipelineParams.design(pf.cfg))
+    # gold A (bit-exact): staged pair steps — `gold` from the pair block
+    # above IS that sequence (same params/seed/signal)
+    pair_gold = np.stack(gold)
+    # gold B (ulp bound): staged f32 steps
+    st = pf.init_state(seed=4)
+    f32_gold = []
+    for i in range(K):
+        st, y = pf.step(fparams, st, jnp.asarray(sig[i]))
+        f32_gold.append(np.asarray(y))
+    f32_gold = np.stack(f32_gold)
+    n_tail = np.asarray(st.conv_tail).shape[-1]
+    bound = float(np.max(np.abs(f32_gold))) * 10 ** (-110 / 20)
+    for name, dispatch in (("f32", pf.run_ring), ("f32_mega",
+                                                  pf.run_ring_mega)):
+        ring = jnp.zeros((K, B, T), jnp.float32)
+        st2, ring = dispatch(fparams, pf.init_state(seed=4),
+                             jnp.asarray(sig), None, ring, K)
+        r = np.asarray(ring)
+        d = float(np.max(np.abs(r - pair_gold)))
+        assert d == 0.0, (
+            f"{name} serving ring vs staged PAIR steps diverge: {d}")
+        d32 = float(np.max(np.abs(r - f32_gold)))
+        assert d32 <= bound, (
+            f"{name} ring vs staged f32 steps {d32:.3e} exceeds the "
+            f"−110 dB accumulation-order bound {bound:.3e}")
+        assert np.array_equal(np.asarray(st2.conv_tail)[:, -n_tail:],
+                              np.asarray(st.conv_tail)), (
+            f"{name} ring tail carry diverges")
+        results[f"serving_ring_{name}_vs_pair_max_abs_diff"] = d
+        results[f"serving_ring_{name}_vs_staged_f32_db"] = float(round(
+            20 * np.log10(d32 / float(np.max(np.abs(f32_gold)))
+                          + 1e-300), 1))
 
     acfg = dataclasses.replace(
         cfg, ingest="f32", agc_enabled=True, agc_mode="exact",
