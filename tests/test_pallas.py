@@ -442,3 +442,25 @@ def test_merge_bf16_roundtrip(rng):
     hi, lo = split_bf16(v)
     err = np.max(np.abs(np.asarray(merge_bf16(hi, lo)) - np.asarray(v)))
     assert err < np.max(np.abs(np.asarray(v))) * 2 ** -16
+
+
+def test_f32_ring_tile_picker_tracks_pair_picker():
+    """The dithered f32-ring ↔ staged-pair bit-equality certified by
+    tools/hw_check.py requires the two kernels' batch-tile pickers to
+    agree (the fused-dither PRNG seeds per batch-tile program, so a tile
+    mismatch remaps noise to different rows).  Pin the agreement at the
+    hw_check shape and the bench headline shape so a picker edit cannot
+    silently break the hardware contract."""
+    from afp_tpu.ops.pallas.fir_td import (_pick_b_tile_b3t,
+                                           _pick_b_tile_b3t_f32)
+
+    # hw_check.check_serving_ring shape: B=1024, T=2048, k_pad=256
+    assert _pick_b_tile_b3t(1024, 256, 2048) == \
+        _pick_b_tile_b3t_f32(1024, 256, 2048)
+    # both pickers must share the candidate ladder (the f32 kernel's
+    # larger VMEM footprint may step DOWN earlier, never off-ladder)
+    for B, k_pad, T in ((4096, 4096, 4096), (512, 128, 512),
+                        (8, 128, 256)):
+        pt = _pick_b_tile_b3t(B, k_pad, T)
+        ft = _pick_b_tile_b3t_f32(B, k_pad, T)
+        assert ft <= pt and pt % ft == 0, (B, k_pad, T, pt, ft)

@@ -609,3 +609,45 @@ def test_pair_ingest_upsampled_output_rejected():
                    upsample_factor=2, batch=4)
     with _pytest.raises(ValueError, match="output_rate"):
         dataclasses.replace(cfg, output_rate="upsampled").validate()
+
+
+def test_f32_ring_kpad_wider_than_block(rng):
+    """f32 conv ring in the k_pad > T regime (tail wider than the block):
+    the in-kernel f32 tail carry stitches old-tail and block columns
+    across steps — per-step ring, scan, and megakernel must all match the
+    staged step loop (bit-exact in interpret mode)."""
+    import jax.numpy as jnp
+
+    cfg = make_cfg(blocksize=128, upsample_factor=1, numtaps=385, batch=4,
+                   conv_strategy="td_mxu", dither_kind="off",
+                   eq_enabled=False)  # ingest stays 'f32'
+    p = Pipeline(cfg)
+    assert p._k_pad > p.block and p.supports_ring_step
+    pp = p.device_params(PipelineParams.design(p.cfg))
+    K, n_steps = 3, 5
+    sig = (rng.normal(size=(K, 4, 128)) * 0.4).astype(np.float32)
+
+    st = p.init_state(seed=2)
+    last = {}
+    for i in range(n_steps):
+        s = i % K
+        st, y = p._step_impl(pp, st, jnp.asarray(sig[s]))
+        last[s] = np.asarray(y)
+    n_tail = st.conv_tail.shape[-1]
+
+    ring = jnp.asarray(sig)
+    st1 = p.init_state(seed=2)
+    out1 = jnp.zeros(sig.shape, jnp.float32)
+    st1, out1 = p.run_ring(pp, st1, ring, None, out1, n_steps)
+    for s, y in last.items():
+        np.testing.assert_array_equal(np.asarray(out1)[s], y)
+    np.testing.assert_array_equal(
+        np.asarray(st1.conv_tail)[:, -n_tail:], np.asarray(st.conv_tail))
+
+    out2 = jnp.zeros(sig.shape, jnp.float32)
+    st2, out2 = p.run_ring_mega(pp, p.init_state(seed=2), ring, None,
+                                out2, n_steps)
+    for s, y in last.items():
+        np.testing.assert_array_equal(np.asarray(out2)[s], y)
+    np.testing.assert_array_equal(
+        np.asarray(st2.conv_tail)[:, -n_tail:], np.asarray(st.conv_tail))
