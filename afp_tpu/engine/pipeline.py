@@ -584,7 +584,6 @@ class Pipeline:
         if self.fused:
             n_conv = self.n_casc
             x_pair = isinstance(x, tuple)
-            emitted_tail = None  # set when the conv kernel emits the carry
             if self._conv_pair:
                 # pair-carried tail: reconstruct f32 views only where a
                 # consumer needs them (per-stream banks, fft fallback)
@@ -689,12 +688,12 @@ class Pipeline:
                     y, n_conv - 1, n_conv - 1 + self.block, axis=-1
                 )
             if self._conv_pair:
+                # NOTE: the staged step slices the tail post-kernel on
+                # purpose — kernel-emitted tails (`emit_tail`) broke XLA's
+                # output donation aliasing here and cost a full-block copy
+                # (measured 857k→636k); only the ring step uses emit_tail.
                 kp = self._k_pad
-                if x_pair and emitted_tail is not None:
-                    # the conv kernel emitted the next tail pair from VMEM —
-                    # no slice pass over the block
-                    conv_tail = tuple(emitted_tail)
-                elif x_pair:
+                if x_pair:
                     xh, xl = x
                     T = xh.shape[-1]
                     if kp <= T:
@@ -962,10 +961,14 @@ class Pipeline:
                        out_ring: jnp.ndarray, n_steps: int, start):
         K = ring_hi.shape[0]
         start = jnp.asarray(start, dtype=jnp.int32)
-        if ring_lo is None and not self.cfg.agc_enabled:
+        if (ring_lo is None and not self.cfg.agc_enabled
+                and self.supports_ring_step and not self._pair_ingest):
             # f32 conv ring: the kernel emits a k_pad-wide tail, so the
             # scan carry must enter at that width (one pad, outside the
-            # loop; the padded leading history is numerically inert)
+            # loop; the padded leading history is numerically inert).
+            # Gated on the form actually being the f32 conv ring so that
+            # misuse (pair-ingest or unsupported pipelines) falls through
+            # to _ring_step_impl's descriptive ValueErrors.
             t = state.conv_tail
             if t.shape[-1] != self._k_pad:
                 state = state._replace(conv_tail=jnp.pad(

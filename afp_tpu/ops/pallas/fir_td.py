@@ -417,22 +417,37 @@ def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
     )(x_ext, band)
 
 
-def _pick_b_tile_b3t(B: int, k_pad: int, T: int) -> int:
-    """Batch tile for the pair-input kernel: double-buffered in pair
-    (T·4 B/row across the two bf16 halves) + tail pair + out, no bulk
-    scratch (windows slice the refs in place)."""
+def _pick_b_tile_banded(B: int, bytes_per_row: int) -> int:
+    """Shared batch-tile ladder for the banded-Toeplitz pair/f32-ring
+    kernels: ONE candidate ladder, ONE VMEM cap, ONE tiny-batch fallback.
+
+    The dithered f32-ring ↔ staged-pair bit-equality certified on
+    hardware (tools/hw_check.py) requires both input forms to pick the
+    same batch tile whenever their VMEM footprints allow — the fused
+    dither PRNG seeds per batch-tile program, so a tile mismatch remaps
+    noise to different rows.  Keeping the ladder/cap/fallback in one
+    place makes that agreement structural; the forms differ only in
+    `bytes_per_row` (the f32 kernel's in-kernel split temporaries cost
+    extra VMEM, so it may step DOWN the shared ladder earlier — never
+    off-ladder).  tests/test_pallas.py pins the invariant at the
+    certified shapes."""
     for b_tile in (256, 128, 64, 32, 16, 8):
         if B % b_tile:
             continue
-        foot = (2 * b_tile * T * 4 + 2 * b_tile * k_pad * 4
-                + 2 * b_tile * T * 4)
-        if foot <= 12 * 2**20:
+        if b_tile * bytes_per_row <= 12 * 2**20:
             return b_tile
     if B <= 8:  # tiny batches run as a single B-row tile
         return B
     raise ValueError(
         f"batch {B} is not divisible by any supported batch tile "
         "(must be ≤ 8 or a multiple of 8)")
+
+
+def _pick_b_tile_b3t(B: int, k_pad: int, T: int) -> int:
+    """Batch tile for the pair-input kernel: double-buffered in pair
+    (T·4 B/row across the two bf16 halves) + tail pair + out, no bulk
+    scratch (windows slice the refs in place)."""
+    return _pick_b_tile_banded(B, 2 * T * 4 + 2 * k_pad * 4 + 2 * T * 4)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -845,27 +860,16 @@ def _fir_kernel_b3t_f32(x_ref, t_ref, bhi_ref, blo_ref, o_ref, *, k_pad: int,
 
 
 def _pick_b_tile_b3t_f32(B: int, k_pad: int, T: int) -> int:
-    """Batch tile for the f32-ring kernel: f32 block (T·4 B/row) + its
-    in-kernel bf16 pair temporaries (another T·4 B/row) + f32 tail and its
-    pair + out, double-buffered IO.  Candidates match
-    :func:`_pick_b_tile_b3t` — when the shape lets both pick the same
-    tile, the fused-dither noise↔row mapping matches the pair kernels'
-    (the PRNG seeds per batch-tile program) and the dithered f32 ring is
+    """Batch tile for the f32-ring kernel: f32 block (T·4 B/row,
+    double-buffered) + its in-kernel bf16 pair temporaries (T·4 B/row,
+    single copy) + f32 tail in/out and pair temporaries (k_pad·16 B/row)
+    + f32 out (T·8 B/row double-buffered).  Shares the candidate ladder
+    with :func:`_pick_b_tile_b3t` via :func:`_pick_b_tile_banded` — when
+    the shape lets both pick the same tile, the fused-dither noise↔row
+    mapping matches the pair kernels' and the dithered f32 ring is
     bit-identical to the staged pair path."""
-    for b_tile in (256, 128, 64, 32, 16, 8):
-        if B % b_tile:
-            continue
-        foot = (2 * b_tile * T * 4      # f32 block, double-buffered
-                + 2 * b_tile * T * 2    # in-kernel bf16 pair (single copy)
-                + 4 * b_tile * k_pad * 4  # f32 tail in/out + pair temporaries
-                + 2 * b_tile * T * 4)   # f32 out, double-buffered
-        if foot <= 12 * 2**20:
-            return b_tile
-    if B <= 8:
-        return B
-    raise ValueError(
-        f"batch {B} is not divisible by any supported batch tile "
-        "(must be ≤ 8 or a multiple of 8)")
+    return _pick_b_tile_banded(
+        B, 2 * T * 4 + 2 * T * 2 + 4 * k_pad * 4 + 2 * T * 4)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -299,10 +299,11 @@ class ShardedPipeline:
 
     def run_ring_mega(self, params: DeviceParams, state: StreamState,
                       ring_hi, ring_lo, out_ring, n_steps: int, start=0):
-        """Sharded one-launch serving megakernel
-        (`Pipeline.run_ring_mega`): one Pallas launch per shard covers the
-        whole `n_steps` dispatch — same sharding layout, per-shard key
-        fold, and zero hot-loop collectives as :meth:`run_ring`.
+        """Sharded serving megakernel (`Pipeline.run_ring_mega`): each
+        shard covers the whole `n_steps` dispatch in chained Pallas
+        launches (one per ≤`MEGA_CHUNK_STEPS` blocks) — same sharding
+        layout, per-shard key fold, and zero hot-loop collectives as
+        :meth:`run_ring`.
         Pair-ingest and f32-conv forms (no fused-AGC form); `out_ring` is
         donated, `n_steps` static."""
         if not self.pipeline.supports_ring_step or \

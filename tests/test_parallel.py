@@ -176,8 +176,9 @@ def test_sharded_run_ring_mega_matches_run_ring(rng, mesh):
     st2, ring2 = sp.run_ring_mega(params, sp.init_state(seed=6), rh, rl,
                                   ring2, n, start=1)
     np.testing.assert_array_equal(np.asarray(ring2), np.asarray(ring))
-    np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
-                                  np.asarray(st2.conv_tail[0]))
+    for c in (0, 1):  # both halves of the emitted tail pair
+        np.testing.assert_array_equal(np.asarray(st.conv_tail[c]),
+                                      np.asarray(st2.conv_tail[c]))
 
     # chunk-crossing form: per-shard launches chain when n > MEGA_CHUNK_STEPS
     # (the SMEM-cap workaround) — still identical under shard_map
@@ -192,8 +193,9 @@ def test_sharded_run_ring_mega_matches_run_ring(rng, mesh):
     finally:
         plmod.MEGA_CHUNK_STEPS = orig
     np.testing.assert_array_equal(np.asarray(ring3), np.asarray(ring))
-    np.testing.assert_array_equal(np.asarray(st.conv_tail[0]),
-                                  np.asarray(st3.conv_tail[0]))
+    for c in (0, 1):  # the final chunk's tail_lo carry is otherwise unobserved
+        np.testing.assert_array_equal(np.asarray(st.conv_tail[c]),
+                                      np.asarray(st3.conv_tail[c]))
 
 
 def test_sharded_f32_ring_matches_sharded_run(rng, mesh):

@@ -651,3 +651,27 @@ def test_f32_ring_kpad_wider_than_block(rng):
         np.testing.assert_array_equal(np.asarray(out2)[s], y)
     np.testing.assert_array_equal(
         np.asarray(st2.conv_tail)[:, -n_tail:], np.asarray(st.conv_tail))
+
+
+def test_run_ring_misuse_raises_descriptive_errors():
+    """Regression (r3 review): _run_ring_impl's f32-tail pad branch used to
+    run before any form validation, turning the intended ValueErrors into
+    AttributeErrors (tuple conv_tail / missing _k_pad)."""
+    import jax.numpy as jnp
+
+    ring = jnp.zeros((3, 4, 256), jnp.float32)
+    out = jnp.zeros((3, 4, 256), jnp.float32)
+
+    cfg = make_cfg(blocksize=256, upsample_factor=1, batch=4,
+                   conv_strategy="td_mxu", eq_enabled=False, ingest="pair")
+    p = Pipeline(cfg)
+    pp = p.device_params(PipelineParams.design(p.cfg))
+    with pytest.raises(ValueError, match="ring form mismatch"):
+        p.run_ring(pp, p.init_state(seed=0), ring, None, out, 2)
+
+    cfg2 = make_cfg(blocksize=256, upsample_factor=1, batch=4,
+                    conv_strategy="fft", eq_enabled=False)
+    p2 = Pipeline(cfg2)
+    pp2 = p2.device_params(PipelineParams.design(p2.cfg))
+    with pytest.raises(ValueError, match="ring_step requires"):
+        p2.run_ring(pp2, p2.init_state(seed=0), ring, None, out, 2)
