@@ -231,6 +231,24 @@ class Pipeline:
                 self._agc_fused_apply = (
                     self.batch % (_pick_sublanes(self.batch) * LANES) == 0
                 )
+        # Single-kernel AGC (r3, opt-in): RMS + desired gain + scan + clip
+        # + apply in ONE pass (ops/pallas/agc_fused.py).  MEASURED NEGATIVE
+        # on v5e at the C8 point — the two-kernel chain is pareto-optimal
+        # under DMA/compute overlap (287/324 vs 279 µs/block across two
+        # fused builds; BENCHMARKS.md "Single-kernel AGC: measured
+        # negative").  Kept opt-in (AFP_AGC_ONE_KERNEL=1) because its
+        # chunk-prefix window sums are ~2⁷× tighter than the bf16 MXU
+        # boxcar (window-local 2⁻²⁴ vs 2⁻¹⁷) — an accuracy option, not a
+        # throughput one.  Both the staged step and the serving ring key
+        # on this flag, so the two stay bit-identical either way.
+        self._agc_one_kernel = False
+        if (self._rms_band is not None and self._agc_fused_apply
+                and os.environ.get("AFP_AGC_ONE_KERNEL", "0") == "1"):
+            from ..ops.pallas.agc_fused import fused_rms_supported
+
+            self._agc_one_kernel = fused_rms_supported(
+                self.batch, self.block, cfg.agc_window_size,
+                self._rms_pad[0])
         # Test hook: the fused AGC kernels normally run only on the TPU
         # backend; this forces them (in interpret mode) so CPU CI covers the
         # fused/pair code paths end-to-end.
@@ -505,75 +523,93 @@ class Pipeline:
             # reads it without its input transpose (one array round trip)
             exact_tpu = cfg.agc_mode not in ("fast", "parallel") and (
                 not self._pl_interpret or self._force_fused)
-            if self._rms_band is not None:
-                # fused MXU kernel: square → pad → boxcar dots → sqrt →
-                # desired gain in ONE pass straight from the raw block
-                # (saves ~240 MB/block of intermediate HBM traffic vs the
-                # staged version at the C8 operating point)
-                from ..ops.pallas.agc_rms import rms_desired_pallas
+            if exact_tpu and self._agc_one_kernel:
+                # single-kernel AGC: RMS + desired + scan + clip + apply
+                # (+ pair split) in one pass — d never exists in HBM and
+                # x is read once (agc_fused.py; window-local f32 error,
+                # tighter than the two-kernel MXU-boxcar path)
+                from ..ops.pallas.agc_fused import agc_rms_apply_pallas
 
-                lp, rp = self._rms_pad
-                d = rms_desired_pallas(
-                    x, self._rms_band, lp, rp,
-                    params.agc_target, params.agc_max_gain,
-                    exact_band=self._rms_exact,
-                    interpret=self._pl_interpret,
-                    transposed=exact_tpu,
-                )
-            else:
-                rms = moving_rms(x, self.agc.window_size)
-                d = desired_gain(rms, params.agc_target, params.agc_max_gain)
-            carry = agc_gain if cfg.agc_carry else None
-            if exact_tpu and self._rms_band is not None and self._agc_fused_apply:
-                # fully fused back half: scan + clip + apply + carry in one
-                # kernel — the per-sample gain never round-trips through HBM
-                from ..ops.pallas.agc_scan import smooth_gain_apply_pallas
-
-                # pair mode: emit the bf16 hi/lo pair for the pair-input conv
-                # kernel — unless the params carry per-stream banks, whose
-                # kernel consumes f32 (rare; falls back to staged input)
+                carry = agc_gain if cfg.agc_carry else None
                 emit = self._conv_pair and not (
                     cfg.eq_enabled and params.eq_gains.ndim == 2)
-                x, agc_gain = smooth_gain_apply_pallas(
-                    d, x, params.agc_a_att, params.agc_a_rel,
-                    params.agc_max_gain, init=carry, out_clip=0.99,
-                    interpret=self._pl_interpret, emit_split=emit,
+                x, agc_gain = agc_rms_apply_pallas(
+                    x, self.agc.window_size,
+                    params.agc_a_att, params.agc_a_rel,
+                    params.agc_target, params.agc_max_gain,
+                    init=carry, out_clip=0.99, emit_split=emit,
+                    interpret=self._pl_interpret,
                 )
             else:
-                if cfg.agc_mode == "fast":
-                    from ..ops.agc import smooth_gain_blockwise
+                if self._rms_band is not None:
+                    # fused MXU kernel: square → pad → boxcar dots → sqrt →
+                    # desired gain in ONE pass straight from the raw block
+                    # (saves ~240 MB/block of intermediate HBM traffic vs the
+                    # staged version at the C8 operating point)
+                    from ..ops.pallas.agc_rms import rms_desired_pallas
 
-                    g = smooth_gain_blockwise(
-                        d, params.agc_a_att, params.agc_a_rel, init=carry
-                    )
-                elif cfg.agc_mode == "parallel":
-                    from ..ops.agc import smooth_gain_parallel
-
-                    g = smooth_gain_parallel(
-                        d, params.agc_a_att, params.agc_a_rel, init=carry
-                    )
-                elif not self._pl_interpret or self._force_fused:
-                    # exact mode on TPU: the Pallas hardware-loop scan kernel
-                    # (identical per-sample semantics, none of the XLA loop
-                    # overhead that made AGC the pipeline's serial ceiling).
-                    # Under the force hook this also covers the case where
-                    # the fused apply is not tileable but the RMS kernel
-                    # already emitted d time-major.
-                    from ..ops.pallas.agc_scan import smooth_gain_scan_pallas
-
-                    g = smooth_gain_scan_pallas(
-                        d, params.agc_a_att, params.agc_a_rel, init=carry,
-                        time_major=exact_tpu and self._rms_band is not None,
-                        out_batch_major=True,
+                    lp, rp = self._rms_pad
+                    d = rms_desired_pallas(
+                        x, self._rms_band, lp, rp,
+                        params.agc_target, params.agc_max_gain,
+                        exact_band=self._rms_exact,
                         interpret=self._pl_interpret,
+                        transposed=exact_tpu,
                     )
                 else:
-                    g = smooth_gain_scan(
-                        d, params.agc_a_att, params.agc_a_rel, init=carry
+                    rms = moving_rms(x, self.agc.window_size)
+                    d = desired_gain(rms, params.agc_target, params.agc_max_gain)
+                carry = agc_gain if cfg.agc_carry else None
+                if exact_tpu and self._rms_band is not None and self._agc_fused_apply:
+                    # fully fused back half: scan + clip + apply + carry in one
+                    # kernel — the per-sample gain never round-trips through HBM
+                    from ..ops.pallas.agc_scan import smooth_gain_apply_pallas
+
+                    # pair mode: emit the bf16 hi/lo pair for the pair-input conv
+                    # kernel — unless the params carry per-stream banks, whose
+                    # kernel consumes f32 (rare; falls back to staged input)
+                    emit = self._conv_pair and not (
+                        cfg.eq_enabled and params.eq_gains.ndim == 2)
+                    x, agc_gain = smooth_gain_apply_pallas(
+                        d, x, params.agc_a_att, params.agc_a_rel,
+                        params.agc_max_gain, init=carry, out_clip=0.99,
+                        interpret=self._pl_interpret, emit_split=emit,
                     )
-                g = jnp.clip(g, 0.1, params.agc_max_gain)
-                x = jnp.clip(x * g, -0.99, 0.99)
-                agc_gain = g[..., -1]
+                else:
+                    if cfg.agc_mode == "fast":
+                        from ..ops.agc import smooth_gain_blockwise
+
+                        g = smooth_gain_blockwise(
+                            d, params.agc_a_att, params.agc_a_rel, init=carry
+                        )
+                    elif cfg.agc_mode == "parallel":
+                        from ..ops.agc import smooth_gain_parallel
+
+                        g = smooth_gain_parallel(
+                            d, params.agc_a_att, params.agc_a_rel, init=carry
+                        )
+                    elif not self._pl_interpret or self._force_fused:
+                        # exact mode on TPU: the Pallas hardware-loop scan kernel
+                        # (identical per-sample semantics, none of the XLA loop
+                        # overhead that made AGC the pipeline's serial ceiling).
+                        # Under the force hook this also covers the case where
+                        # the fused apply is not tileable but the RMS kernel
+                        # already emitted d time-major.
+                        from ..ops.pallas.agc_scan import smooth_gain_scan_pallas
+
+                        g = smooth_gain_scan_pallas(
+                            d, params.agc_a_att, params.agc_a_rel, init=carry,
+                            time_major=exact_tpu and self._rms_band is not None,
+                            out_batch_major=True,
+                            interpret=self._pl_interpret,
+                        )
+                    else:
+                        g = smooth_gain_scan(
+                            d, params.agc_a_att, params.agc_a_rel, init=carry
+                        )
+                    g = jnp.clip(g, 0.1, params.agc_max_gain)
+                    x = jnp.clip(x * g, -0.99, 0.99)
+                    agc_gain = g[..., -1]
 
         has_eq = cfg.eq_enabled and len(cfg.eq_bands) > 0
         # 3–5. the linear chain: upsample → EQ+main FIR → downsample.
@@ -894,23 +930,39 @@ class Pipeline:
             # scan+clip+apply back half stream slot `idx` directly
             # (ring-input kernels); the emitted pair feeds the ring-output
             # conv.  Identical math to _step_impl's fused AGC path.
-            from ..ops.pallas.agc_rms import rms_desired_pallas
-            from ..ops.pallas.agc_scan import smooth_gain_apply_pallas
             from ..ops.pallas.fir_td import fir_td_mxu_pair_to_ring
 
-            lp, rp = self._rms_pad
-            d = rms_desired_pallas(
-                ring_hi, self._rms_band, lp, rp,
-                params.agc_target, params.agc_max_gain,
-                exact_band=self._rms_exact, interpret=self._pl_interpret,
-                transposed=True, ring_idx=idx,
-            )
             carry = agc_gain if cfg.agc_carry else None
-            (xh, xl), agc_gain = smooth_gain_apply_pallas(
-                d, ring_hi, params.agc_a_att, params.agc_a_rel,
-                params.agc_max_gain, init=carry, out_clip=0.99,
-                interpret=self._pl_interpret, emit_split=True, ring_idx=idx,
-            )
+            if self._agc_one_kernel:
+                # single-kernel AGC streaming the ring slot directly —
+                # same kernel (and bits) as _step_impl's one-kernel branch
+                from ..ops.pallas.agc_fused import agc_rms_apply_pallas
+
+                (xh, xl), agc_gain = agc_rms_apply_pallas(
+                    ring_hi, self.agc.window_size,
+                    params.agc_a_att, params.agc_a_rel,
+                    params.agc_target, params.agc_max_gain,
+                    init=carry, out_clip=0.99, emit_split=True,
+                    interpret=self._pl_interpret, ring_idx=idx,
+                )
+            else:
+                from ..ops.pallas.agc_rms import rms_desired_pallas
+                from ..ops.pallas.agc_scan import smooth_gain_apply_pallas
+
+                lp, rp = self._rms_pad
+                d = rms_desired_pallas(
+                    ring_hi, self._rms_band, lp, rp,
+                    params.agc_target, params.agc_max_gain,
+                    exact_band=self._rms_exact,
+                    interpret=self._pl_interpret,
+                    transposed=True, ring_idx=idx,
+                )
+                (xh, xl), agc_gain = smooth_gain_apply_pallas(
+                    d, ring_hi, params.agc_a_att, params.agc_a_rel,
+                    params.agc_max_gain, init=carry, out_clip=0.99,
+                    interpret=self._pl_interpret, emit_split=True,
+                    ring_idx=idx,
+                )
             out_ring, nt_hi, nt_lo = fir_td_mxu_pair_to_ring(
                 xh, xl, tail_hi, tail_lo, band, idx, out_ring,
                 interpret=self._pl_interpret, out_clip=cfg.output_clip,
