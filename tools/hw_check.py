@@ -298,6 +298,66 @@ def check_agc_fused() -> dict:
     return results
 
 
+def check_agc_one_kernel() -> dict:
+    """The opt-in single-kernel AGC (`agc_fused.agc_rms_apply_pallas`,
+    AFP_AGC_ONE_KERNEL=1 — measured throughput-negative but the tighter-
+    accuracy option) on the compiled lowering: whole chain vs a float64
+    oracle at the C8 shape, pair emit ≡ split of the f32 form, and the
+    serving-ring form bit-exact against the staged form."""
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.agc_fused import agc_rms_apply_pallas
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    rng = np.random.default_rng(11)
+    W, B, T = 512, 4096, 2048
+    x = (rng.standard_normal((B, T)) * 0.1).astype(np.float32)
+    x[0, : T // 2] = 0.95   # loud-then-quiet: stresses window locality
+    x[0, T // 2:] = 1e-4
+    a_att, a_rel = 0.15, 0.013
+    # float64 oracle of the full chain (per-block restart)
+    sq = x.astype(np.float64) ** 2
+    box = np.full(W, 1.0 / W)
+    rms = np.stack([np.sqrt(np.maximum(
+        np.convolve(r, box, "same"), 0.0)) for r in sq])
+    d64 = np.clip(0.1 / (rms + 1e-10), 0.0, 10.0)
+    g = d64[:, 0].copy()
+    g64 = np.empty_like(d64)
+    for t in range(T):
+        dt = d64[:, t]
+        alpha = np.where(dt > g, a_att, a_rel)
+        g = alpha * dt + (1.0 - alpha) * g
+        g64[:, t] = g
+    g64 = np.clip(g64, 0.1, 10.0)
+    y64 = np.clip(x * g64, -0.99, 0.99)
+
+    y, gl = agc_rms_apply_pallas(jnp.asarray(x), W, a_att, a_rel, 0.1,
+                                 10.0, init=None, out_clip=0.99)
+    e = db(np.max(np.abs(np.asarray(y) - y64)), np.max(np.abs(y64)))
+    assert e < -100, f"agc_one_kernel vs f64: {e:.1f} dB"
+    eg = float(np.max(np.abs(np.asarray(gl) - g64[:, -1])))
+    assert eg < 1e-4, f"carry {eg}"
+
+    # pair emit ≡ split_bf16 of the f32 output (on the compiled lowering)
+    (yh, yl), gl2 = agc_rms_apply_pallas(jnp.asarray(x), W, a_att, a_rel,
+                                         0.1, 10.0, init=None,
+                                         out_clip=0.99, emit_split=True)
+    gh, glo = split_bf16(y)
+    assert np.array_equal(np.asarray(yh), np.asarray(gh))
+    assert np.array_equal(np.asarray(yl), np.asarray(glo))
+    assert np.array_equal(np.asarray(gl2), np.asarray(gl))
+
+    # serving-ring form bit-exact vs staged (slot-select BlockSpec only)
+    ring = jnp.stack([jnp.asarray(x)] * 2)
+    (rh, rl), rgl = agc_rms_apply_pallas(ring, W, a_att, a_rel, 0.1, 10.0,
+                                         init=None, out_clip=0.99,
+                                         emit_split=True, ring_idx=1)
+    assert np.array_equal(np.asarray(rh), np.asarray(yh))
+    assert np.array_equal(np.asarray(rl), np.asarray(yl))
+    assert np.array_equal(np.asarray(rgl), np.asarray(gl))
+    return {"agc_one_kernel_vs_f64": round(e, 1)}
+
+
 def check_serving_ring() -> dict:
     """The zero-copy serving rings (scalar-prefetch slot select, aliased
     output ring, kernel-emitted tail carry) vs per-block ``step()`` on the
@@ -435,7 +495,8 @@ def main() -> None:
     out = {"device": str(dev), "ok": True}
     for fn in (check_fir_td, check_fir_per_stream, check_agc_scan,
                check_dither, check_fused_dither, check_fused_clip,
-               check_agc_fused, check_conv_pair, check_serving_ring):
+               check_agc_fused, check_agc_one_kernel, check_conv_pair,
+               check_serving_ring):
         print(f"hw_check: {fn.__name__}...", file=sys.stderr, flush=True)
         out.update(fn())
     print(json.dumps(out))
