@@ -43,6 +43,10 @@ def _add_config_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--agc", action="store_true")
     ap.add_argument("--agc-target", type=float, default=0.1)
     ap.add_argument("--dither", default="tpdf", choices=["tpdf", "rpdf", "off"])
+    ap.add_argument("--ingest", default="f32", choices=["f32", "pcm16"],
+                    help="pcm16: feed 16-bit PCM WAVs raw (exact on-device "
+                         "n/32768 conversion, half the transfer bytes; "
+                         "forces the td_mxu strategy, no --agc/resample)")
 
 
 def _build_config(args, samplerate: int):
@@ -76,14 +80,33 @@ def _build_config(args, samplerate: int):
 
 def cmd_process(args) -> int:
     from .engine import StreamEngine
-    from .utils import read_wav, write_wav
+    from .utils import read_wav, read_wav_pcm16, write_wav
 
-    x, rate = read_wav(args.input)
+    pcm16 = getattr(args, "ingest", "f32") == "pcm16"
+    if pcm16:
+        # raw int16 path: the WAV's PCM samples ride untouched to the
+        # device, which converts exactly (n/32768) — bit-identical output
+        # to the f32 path, half the host→device bytes
+        x, rate = read_wav_pcm16(args.input)
+    else:
+        x, rate = read_wav(args.input)
     sr = args.samplerate or rate
     cfg = _build_config(args, sr)
     import dataclasses
 
     cfg = dataclasses.replace(cfg, batch=x.shape[0])
+    if pcm16:
+        if args.agc:
+            raise SystemExit("--ingest pcm16 is incompatible with --agc "
+                             "(the AGC stage consumes the f32 block)")
+        if sr != rate:
+            raise SystemExit("--ingest pcm16 is incompatible with rate "
+                             "conversion (drop --samplerate, or use f32)")
+        # td_mxu folds the whole multirate chain either downsample mode —
+        # only the strategy changes; the filter chain (and so the output,
+        # to the strategies' documented numerics class) stays the CLI's
+        cfg = dataclasses.replace(cfg, ingest="pcm16",
+                                  conv_strategy="td_mxu")
     if sr != rate:
         cfg = dataclasses.replace(cfg, source_samplerate=rate)
     engine = StreamEngine(cfg)
@@ -99,9 +122,9 @@ def cmd_process(args) -> int:
     elif n_in % cfg.blocksize:
         # zero-pad the final partial block (process_signal scans whole
         # blocks; the causal chain lets us trim back to the input length,
-        # so no audio is dropped)
+        # so no audio is dropped) — in the ingest dtype (int16 for pcm16)
         rem = cfg.blocksize - n_in % cfg.blocksize
-        x = np.concatenate([x, np.zeros((x.shape[0], rem), np.float32)],
+        x = np.concatenate([x, np.zeros((x.shape[0], rem), x.dtype)],
                            axis=1)
     out = engine.process_signal(x)
     if engine._asrc_frontend is not None:

@@ -163,7 +163,18 @@ class StreamConfig:
     #            pair-input conv kernel directly — the on-device input
     #            staging pass (34% of headline device time, BENCHMARKS.md)
     #            disappears; the split happens wherever ingest lives (host
-    #            CPU during DMA staging, or an upstream producer kernel).
+    #            CPU during DMA staging, or an upstream producer kernel),
+    #   'pcm16' — each block is a [B, L] int16 array in the PCM full-scale
+    #            convention (sample n ≡ n/32768, the format of WAV PCM and
+    #            sound-card DMA).  The conv kernels convert on the VPU and
+    #            split the bf16 pair in VMEM — EXACT for 16-bit data
+    #            (fir_td.py:_load_f32), so outputs are bit-identical to
+    #            feeding the n/32768 floats through 'pair' (and the f32
+    #            conv ring; vs the unpadded staged 'f32' step the usual
+    #            ≤ −110 dB strategy class applies), while input HBM
+    #            traffic and host→device ingest bytes HALVE.
+    #            Same stage constraints as 'pair' (td_mxu, no AGC/ASRC,
+    #            base-rate output).
     ingest: str = "f32"
 
     @property
@@ -217,19 +228,20 @@ class StreamConfig:
             raise ValueError(f"invalid conv_strategy {self.conv_strategy!r}")
         if self.conv_strategy == "td_mxu" and not self.fuse_rate_conversion:
             raise ValueError("conv_strategy='td_mxu' requires fuse_rate_conversion")
-        if self.ingest not in ("f32", "pair"):
+        if self.ingest not in ("f32", "pair", "pcm16"):
             raise ValueError(f"invalid ingest {self.ingest!r}")
-        if self.ingest == "pair":
+        if self.ingest in ("pair", "pcm16"):
             if self.conv_strategy != "td_mxu":
-                raise ValueError("ingest='pair' requires conv_strategy='td_mxu'")
+                raise ValueError(
+                    f"ingest={self.ingest!r} requires conv_strategy='td_mxu'")
             if self.agc_enabled or self.source_samplerate:
                 raise ValueError(
-                    "ingest='pair' requires agc/asrc disabled (those stages "
-                    "consume the f32 block before the conv)")
+                    f"ingest={self.ingest!r} requires agc/asrc disabled "
+                    "(those stages consume the f32 block before the conv)")
             if self.output_rate == "upsampled":
                 raise ValueError(
-                    "ingest='pair' requires output_rate='base' (upsampled "
-                    "output disables the fused td_mxu path)")
+                    f"ingest={self.ingest!r} requires output_rate='base' "
+                    "(upsampled output disables the fused td_mxu path)")
         agc_window = max(1, min(int(self.agc_window_size), blocksize // 2))
         return dataclasses.replace(
             self,

@@ -110,6 +110,12 @@ class StreamEngine:
             )
             self._asrc_outq: deque = deque(maxlen=64)
         self._last_good: deque = deque(maxlen=LAST_GOOD_DEPTH)
+        # ingest='pcm16': host blocks are raw int16 PCM end-to-end (ladder
+        # pad/trim, framing, checkpointed residuals all carry int16; the
+        # device converts exactly — see Pipeline._step_impl).  Never coerce
+        # floats to int16 here: that would silently quantize.
+        self._in_dtype = (np.int16 if getattr(self.pipeline, "_i16_ingest",
+                                              False) else np.float32)
         self._block_seconds = self.cfg.blocksize / self.cfg.samplerate
         out_len = (self.cfg.upsampled_block if self.pipeline.upsampled_out
                    else self.cfg.blocksize)
@@ -228,7 +234,7 @@ class StreamEngine:
         the underrun blend (use :meth:`process_source_block` for the honest
         Optional contract).
         """
-        block = np.asarray(block, dtype=np.float32)
+        block = self._coerce_in(block)
         if self._asrc_frontend is not None:
             self._asrc_drain(block)
             if not self._asrc_outq:
@@ -237,6 +243,19 @@ class StreamEngine:
         if block.ndim == 1:
             block = block[None, :]
         return self._process_engine_block(block)
+
+    def _coerce_in(self, block: np.ndarray) -> np.ndarray:
+        """Host-block dtype contract: f32 ingest coerces (the reference's
+        float callback buffers); pcm16 ingest REQUIRES int16 — coercing a
+        float block would silently quantize, so that is a caller error."""
+        block = np.asarray(block)
+        if self._in_dtype == np.int16:
+            if block.dtype != np.int16:
+                raise ValueError(
+                    f"ingest='pcm16' engine blocks must be int16, got "
+                    f"{block.dtype}")
+            return block
+        return np.asarray(block, dtype=np.float32)
 
     def process_frames(self, chunk: np.ndarray) -> np.ndarray:
         """Lossless arbitrary-frames ingest: [batch, n] in → [batch, n·r] out
@@ -261,7 +280,7 @@ class StreamEngine:
                 "process_frames requires source_samplerate == samplerate; "
                 "use process_source_block for exact-mode ASRC (it already "
                 "accepts arbitrary chunk lengths)")
-        chunk = np.asarray(chunk, dtype=np.float32)
+        chunk = self._coerce_in(chunk)
         if chunk.ndim == 1:
             chunk = np.broadcast_to(chunk[None, :],
                                     (self.cfg.batch, chunk.shape[-1]))
@@ -270,7 +289,10 @@ class StreamEngine:
         if self._in_framer is None:
             from ..runtime.framer import BlockFramer
 
-            self._in_framer = BlockFramer(self.cfg.batch)
+            # input residuals ride the ingest dtype (raw int16 for pcm16);
+            # the output side is always processed f32
+            self._in_framer = BlockFramer(self.cfg.batch,
+                                          dtype=self._in_dtype)
             self._out_framer = BlockFramer(self.cfg.batch)
             self._out_framer.push(
                 np.zeros((self.cfg.batch, out_len), dtype=np.float32))
@@ -291,7 +313,7 @@ class StreamEngine:
         expected = (self.cfg.batch, self.cfg.blocksize)
         if block.shape != expected:
             # pad/trim rung (`stream_process_EQ.py:110-117`)
-            fixed = np.zeros(expected, dtype=np.float32)
+            fixed = np.zeros(expected, dtype=self._in_dtype)
             b = min(block.shape[0], expected[0])
             t = min(block.shape[1], expected[1])
             fixed[:b, :t] = block[:b, :t]
@@ -349,7 +371,7 @@ class StreamEngine:
         """Whole-signal convenience: [batch, T] → [batch, T'] via lax.scan.
         With exact-mode ASRC, `signal` is source-rate: it streams through the
         frontend and every completed engine block is processed in order."""
-        signal = np.asarray(signal, dtype=np.float32)
+        signal = self._coerce_in(signal)
         if signal.ndim == 1:
             # broadcast to the full batch — the same coercion contract as
             # process_block (a [1, T] array would raise in the ASRC

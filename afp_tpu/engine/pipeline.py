@@ -278,7 +278,22 @@ class Pipeline:
             raise ValueError(
                 "ingest='pair' requires a bf16-class conv precision "
                 f"(AFP_TD_PRECISION is {_td_prec!r})")
-        self._conv_pair = self._conv_pair or self._pair_ingest
+        # int16 PCM ingest (cfg.ingest='pcm16'): blocks arrive as raw int16
+        # PCM (n/32768 full scale) and the conv kernels convert + split in
+        # VMEM — exact for 16-bit data, half the input HBM/ingest bytes
+        # (fir_td.py:_load_f32).  The staged step splits at device entry
+        # (bit-identical — convert and split are elementwise); the state
+        # carries the RAW int16 overlap tail on every surface.
+        self._i16_ingest = (
+            cfg.ingest == "pcm16" and self._use_td
+            and _td_prec in ("B3", "B3F", "B3C")
+        )
+        if cfg.ingest == "pcm16" and not self._i16_ingest:
+            raise ValueError(
+                "ingest='pcm16' requires a bf16-class conv precision "
+                f"(AFP_TD_PRECISION is {_td_prec!r})")
+        self._conv_pair = (self._conv_pair or self._pair_ingest
+                           or self._i16_ingest)
         #: bf16-class conv precision — the B3 split kernels (pair ingest,
         #: fused AGC pair chain, f32 serving ring) all require it
         self._td_b3 = _td_prec in ("B3", "B3F", "B3C")
@@ -444,7 +459,12 @@ class Pipeline:
                                       batch_shape=B,
                                       quality=cfg.resample_quality)
         n_tail = (self.n_casc if self.fused else self.n_fused) - 1
-        if self._conv_pair:
+        if self._i16_ingest:
+            # pcm16 mode: the overlap tail is the RAW int16 input history
+            # (exact — strictly more information than its bf16 pair — and
+            # half the tail bytes), padded to a LANE multiple
+            conv_tail = jnp.zeros((self.batch, self._k_pad), dtype=jnp.int16)
+        elif self._conv_pair:
             # pair mode: the overlap tail is carried as its bf16 hi/lo split
             # (bit-identical conv inputs to the staged path — the split is
             # elementwise, so slicing/concatenating pairs commutes with it),
@@ -476,7 +496,19 @@ class Pipeline:
     def _step_impl(self, params: DeviceParams, state: StreamState,
                    block: jnp.ndarray):
         cfg = self.cfg
-        if self._pair_ingest:
+        xi16 = None  # raw int16 block (pcm16 ingest) for the exact tail carry
+        if self._i16_ingest:
+            # pcm16 ingest: convert at device entry (n/32768, exact) and
+            # split — elementwise, so bit-identical to the ring kernels'
+            # in-VMEM convert+split of the same samples
+            from ..ops.pallas.fir_td import PCM16_SCALE, split_bf16
+
+            xi16 = jnp.asarray(block)
+            if xi16.dtype != jnp.int16:
+                raise ValueError(
+                    f"ingest='pcm16' blocks must be int16, got {xi16.dtype}")
+            x = split_bf16(xi16.astype(jnp.float32) * PCM16_SCALE)
+        elif self._pair_ingest:
             if isinstance(block, tuple):
                 # block is the bf16 (hi, lo) pair of the f32 block — flows
                 # straight into the pair-input conv path (no staging pass)
@@ -623,7 +655,17 @@ class Pipeline:
             if self._conv_pair:
                 # pair-carried tail: reconstruct f32 views only where a
                 # consumer needs them (per-stream banks, fft fallback)
-                tail_hi, tail_lo = state.conv_tail
+                if self._i16_ingest:
+                    # raw int16 tail → convert+split at entry (same exact
+                    # math as the block's; the pair halves feed the same
+                    # pair kernel the ring path's VMEM split feeds)
+                    from ..ops.pallas.fir_td import PCM16_SCALE, split_bf16
+
+                    tail_i16 = state.conv_tail
+                    tail_hi, tail_lo = split_bf16(
+                        tail_i16.astype(jnp.float32) * PCM16_SCALE)
+                else:
+                    tail_hi, tail_lo = state.conv_tail
                 if not x_pair:
                     # fused apply fell back to f32 (per-stream banks or AGC
                     # disabled at runtime is impossible — gate is static —
@@ -723,7 +765,18 @@ class Pipeline:
                 y = jax.lax.slice_in_dim(
                     y, n_conv - 1, n_conv - 1 + self.block, axis=-1
                 )
-            if self._conv_pair:
+            if self._i16_ingest:
+                # pcm16 tail carry: slice the RAW int16 input history (the
+                # exact analog of the pair slices below; the ring kernels
+                # emit the same int16 columns from VMEM)
+                kp = self._k_pad
+                T = xi16.shape[-1]
+                if kp <= T:
+                    conv_tail = xi16[:, T - kp:]
+                else:
+                    conv_tail = jnp.concatenate(
+                        [tail_i16[:, T - kp:], xi16], axis=-1)
+            elif self._conv_pair:
                 # NOTE: the staged step slices the tail post-kernel on
                 # purpose — kernel-emitted tails (`emit_tail`) broke XLA's
                 # output donation aliasing here and cost a full-block copy
@@ -830,7 +883,11 @@ class Pipeline:
           single f32 input ring feeds `fir_td_mxu_ring_f32`, which splits
           in VMEM — the reference's f32 input contract with the
           pair-ring's zero-copy dispatch (a bf16 pair costs exactly the
-          bytes of one f32 array, so the HBM traffic is identical).
+          bytes of one f32 array, so the HBM traffic is identical);
+        * the pcm16 conv ring (``ingest='pcm16'``): the same single-ring
+          form over RAW int16 PCM blocks — the kernel converts (n/32768,
+          exact) and splits in VMEM, halving the input HBM bytes and the
+          host→device ingest transfer vs both forms above.
 
         All require the scan-carried waterfall off and no device-side
         ASRC; per-stream EQ banks are rejected at call time (their kernel
@@ -904,10 +961,24 @@ class Pipeline:
             # Numerics: pair-kernel class — bit-identical to staged pair
             # steps; vs the staged f32 step the padded band regroups the
             # fp32 accumulation (≤ −110 dB, bit-exact in interpret mode —
-            # fir_td.py:_fir_kernel_b3t_f32).
-            from ..ops.pallas.fir_td import fir_td_mxu_ring_f32
+            # fir_td.py:_fir_kernel_b3t_f32).  pcm16 ingest: the same form
+            # over a raw int16 ring (half the input bytes; the in-VMEM
+            # convert+split is exact — fir_td.py:_load_f32).
+            if self._i16_ingest:
+                if ring_hi.dtype != jnp.int16:
+                    raise ValueError(
+                        f"ingest='pcm16' serving rings must be int16, got "
+                        f"{ring_hi.dtype}")
+                from ..ops.pallas.fir_td import fir_td_mxu_ring_pcm16 as _ring
+            else:
+                if ring_hi.dtype != jnp.float32:
+                    raise ValueError(
+                        f"the f32 conv ring must be float32, got "
+                        f"{ring_hi.dtype} (use ingest='pcm16' for int16 "
+                        "rings)")
+                from ..ops.pallas.fir_td import fir_td_mxu_ring_f32 as _ring
 
-            out_ring, new_tail = fir_td_mxu_ring_f32(
+            out_ring, new_tail = _ring(
                 ring_hi, idx, state.conv_tail, band, out_ring,
                 interpret=self._pl_interpret, out_clip=cfg.output_clip,
                 **dkw,
@@ -1110,7 +1181,12 @@ class Pipeline:
         # the single-launch form (seeds are sliced from the same key walk).
         start = jnp.asarray(start, dtype=jnp.int32)
         if f32_form:
-            from ..ops.pallas.fir_td import fir_td_mxu_ring_mega_f32
+            if self._i16_ingest:
+                from ..ops.pallas.fir_td import (
+                    fir_td_mxu_ring_mega_pcm16 as _mega)
+            else:
+                from ..ops.pallas.fir_td import (
+                    fir_td_mxu_ring_mega_f32 as _mega)
 
             nt = state.conv_tail
             off = 0
@@ -1118,7 +1194,7 @@ class Pipeline:
                 n = min(MEGA_CHUNK_STEPS, n_steps - off)
                 sd = None if seeds is None else jax.lax.slice_in_dim(
                     seeds, off, off + n, axis=0)
-                out_ring, nt = fir_td_mxu_ring_mega_f32(
+                out_ring, nt = _mega(
                     ring_hi, start + off, nt, band, out_ring, n, seeds=sd,
                     interpret=self._pl_interpret,
                     out_clip=cfg.output_clip, **dkw)
@@ -1182,7 +1258,14 @@ class Pipeline:
         # device: reshape+swapaxes on a large host array forces a strided
         # host copy, which on some hosts stalls in kernel time for GB-class
         # signals (measured >840 s at [4096, 64·4096] vs ~4 s this way)
-        signal = jnp.asarray(signal, dtype=jnp.float32)
+        if self._i16_ingest:
+            signal = jnp.asarray(signal)
+            if signal.dtype != jnp.int16:  # never silently quantize floats
+                raise ValueError(
+                    f"ingest='pcm16' signals must be int16, got "
+                    f"{signal.dtype}")
+        else:
+            signal = jnp.asarray(signal, dtype=jnp.float32)
         blocks = signal[:, : nblocks * L].reshape(B, nblocks, L).swapaxes(0, 1)
         state, outs = self.run(params, state, blocks)
         return state, outs.swapaxes(0, 1).reshape(B, -1)

@@ -29,8 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["band_matrix", "wide_band_matrix", "fir_td_mxu",
            "fir_td_mxu_pair", "fir_td_mxu_per_stream", "fir_conv_xla",
            "fir_td_mxu_ring", "fir_td_mxu_ring_f32", "fir_td_mxu_ring_mega",
-           "fir_td_mxu_ring_mega_f32", "fir_td_mxu_pair_to_ring",
-           "split_bf16", "merge_bf16", "PRECISION_MODE"]
+           "fir_td_mxu_ring_mega_f32", "fir_td_mxu_ring_pcm16",
+           "fir_td_mxu_ring_mega_pcm16", "fir_td_mxu_pair_to_ring",
+           "split_bf16", "merge_bf16", "PCM16_SCALE", "PRECISION_MODE"]
 
 import os as _os
 
@@ -173,6 +174,27 @@ def _split_bf16_in_kernel(v):
     u = u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
     hi32 = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
     return hi32.astype(jnp.bfloat16), (v - hi32).astype(jnp.bfloat16)
+
+
+#: int16 PCM full-scale convention: sample n → n / 32768 (−32768 → −1.0),
+#: matching `utils.wavio.read_wav` and the sounddevice int16 mapping.  A
+#: power-of-two scale, so the conversion is EXACT in f32.
+PCM16_SCALE = 1.0 / 32768.0
+
+
+def _load_f32(v):
+    """Read an input ref's value as f32.  int16 PCM refs convert on the
+    VPU with the ±1.0 full-scale convention (``n · 2⁻¹⁵`` — bit-exact).
+
+    For 16-bit-integer-valued data the bf16 hi/lo split that follows is
+    itself EXACT: the rounded hi half captures the top ≤ 8 significant
+    bits and the residual is an integer multiple of the sample ulp with
+    ≤ 8 significant bits left, so ``hi + lo == x`` bitwise — the pcm16
+    ring path therefore adds ZERO split error on the x operand (unlike
+    f32 ingest, whose sub-lo residual is dropped at ~2⁻¹⁶ relative)."""
+    if v.dtype == jnp.int16:
+        return v.astype(jnp.float32) * PCM16_SCALE
+    return v
 
 
 def _fir_kernel_b3f(x_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
@@ -831,8 +853,8 @@ def _fir_kernel_b3t_f32(x_ref, t_ref, bhi_ref, blo_ref, o_ref, *, k_pad: int,
     samples of concat(tail, x)) from VMEM."""
     if seed_ref is not None:
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-    x_hi, x_lo = _split_bf16_in_kernel(x_ref[:, :])
-    t_hi, t_lo = _split_bf16_in_kernel(t_ref[:, :])
+    x_hi, x_lo = _split_bf16_in_kernel(_load_f32(x_ref[:, :]))
+    t_hi, t_lo = _split_bf16_in_kernel(_load_f32(t_ref[:, :]))
     for t in range(t_tiles):
         off = t * LANE
         if off < k_pad:  # window straddles the tail/block boundary
@@ -903,8 +925,10 @@ def _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
         pl.BlockSpec((bt, k_pad), lambda i, s: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
+    # tail rides the ingest dtype: f32 contract → f32, pcm16 → raw int16
+    # history (exact, and half the tail bytes)
     out_shape = [jax.ShapeDtypeStruct((S, B, T), jnp.float32),
-                 jax.ShapeDtypeStruct((B, k_pad), jnp.float32)]
+                 jax.ShapeDtypeStruct((B, k_pad), tail.dtype)]
     dkw = {"out_clip": out_clip}
     if dither_bits is not None:
         dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
@@ -957,6 +981,45 @@ def fir_td_mxu_ring_f32(ring: jnp.ndarray, idx, tail: jnp.ndarray,
     VMEM-resident block.
     """
     assert ring.dtype == jnp.float32 and tail.dtype == jnp.float32
+    band = jnp.asarray(band, dtype=jnp.float32)
+    if ring.shape[-1] % LANE:
+        raise ValueError(f"T={ring.shape[-1]} must be a multiple of {LANE}")
+    k = band.shape[0] - LANE
+    k_pad = -(-max(k, 1) // LANE) * LANE
+    if tail.shape[1] != k_pad:
+        pad = k_pad - tail.shape[1]
+        assert pad > 0, (tail.shape, k_pad)
+        tail = jnp.pad(tail, ((0, 0), (pad, 0)))
+    idx = jnp.asarray(idx, dtype=jnp.int32).reshape(1)
+    return _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
+                                 interpret=interpret, seed=dither_seed,
+                                 dither_bits=dither_bits,
+                                 dither_tpdf=dither_tpdf, out_clip=out_clip)
+
+
+def fir_td_mxu_ring_pcm16(ring: jnp.ndarray, idx, tail: jnp.ndarray,
+                          band: jnp.ndarray, out_ring: jnp.ndarray,
+                          interpret: bool = False,
+                          dither_seed=None, dither_bits: int | None = None,
+                          dither_tpdf: bool = True,
+                          out_clip: float | None = None):
+    """Zero-copy serving-ring FIR step under an int16 PCM INPUT CONTRACT:
+    the HBM input ring holds raw int16 blocks (the source format of most
+    real audio — WAV PCM, sound-card DMA), the kernel converts to f32 on
+    the VPU (``n / 32768``, exact) and splits the bf16 pair in VMEM.
+
+    vs the f32 ring this HALVES the input-side HBM bytes (and the
+    host→device ingest transfer) and the split is EXACT for 16-bit data
+    (see :func:`_load_f32`), so outputs are BIT-IDENTICAL to the staged
+    pair / f32-ring paths fed the same ``n / 32768`` values — same padded
+    band geometry, same three bf16 MXU passes (asserted on hardware,
+    tools/hw_check.py).  `tail`: [B, k_pad] raw int16 carried history;
+    returns ``(out_ring, next_tail)`` with the next tail emitted in int16
+    (half the tail bytes, zero conversion loss).  The f32 OUTPUT ring and
+    the fused clip/dither epilogue are unchanged.
+    """
+    assert ring.dtype == jnp.int16 and tail.dtype == jnp.int16, (
+        ring.dtype, tail.dtype)
     band = jnp.asarray(band, dtype=jnp.float32)
     if ring.shape[-1] % LANE:
         raise ValueError(f"T={ring.shape[-1]} must be a multiple of {LANE}")
@@ -1169,8 +1232,8 @@ def _fir_kernel_b3mega_f32(x_ref, t_in_ref, bhi_ref, blo_ref, o_ref, t_o,
 
     if seed_ref is not None:
         pltpu.prng_seed(seed_ref[step, 0] + pl.program_id(0))
-    x_hi, x_lo = _split_bf16_in_kernel(x_ref[:, :])
-    t_hi, t_lo = _split_bf16_in_kernel(t_o[:, :])
+    x_hi, x_lo = _split_bf16_in_kernel(_load_f32(x_ref[:, :]))
+    t_hi, t_lo = _split_bf16_in_kernel(_load_f32(t_o[:, :]))
     for t in range(t_tiles):
         off = t * LANE
         if off < k_pad:
@@ -1229,7 +1292,7 @@ def _fir_td_ring_mega_f32_call(start, seeds, ring, tail, band, out_ring,
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((S, B, T), jnp.float32),
-                 jax.ShapeDtypeStruct((B, k_pad), jnp.float32)]
+                 jax.ShapeDtypeStruct((B, k_pad), tail.dtype)]
     dkw = {"out_clip": out_clip}
     if dither_bits is not None:
         dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
@@ -1272,6 +1335,37 @@ def fir_td_mxu_ring_mega_f32(ring: jnp.ndarray, start, tail: jnp.ndarray,
     :func:`fir_td_mxu_ring_f32` calls (same per-step math and seed fold).
     Returns ``(out_ring, next_tail)``."""
     assert ring.dtype == jnp.float32 and tail.dtype == jnp.float32
+    band = jnp.asarray(band, dtype=jnp.float32)
+    if ring.shape[-1] % LANE:
+        raise ValueError(f"T={ring.shape[-1]} must be a multiple of {LANE}")
+    k = band.shape[0] - LANE
+    k_pad = -(-max(k, 1) // LANE) * LANE
+    if tail.shape[1] != k_pad:
+        pad = k_pad - tail.shape[1]
+        assert pad > 0, (tail.shape, k_pad)
+        tail = jnp.pad(tail, ((0, 0), (pad, 0)))
+    start = jnp.asarray(start, dtype=jnp.int32).reshape(1)
+    return _fir_td_ring_mega_f32_call(
+        start, seeds, ring, tail, band, out_ring, n_steps=int(n_steps),
+        interpret=interpret, dither_bits=dither_bits,
+        dither_tpdf=dither_tpdf, out_clip=out_clip)
+
+
+def fir_td_mxu_ring_mega_pcm16(ring: jnp.ndarray, start, tail: jnp.ndarray,
+                               band: jnp.ndarray, out_ring: jnp.ndarray,
+                               n_steps: int, seeds=None,
+                               interpret: bool = False,
+                               dither_bits: int | None = None,
+                               dither_tpdf: bool = True,
+                               out_clip: float | None = None):
+    """int16-PCM serving megakernel: ``n_steps`` ring steps inside one
+    Pallas launch over a raw int16 input ring, the int16 overlap tail
+    carried in VMEM across steps.  Equivalent to chained
+    :func:`fir_td_mxu_ring_pcm16` calls (same per-step math and seed
+    fold); see that wrapper for the exactness contract.  Returns
+    ``(out_ring, next_tail)``."""
+    assert ring.dtype == jnp.int16 and tail.dtype == jnp.int16, (
+        ring.dtype, tail.dtype)
     band = jnp.asarray(band, dtype=jnp.float32)
     if ring.shape[-1] % LANE:
         raise ValueError(f"T={ring.shape[-1]} must be a multiple of {LANE}")

@@ -260,10 +260,11 @@ class ShardedPipeline:
         """Sharded zero-copy serving loop (`Pipeline.run_ring`): the
         [S, B_global, T] rings shard on 'streams', the slot index is
         replicated, and each shard's ring kernels read/write their own ring
-        slices in place — still zero hot-loop collectives.  All three ring
+        slices in place — still zero hot-loop collectives.  All four ring
         forms work: pair ingest (bf16 `(ring_hi, ring_lo)`), the fused AGC
-        chain, and the f32 conv ring (both: single f32 ring,
-        ``ring_lo=None``).  `out_ring` is donated; `n_steps` is static."""
+        chain, the f32 conv ring, and the pcm16 conv ring (single-ring
+        forms pass the ring as `ring_hi` with ``ring_lo=None``).
+        `out_ring` is donated; `n_steps` is static."""
         if not self.pipeline.supports_ring_step:
             raise ValueError(
                 "run_ring requires a ring-capable pipeline — pair ingest, "
@@ -304,8 +305,8 @@ class ShardedPipeline:
         launches (one per ≤`MEGA_CHUNK_STEPS` blocks) — same sharding
         layout, per-shard key fold, and zero hot-loop collectives as
         :meth:`run_ring`.
-        Pair-ingest and f32-conv forms (no fused-AGC form); `out_ring` is
-        donated, `n_steps` static."""
+        Pair-ingest, f32-conv, and pcm16-conv forms (no fused-AGC form);
+        `out_ring` is donated, `n_steps` static."""
         if not self.pipeline.supports_ring_step or \
                 self.pipeline.cfg.agc_enabled:
             raise ValueError("run_ring_mega requires pair ingest or the "

@@ -109,13 +109,18 @@ class AudioStream:
         # pad/trim rung never fires on a size mismatch.
         from .framer import BlockFramer
 
-        self._in_framer = BlockFramer(cfg.batch)
+        # ingest='pcm16': request int16 from PortAudio itself — the card's
+        # native DMA sample format rides untouched from driver to device
+        # kernel (zero host conversion passes; the engine converts exactly
+        # on the VPU).  Output stays float32 (processed audio).
+        in_np = engine._in_dtype
+        self._in_framer = BlockFramer(cfg.batch, dtype=in_np)
         self._out_framer = BlockFramer(cfg.batch)
         self._stream = self.sd.Stream(
             samplerate=cfg.samplerate,  # the card clock = engine rate
             blocksize=cfg.blocksize,
             channels=self.channels,
-            dtype="float32",
+            dtype=(np.dtype(in_np).name, "float32"),
             latency=latency,
             device=device,
             callback=self._callback,
@@ -128,7 +133,8 @@ class AudioStream:
             self.engine.metrics.underruns += 1
             logger.warning("Stream status: %s", status)
         bs = self.engine.cfg.blocksize
-        self._in_framer.push(np.ascontiguousarray(indata.T, dtype=np.float32))
+        self._in_framer.push(
+            np.ascontiguousarray(indata.T, dtype=self.engine._in_dtype))
         while True:
             blk = self._in_framer.pull(bs)
             if blk is None:

@@ -59,8 +59,15 @@ class FaultInjector:
         if self.late_every and self._n % self.late_every == 0:
             time.sleep(self.late_seconds)
         if self.corrupt_every and self._n % self.corrupt_every == 0:
-            bad = block.copy()
-            bad.flat[0] = np.nan
+            bad = np.asarray(block).copy()
+            if np.issubdtype(bad.dtype, np.floating):
+                bad.flat[0] = np.nan
+            else:
+                # integer PCM (ingest='pcm16') cannot carry NaN — the
+                # ladder's non-finite guard is structurally unreachable
+                # from int ingest; inject a full-scale click instead so
+                # the corruption is at least audible/testable downstream
+                bad.flat[0] = np.iinfo(bad.dtype).min
             return bad
         return block
 
@@ -77,7 +84,10 @@ class BlockDispatcher:
         # (output_rate='upsampled' → blocksize·upf) — size the output ring
         # from the engine's actual output shape, not the input shape
         out_shape = tuple(engine._out_shape)
-        self.in_ring = BlockRing(queue_depth, shape)
+        # the input ring rides the engine's ingest dtype (raw int16 for
+        # ingest='pcm16' — half the queue bytes, no conversion); output
+        # blocks are always processed f32
+        self.in_ring = BlockRing(queue_depth, shape, dtype=engine._in_dtype)
         self.out_ring = BlockRing(queue_depth, out_shape)
         self._shape = shape
         self._stop = threading.Event()
@@ -101,9 +111,9 @@ class BlockDispatcher:
         while not self._stop.is_set():
             blk = self.in_ring.pop(timeout=0.1)
             if blk is None:
-                # input timeout → process silence
-                # (`stream_process_AGC.py:111-115`)
-                blk = np.zeros(self._shape, dtype=np.float32)
+                # input timeout → process silence (in the ingest dtype —
+                # int16 zeros for pcm16; `stream_process_AGC.py:111-115`)
+                blk = np.zeros(self._shape, dtype=self.engine._in_dtype)
             out = self.engine.process_block(blk)
             # put_nowait; drop frame when full (`stream_process_AGC.py:198-199`)
             if not self.out_ring.push(out, timeout=0.1):

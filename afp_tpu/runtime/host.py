@@ -90,16 +90,27 @@ def _as_float_ptr(a: np.ndarray):
 
 
 class BlockRing:
-    """Bounded queue of fixed-size float32 blocks (native-backed).
+    """Bounded queue of fixed-size blocks (native-backed).
 
     `capacity` mirrors the reference's ``queue.Queue(maxsize=20)``
-    (`stream_process_EQ_GUI.py:47-48`).
+    (`stream_process_EQ_GUI.py:47-48`).  The native ring moves raw bytes
+    (in float-sized units); `dtype` selects the block element type —
+    float32 (default, the reference's callback format) or int16
+    (``ingest='pcm16'`` engines: blocks ride the ring as bit views, half
+    the queue memory and copy bytes per block, zero conversion).
     """
 
-    def __init__(self, capacity: int = 20, block_shape: Tuple[int, ...] = (2048,)):
+    def __init__(self, capacity: int = 20, block_shape: Tuple[int, ...] = (2048,),
+                 dtype=np.float32):
         self._lib = load_library()
         self.block_shape = tuple(int(s) for s in block_shape)
-        self.block_floats = int(np.prod(self.block_shape))
+        self.dtype = np.dtype(dtype)
+        nbytes = int(np.prod(self.block_shape)) * self.dtype.itemsize
+        if nbytes % 4:
+            raise ValueError(
+                f"block byte size {nbytes} must be float-aligned (multiple "
+                f"of 4) to ride the native ring")
+        self.block_floats = nbytes // 4
         self._h = self._lib.afp_ring_create(capacity, self.block_floats)
         if not self._h:
             raise RuntimeError("failed to create native ring")
@@ -108,9 +119,17 @@ class BlockRing:
     def push(self, block: np.ndarray, timeout: Optional[float] = 0.0) -> bool:
         """timeout=0 → nowait (drop on full, returns False); timeout=None →
         wait forever; else seconds."""
-        b = np.ascontiguousarray(block, dtype=np.float32)
-        if b.size != self.block_floats:
-            raise ValueError(f"block must have {self.block_floats} floats")
+        block = np.asarray(block)
+        if self.dtype != np.float32 and block.dtype != self.dtype:
+            # int rings never coerce: an f32→int16 cast would silently
+            # quantize (the same contract as StreamEngine._coerce_in)
+            raise ValueError(
+                f"this ring carries {self.dtype} blocks, got {block.dtype}")
+        b = np.ascontiguousarray(block, dtype=self.dtype)
+        if b.size != int(np.prod(self.block_shape)):
+            raise ValueError(
+                f"block must have {int(np.prod(self.block_shape))} elements")
+        b = b.reshape(-1).view(np.float32)  # bit view, no conversion
         if timeout == 0.0:
             return self._lib.afp_ring_push(self._h, _as_float_ptr(b)) == 0
         t = -1.0 if timeout is None else timeout * 1000.0
@@ -118,13 +137,13 @@ class BlockRing:
 
     def pop(self, timeout: Optional[float] = 0.0) -> Optional[np.ndarray]:
         """Returns a block or None on empty/timeout."""
-        out = np.empty(self.block_shape, dtype=np.float32)
+        out = np.empty(self.block_floats, dtype=np.float32)
         if timeout == 0.0:
             ok = self._lib.afp_ring_pop(self._h, _as_float_ptr(out)) == 0
         else:
             t = -1.0 if timeout is None else timeout * 1000.0
             ok = self._lib.afp_ring_pop_blocking(self._h, _as_float_ptr(out), t) == 0
-        return out if ok else None
+        return out.view(self.dtype).reshape(self.block_shape) if ok else None
 
     def __len__(self) -> int:
         return int(self._lib.afp_ring_size(self._h))

@@ -58,9 +58,11 @@ class RingServer:
     pipeline:
         A `Pipeline` with ``supports_ring_step``: pair ingest (bf16
         (hi, lo) input rings), the fused AGC chain (one f32 input
-        ring; exact-mode AGC on TPU), or the f32 conv ring (one f32
+        ring; exact-mode AGC on TPU), the f32 conv ring (one f32
         ring, no AGC — the reference's f32 input contract with
-        zero-copy dispatch).  Waterfall off, no device ASRC.
+        zero-copy dispatch), or the pcm16 conv ring (one raw int16
+        ring, ``ingest='pcm16'`` — half the ingest bytes, exact
+        in-VMEM conversion).  Waterfall off, no device ASRC.
         A `parallel.ShardedPipeline` works unchanged — the rings are
         placed with its published `ring_sharding` (global batch over the
         'streams' mesh), so one RingServer serves a whole slice.
@@ -79,8 +81,8 @@ class RingServer:
     mega:
         Dispatch each chunk through the serving megakernel
         (`Pipeline.run_ring_mega`) instead of the scan of ring steps —
-        same numerics, fewer kernel launches.  Pair-ingest and f32-conv
-        forms (no fused-AGC form); off-TPU it additionally requires
+        same numerics, fewer kernel launches.  Pair-ingest, f32-conv,
+        and pcm16-conv forms (no fused-AGC form); off-TPU it additionally requires
         ``dither_kind='off'`` (the fused dither epilogue has no interpret
         lowering).
     """
@@ -129,11 +131,19 @@ class RingServer:
             z = jnp.zeros((slots, B, T), dtype)
             return z if shard is None else jax.device_put(z, shard)
 
-        #: pair ingest → bf16 (hi, lo) rings; fused AGC chain → one f32 ring
+        #: pair ingest → bf16 (hi, lo) rings; fused AGC chain / f32 conv
+        #: ring → one f32 ring; pcm16 ingest → one raw int16 ring (half the
+        #: ingest bytes, exact — fir_td.py:_load_f32)
         self.pair = bool(pipeline._pair_ingest)
+        self.pcm16 = bool(getattr(pipeline, "_i16_ingest", False)
+                          or getattr(getattr(pipeline, "pipeline", None),
+                                     "_i16_ingest", False))
         if self.pair:
             self._ring_hi = _alloc(jnp.bfloat16)
             self._ring_lo = _alloc(jnp.bfloat16)
+        elif self.pcm16:
+            self._ring_hi = _alloc(jnp.int16)
+            self._ring_lo = None
         else:
             self._ring_hi = _alloc(jnp.float32)
             self._ring_lo = None
@@ -156,6 +166,13 @@ class RingServer:
     def _land(self, slot: int, block) -> None:
         """Stage one engine-sized block into ring slot `slot` (in-place
         donated write — the ingest DMA analog)."""
+        if self.pcm16:
+            blk = jnp.asarray(block)
+            if blk.dtype != jnp.int16:  # never silently quantize floats
+                raise ValueError(
+                    f"pcm16 RingServer blocks must be int16, got {blk.dtype}")
+            self._ring_hi = self._write_hi(self._ring_hi, blk, slot)
+            return
         if not self.pair:
             self._ring_hi = self._write_hi(
                 self._ring_hi, jnp.asarray(block, jnp.float32), slot)
@@ -170,11 +187,12 @@ class RingServer:
         self._ring_lo = self._write_lo(self._ring_lo, lo, slot)
 
     def stream(self, source: Iterable) -> Iterator[np.ndarray]:
-        """Pump `source` (an iterable of [batch, blocksize] f32 blocks, or
-        bf16 (hi, lo) pairs) through the rings; yield one [batch,
-        blocksize] f32 output per input block, in order.  The tail of a
-        non-multiple-of-chunk source is served with a final short
-        dispatch."""
+        """Pump `source` (an iterable of [batch, blocksize] f32 blocks,
+        bf16 (hi, lo) pairs, or raw int16 PCM blocks for
+        ``ingest='pcm16'`` pipelines) through the rings; yield one
+        [batch, blocksize] f32 output per input block, in order.  The
+        tail of a non-multiple-of-chunk source is served with a final
+        short dispatch."""
         import time as _time
 
         inflight: list[tuple[jnp.ndarray, list[float]]] = []

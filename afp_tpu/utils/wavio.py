@@ -13,7 +13,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav"]
+__all__ = ["read_wav", "read_wav_pcm16", "write_wav"]
 
 
 def _parse_riff(path: str):
@@ -82,6 +82,29 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     else:
         raise ValueError(f"unsupported sample width {width}")
+    return x.reshape(-1, n_ch).T.copy(), rate
+
+
+def read_wav_pcm16(path: str) -> Tuple[np.ndarray, int]:
+    """Read a 16-bit PCM WAV file RAW → (int16 array [channels, frames],
+    rate) — the zero-conversion source for ``StreamConfig(ingest='pcm16')``
+    engines (whose on-device n/32768 conversion reproduces
+    :func:`read_wav`'s float values exactly).  Raises on any other sample
+    format: silently converting would defeat the raw-ingest contract."""
+    try:
+        with wave.open(path, "rb") as w:
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+        tag = 1
+    except wave.Error:
+        tag, n_ch, rate, width, raw = _parse_riff(path)
+    if tag != 1 or width != 2:
+        raise ValueError(
+            f"{path} is not 16-bit PCM (format {tag}, {width * 8}-bit) — "
+            "use read_wav() and ingest='f32' for non-16-bit sources")
+    x = np.frombuffer(raw, dtype="<i2")
     return x.reshape(-1, n_ch).T.copy(), rate
 
 

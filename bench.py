@@ -503,6 +503,71 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
             print(f"bench: f32 conv ring failed ({e})",
                   file=sys.stderr, flush=True)
 
+    # pcm16 conv serving ring (ingest='pcm16'): the input ring holds RAW
+    # int16 PCM — the source format of WAV files and sound-card DMA — and
+    # the kernel converts (n/32768, exact) + splits in VMEM
+    # (`fir_td_mxu_ring_pcm16`).  Input-side HBM bytes and host→device
+    # ingest bytes HALVE vs the f32/pair rings.  A DIFFERENT input
+    # contract, so it never competes for the f32-contract headline; its
+    # own keys quantify what a 16-bit-source deployment gains.
+    sustained_pcm16_ring_xrt = None
+    sustained_pcm16_ring_mega_xrt = None
+    sustained_pcm16_ring_asym_xrt = None
+    sustained_pcm16_ring_mega_asym_xrt = None
+    mfu_pcm16_ring = None
+    mfu_pcm16_ring_asym = None
+    if (strategy == "td_mxu" and precision.startswith("B3")
+            and os.environ.get("AFP_BENCH_PCM16", "1") != "0"):
+        import dataclasses
+
+        try:
+            ring_n = min(16, blocks.shape[0])
+            icfg = dataclasses.replace(cfg, ingest="pcm16")
+            ipipe = Pipeline(icfg)
+            iparams = ipipe.device_params(PipelineParams.design(ipipe.cfg))
+            # quantize the SAME test signal to int16 (the pcm16 contract:
+            # the source data IS 16-bit PCM)
+            iring = jnp.clip(jnp.round(blocks[:ring_n] * 32768.0),
+                             -32768, 32767).astype(jnp.int16)
+            jax.block_until_ready(iring)
+            fring16 = (iring, None)
+            print("bench: pcm16 conv ring compiling...",
+                  file=sys.stderr, flush=True)
+            sustained_pcm16_ring_xrt = _sustained_ring_xrt(
+                ipipe, iparams, fring16, reps)
+            try:
+                sustained_pcm16_ring_mega_xrt = _sustained_ring_mega_xrt(
+                    ipipe, iparams, fring16, reps)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: pcm16 ring-mega variant failed ({e})",
+                      file=sys.stderr, flush=True)
+            n_asym = int(os.environ.get("AFP_BENCH_SUSTAIN_ASYMPTOTE",
+                                        "2048"))
+            if n_asym > int(os.environ.get("AFP_BENCH_SUSTAIN", "512")):
+                try:
+                    sustained_pcm16_ring_asym_xrt = _sustained_ring_xrt(
+                        ipipe, iparams, fring16, reps, n_sust=n_asym)
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench: pcm16 ring asymptote failed ({e})",
+                          file=sys.stderr, flush=True)
+                try:
+                    sustained_pcm16_ring_mega_asym_xrt = (
+                        _sustained_ring_mega_xrt(
+                            ipipe, iparams, fring16, reps, n_sust=n_asym))
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench: pcm16 ring-mega asymptote failed ({e})",
+                          file=sys.stderr, flush=True)
+            mfu_pcm16_ring = _ring_mfu(ipipe, batch, cfg.blocksize,
+                                       sustained_pcm16_ring_xrt,
+                                       sustained_pcm16_ring_mega_xrt)
+            mfu_pcm16_ring_asym = _ring_mfu(ipipe, batch, cfg.blocksize,
+                                            sustained_pcm16_ring_asym_xrt,
+                                            sustained_pcm16_ring_mega_asym_xrt)
+            del iring, fring16
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: pcm16 conv ring failed ({e})",
+                  file=sys.stderr, flush=True)
+
     # Metric NAME carries the methodology (r2 advisor: round 1's value was
     # chained-dispatch xRT, round 2 silently switched to sustained under the
     # same name).  Both numbers are always present under their own keys.
@@ -547,6 +612,11 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
         "sustained_f32_ring_asym2048_xrt": sustained_f32_ring_asym_xrt,
         "sustained_f32_ring_mega_asym2048_xrt":
             sustained_f32_ring_mega_asym_xrt,
+        "sustained_pcm16_ring_xrt": sustained_pcm16_ring_xrt,
+        "sustained_pcm16_ring_mega_xrt": sustained_pcm16_ring_mega_xrt,
+        "sustained_pcm16_ring_asym2048_xrt": sustained_pcm16_ring_asym_xrt,
+        "sustained_pcm16_ring_mega_asym2048_xrt":
+            sustained_pcm16_ring_mega_asym_xrt,
         "strategy": strategy,
         "precision": precision if strategy == "td_mxu" else None,
         "mfu": mfu,
@@ -554,6 +624,8 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
         "mfu_ring_asym2048": mfu_ring_asym,
         "mfu_f32_ring": mfu_f32_ring,
         "mfu_f32_ring_asym2048": mfu_f32_ring_asym,
+        "mfu_pcm16_ring": mfu_pcm16_ring,
+        "mfu_pcm16_ring_asym2048": mfu_pcm16_ring_asym,
         "best_run_s": round(best, 4),
         "error_db_vs_oracle": err_db,
         "device": str(jax.devices()[0]),
@@ -808,10 +880,10 @@ def main() -> None:
         try:
             # td_mxu budget covers the primary + sustained + pair + ring +
             # mega + the 2048-step asymptote legs + the four f32-conv-ring
-            # legs (each a fresh trace); a mid-section BenchTimeout is
-            # caught by that section's except and only skips its remaining
-            # metrics
-            _alarm(2100 if strat == "td_mxu" else 600)
+            # legs + the four pcm16-ring legs (each a fresh trace); a
+            # mid-section BenchTimeout is caught by that section's except
+            # and only skips its remaining metrics
+            _alarm(2400 if strat == "td_mxu" else 600)
             result = run_config(batch, nblocks, reps, strat, prec)
             signal.alarm(0)
             break

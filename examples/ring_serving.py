@@ -15,6 +15,11 @@ Run: python examples/ring_serving.py [--streams 64] [--blocks 32] [--mega]
 (`Pipeline.run_ring_mega`): the whole chunk runs inside a single Pallas
 kernel — bit-identical output, fewer launches.  (Off-TPU the fused dither
 epilogue has no interpret lowering, so `--mega` switches dither off.)
+
+`--pcm16` serves raw int16 PCM blocks (``ingest='pcm16'`` — the source
+format of WAV files and sound-card DMA): the input ring holds int16, the
+kernel converts (n/32768, exact) and splits in VMEM, and the ingest
+bytes halve.
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -37,6 +42,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=4)
     ap.add_argument("--mega", action="store_true",
                     help="one-launch megakernel dispatch (run_ring_mega)")
+    ap.add_argument("--pcm16", action="store_true",
+                    help="serve raw int16 PCM blocks (ingest='pcm16')")
     args = ap.parse_args()
     dither = "tpdf"
     if args.mega and _os.environ.get("AFP_FORCE_CPU"):
@@ -57,7 +64,7 @@ def main():
         dither_kind=dither,
         output_clip=None,
         conv_strategy="td_mxu",
-        ingest="pair",
+        ingest="pcm16" if args.pcm16 else "pair",
     )
     pipe = Pipeline(cfg)
     srv = RingServer(pipe, slots=4 * args.chunk, chunk=args.chunk,
@@ -66,6 +73,10 @@ def main():
     rng = np.random.default_rng(0)
     blocks = (rng.standard_normal(
         (args.blocks, args.streams, cfg.blocksize)) * 0.3).astype(np.float32)
+    if args.pcm16:
+        # the pcm16 contract: the source data IS 16-bit PCM
+        blocks = np.clip(np.round(blocks * 32768.0), -32768, 32767
+                         ).astype(np.int16)
 
     # warm-up dispatch (compile), then the timed serve
     _ = list(srv.stream(iter(blocks[: args.chunk])))

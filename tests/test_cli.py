@@ -56,6 +56,61 @@ def test_cli_devices(capsys):
     assert capsys.readouterr().out.strip()
 
 
+def test_cli_process_pcm16_matches_f32_td_mxu(tmp_path, rng):
+    """--ingest pcm16 on a 16-bit WAV converts on-device to exactly the
+    n/32768 floats read_wav would produce, so its output sits in the
+    pair-kernel numerics class: bit-identical to pair ingest (pinned at
+    engine level in test_pcm16.py) and within the documented ≤ −110 dB
+    regrouped-accumulation class of the staged-f32 td_mxu gold used here
+    (`ops/pallas/fir_td.py:_fir_kernel_b3t_f32` note).  Partial final
+    block included (int16 zero padding)."""
+    import dataclasses
+
+    from afp_tpu.engine import StreamConfig, StreamEngine
+    from afp_tpu.utils import read_wav_pcm16
+
+    src, dst = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    x = (0.3 * rng.standard_normal((2, 3000))).astype(np.float32).clip(-1, 1)
+    write_wav(src, x, 44100, width=2)
+    rc = main(["process", src, dst, "--blocksize", "1024", "--upsample", "2",
+               "--numtaps", "65", "--cutoff", "10000", "--dither", "off",
+               "--ingest", "pcm16"])
+    assert rc == 0
+    y, rate = read_wav(dst)
+    assert rate == 44100 and y.shape == (2, 3000)
+
+    # gold: the engine on the f32 td_mxu path fed read_wav's floats
+    xf, _ = read_wav(src)
+    xi, _ = read_wav_pcm16(src)
+    np.testing.assert_array_equal(xi.astype(np.float32) / 32768.0, xf)
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=1024, upsample_factor=2, numtaps=65,
+        cutoff=10000.0, batch=2, dither_kind="off", output_clip=None,
+        eq_enabled=False,  # the CLI without --eq-gains runs EQ-off
+        conv_strategy="td_mxu", downsample_mode="resample")
+    eng = StreamEngine(cfg)
+    pad = np.zeros((2, 1024 - 3000 % 1024), np.float32)
+    gold = eng.process_signal(np.concatenate([xf, pad], axis=1))[:, :3000]
+    # compare at the 24-bit output quantization the CLI writes: the
+    # pair-class vs staged-f32 difference is ≤ −110 dB ≈ a few LSB₂₄
+    q = np.round(np.clip(gold, -1, 1) * float((1 << 23) - 1))
+    yq = np.round(np.clip(y, -1, 1) * float((1 << 23) - 1))
+    assert np.max(np.abs(yq - q)) <= 8.0
+    assert np.mean(yq == q) > 0.9
+
+
+def test_cli_process_pcm16_rejects_agc_and_float_wavs(tmp_path, rng):
+    src, dst = str(tmp_path / "inf.wav"), str(tmp_path / "out.wav")
+    x = (0.3 * rng.standard_normal((1, 2048))).astype(np.float32)
+    write_wav(src, x, 44100, float_format=True)  # IEEE float, not PCM16
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        main(["process", src, dst, "--ingest", "pcm16", "--dither", "off"])
+    src2 = str(tmp_path / "in.wav")
+    write_wav(src2, x, 44100, width=2)
+    with pytest.raises(SystemExit, match="agc"):
+        main(["process", src2, dst, "--ingest", "pcm16", "--agc"])
+
+
 def test_cli_process_keeps_partial_final_block(tmp_path, rng):
     """An input that isn't a whole number of blocks must come back at full
     length (the final partial block used to be silently dropped)."""

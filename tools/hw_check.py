@@ -455,6 +455,41 @@ def check_serving_ring() -> dict:
             20 * np.log10(d32 / float(np.max(np.abs(f32_gold)))
                           + 1e-300), 1))
 
+    # pcm16 conv ring (raw int16 ring, in-kernel convert n/32768 + split).
+    # Exactness contract (fir_td.py:_load_f32): for 16-bit data the
+    # conversion AND the bf16 split are exact, so the kernel's operands are
+    # bit-identical to the f32 ring's fed the same n/32768 floats — outputs
+    # must be BIT-exact vs that f32 ring on the compiled lowering, and the
+    # emitted int16 tail must be the raw input history.
+    icfg = dataclasses.replace(cfg, ingest="pcm16")
+    pi = Pipeline(icfg)
+    assert pi.supports_ring_step and pi._i16_ingest
+    iparams = pi.device_params(PipelineParams.design(pi.cfg))
+    i_sig = np.clip(np.round(sig * 32768.0), -32768, 32767).astype(np.int16)
+    f_sig = i_sig.astype(np.float32) / np.float32(32768.0)
+    fgold = {}
+    for name, dispatch in (("f32", pf.run_ring), ("f32_mega",
+                                                  pf.run_ring_mega)):
+        ring = jnp.zeros((K, B, T), jnp.float32)
+        _, ring = dispatch(fparams, pf.init_state(seed=4),
+                           jnp.asarray(f_sig), None, ring, K)
+        fgold[name] = np.asarray(ring)
+    for name, dispatch in (("pcm16", pi.run_ring), ("pcm16_mega",
+                                                    pi.run_ring_mega)):
+        ring = jnp.zeros((K, B, T), jnp.float32)
+        st2, ring = dispatch(iparams, pi.init_state(seed=4),
+                             jnp.asarray(i_sig), None, ring, K)
+        gold16 = fgold["f32" if name == "pcm16" else "f32_mega"]
+        d = float(np.max(np.abs(np.asarray(ring) - gold16)))
+        assert d == 0.0, (
+            f"{name} ring vs f32 ring on the same n/32768 floats "
+            f"diverges: {d} (the exact-convert contract broke)")
+        tail = np.asarray(st2.conv_tail)
+        assert tail.dtype == np.int16, tail.dtype
+        assert np.array_equal(tail, i_sig[-1][:, -tail.shape[-1]:]), (
+            f"{name} int16 tail is not the raw input history")
+        results[f"serving_ring_{name}_vs_f32_ring_max_abs_diff"] = d
+
     acfg = dataclasses.replace(
         cfg, ingest="f32", agc_enabled=True, agc_mode="exact",
         agc_window_size=512, agc_carry=True,
