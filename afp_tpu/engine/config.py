@@ -173,8 +173,12 @@ class StreamConfig:
     #            conv ring; vs the unpadded staged 'f32' step the usual
     #            ≤ −110 dB strategy class applies), while input HBM
     #            traffic and host→device ingest bytes HALVE.
-    #            Same stage constraints as 'pair' (td_mxu, no AGC/ASRC,
-    #            base-rate output).
+    #            Constraints: td_mxu, no ASRC, base-rate output.  AGC IS
+    #            supported (unlike 'pair'): the AGC kernels read the raw
+    #            int16 x and convert in VMEM — the C8 chain's two f32
+    #            x-reads halve too — and the conv consumes the
+    #            gain-applied bf16 pair as usual (the overlap tail then
+    #            stays a pair, not int16).
     ingest: str = "f32"
 
     @property
@@ -234,10 +238,19 @@ class StreamConfig:
             if self.conv_strategy != "td_mxu":
                 raise ValueError(
                     f"ingest={self.ingest!r} requires conv_strategy='td_mxu'")
-            if self.agc_enabled or self.source_samplerate:
+            if self.ingest == "pair" and self.agc_enabled:
+                # pcm16 + AGC is supported (the AGC kernels convert the raw
+                # int16 x in VMEM — exact); a bf16 PAIR cannot feed the AGC
+                # (it would need an on-device merge, re-adding the staging
+                # pass pair ingest exists to remove)
                 raise ValueError(
-                    f"ingest={self.ingest!r} requires agc/asrc disabled "
-                    "(those stages consume the f32 block before the conv)")
+                    "ingest='pair' requires agc disabled (the AGC stage "
+                    "consumes the f32 block before the conv; use "
+                    "ingest='pcm16' or 'f32' with AGC)")
+            if self.source_samplerate:
+                raise ValueError(
+                    f"ingest={self.ingest!r} requires asrc disabled (the "
+                    "resampler consumes the f32 block before the chain)")
             if self.output_rate == "upsampled":
                 raise ValueError(
                     f"ingest={self.ingest!r} requires output_rate='base' "

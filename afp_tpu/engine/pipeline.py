@@ -259,12 +259,19 @@ class Pipeline:
         # round trip) disappears.  Only meaningful for bf16-class conv.
         from ..ops.pallas.fir_td import PRECISION_MODE as _td_prec
 
-        self._conv_pair = (
+        #: the fused AGC → pair-conv chain is live: exact-mode AGC with the
+        #: fused apply kernel emitting the bf16 pair straight into the
+        #: pair-input conv (the C8 serving chain).  Distinct from
+        #: `_conv_pair` below, which is also set by pair/pcm16 ingest —
+        #: the ring step's AGC branch and the pcm16 raw-x handoff key on
+        #: THIS flag (exact-mode fused semantics), not on `_conv_pair`.
+        self._agc_chain_pair = (
             self._agc_fused_apply and self._use_td
             and _td_prec in ("B3", "B3F", "B3C")
             and cfg.agc_mode not in ("fast", "parallel")
             and (not self._pl_interpret or self._force_fused)
         )
+        self._conv_pair = self._agc_chain_pair
         # Pair ingest (cfg.ingest='pair'): blocks arrive as the bf16 hi/lo
         # pair and feed the pair-input conv kernel directly — no on-device
         # input staging at all (the split lives wherever ingest does).
@@ -282,8 +289,7 @@ class Pipeline:
         # PCM (n/32768 full scale) and the conv kernels convert + split in
         # VMEM — exact for 16-bit data, half the input HBM/ingest bytes
         # (fir_td.py:_load_f32).  The staged step splits at device entry
-        # (bit-identical — convert and split are elementwise); the state
-        # carries the RAW int16 overlap tail on every surface.
+        # (bit-identical — convert and split are elementwise).
         self._i16_ingest = (
             cfg.ingest == "pcm16" and self._use_td
             and _td_prec in ("B3", "B3F", "B3C")
@@ -294,6 +300,14 @@ class Pipeline:
                 f"(AFP_TD_PRECISION is {_td_prec!r})")
         self._conv_pair = (self._conv_pair or self._pair_ingest
                            or self._i16_ingest)
+        # pcm16 + AGC: the conv consumes the GAIN-APPLIED signal, so the
+        # overlap tail stays the bf16 pair the AGC kernel emits — only the
+        # AGC x-reads ride int16.  `_i16_tail` marks the raw-int16 tail
+        # carry (conv consumes x itself); `_i16_agc_raw` marks the fused
+        # AGC chain consuming the raw int16 block/ring slot (the kernels
+        # convert in VMEM — agc_rms/agc_scan/agc_fused `_load_f32` notes).
+        self._i16_tail = self._i16_ingest and not cfg.agc_enabled
+        self._i16_agc_raw = self._i16_ingest and self._agc_chain_pair
         #: bf16-class conv precision — the B3 split kernels (pair ingest,
         #: fused AGC pair chain, f32 serving ring) all require it
         self._td_b3 = _td_prec in ("B3", "B3F", "B3C")
@@ -459,10 +473,13 @@ class Pipeline:
                                       batch_shape=B,
                                       quality=cfg.resample_quality)
         n_tail = (self.n_casc if self.fused else self.n_fused) - 1
-        if self._i16_ingest:
-            # pcm16 mode: the overlap tail is the RAW int16 input history
-            # (exact — strictly more information than its bf16 pair — and
-            # half the tail bytes), padded to a LANE multiple
+        if self._i16_tail:
+            # pcm16 mode, conv eats x itself (no AGC): the overlap tail is
+            # the RAW int16 input history (exact — strictly more
+            # information than its bf16 pair — and half the tail bytes),
+            # padded to a LANE multiple.  With AGC on the conv consumes
+            # the gain-applied signal, so the tail stays the bf16 pair
+            # below (`_i16_tail` is False then).
             conv_tail = jnp.zeros((self.batch, self._k_pad), dtype=jnp.int16)
         elif self._conv_pair:
             # pair mode: the overlap tail is carried as its bf16 hi/lo split
@@ -507,7 +524,19 @@ class Pipeline:
             if xi16.dtype != jnp.int16:
                 raise ValueError(
                     f"ingest='pcm16' blocks must be int16, got {xi16.dtype}")
-            x = split_bf16(xi16.astype(jnp.float32) * PCM16_SCALE)
+            if self._i16_agc_raw:
+                # fused AGC chain: the RMS/apply kernels read the RAW
+                # int16 block and convert in VMEM (exact) — the two f32
+                # x-reads of the C8 chain halve; the conv then consumes
+                # the gain-applied bf16 pair the apply kernel emits
+                x = xi16
+            elif cfg.agc_enabled:
+                # AGC fallback paths (fast/parallel modes, untileable
+                # shapes, interpret without the force hook) consume f32 —
+                # convert at entry (n/32768, exact, same bits)
+                x = xi16.astype(jnp.float32) * PCM16_SCALE
+            else:
+                x = split_bf16(xi16.astype(jnp.float32) * PCM16_SCALE)
         elif self._pair_ingest:
             if isinstance(block, tuple):
                 # block is the bf16 (hi, lo) pair of the f32 block — flows
@@ -655,10 +684,12 @@ class Pipeline:
             if self._conv_pair:
                 # pair-carried tail: reconstruct f32 views only where a
                 # consumer needs them (per-stream banks, fft fallback)
-                if self._i16_ingest:
+                if self._i16_tail:
                     # raw int16 tail → convert+split at entry (same exact
                     # math as the block's; the pair halves feed the same
-                    # pair kernel the ring path's VMEM split feeds)
+                    # pair kernel the ring path's VMEM split feeds).
+                    # (pcm16 + AGC carries a pair tail instead — the conv
+                    # input is the gain-applied signal, not x.)
                     from ..ops.pallas.fir_td import PCM16_SCALE, split_bf16
 
                     tail_i16 = state.conv_tail
@@ -765,7 +796,7 @@ class Pipeline:
                 y = jax.lax.slice_in_dim(
                     y, n_conv - 1, n_conv - 1 + self.block, axis=-1
                 )
-            if self._i16_ingest:
+            if self._i16_tail:
                 # pcm16 tail carry: slice the RAW int16 input history (the
                 # exact analog of the pair slices below; the ring kernels
                 # emit the same int16 columns from VMEM)
@@ -896,11 +927,14 @@ class Pipeline:
             return False
         if self._pair_ingest:
             return True
-        if self._conv_pair and self._rms_band is not None \
-                and not self._asrc_device:
-            return True
-        return bool(self._use_td and self._td_b3
-                    and not self.cfg.agc_enabled and not self._asrc_device)
+        if self.cfg.agc_enabled:
+            # the AGC-chain ring form needs the exact-mode fused kernels
+            # (`_agc_chain_pair`, NOT `_conv_pair` — pcm16 ingest forces
+            # the latter True even under fast/parallel AGC modes, whose
+            # semantics the ring chain does not implement)
+            return bool(self._agc_chain_pair and self._rms_band is not None
+                        and not self._asrc_device)
+        return bool(self._use_td and self._td_b3 and not self._asrc_device)
 
     def _ring_step_impl(self, params: DeviceParams, state: StreamState,
                         ring_hi: jnp.ndarray, ring_lo: jnp.ndarray,
@@ -997,11 +1031,22 @@ class Pipeline:
             return new_state, out_ring
         tail_hi, tail_lo = state.conv_tail
         if agc_mode:
-            # fused AGC chain over the f32 ring: RMS front half and the
-            # scan+clip+apply back half stream slot `idx` directly
-            # (ring-input kernels); the emitted pair feeds the ring-output
-            # conv.  Identical math to _step_impl's fused AGC path.
+            # fused AGC chain over the f32 (or raw int16 PCM) ring: RMS
+            # front half and the scan+clip+apply back half stream slot
+            # `idx` directly (ring-input kernels; pcm16 slots convert in
+            # VMEM — exact); the emitted pair feeds the ring-output conv.
+            # Identical math to _step_impl's fused AGC path.
             from ..ops.pallas.fir_td import fir_td_mxu_pair_to_ring
+
+            if self._i16_ingest:
+                if ring_hi.dtype != jnp.int16:
+                    raise ValueError(
+                        f"ingest='pcm16' serving rings must be int16, got "
+                        f"{ring_hi.dtype}")
+            elif ring_hi.dtype != jnp.float32:
+                raise ValueError(
+                    f"the fused-AGC chain ring must be float32, got "
+                    f"{ring_hi.dtype} (use ingest='pcm16' for int16 rings)")
 
             carry = agc_gain if cfg.agc_carry else None
             if self._agc_one_kernel:

@@ -148,8 +148,12 @@ def _fused_kernel(s_ref, x_ref, xo_ref, xa_ref, g0_ref, yh_ref, gl_ref,
     # (x_{j−2h}); both masked to zero outside the block ('same' edges)
     m_new = jnp.where(j < nch, 1.0, 0.0).astype(jnp.float32)
     m_old = jnp.where(j >= 2 * h, 1.0, 0.0).astype(jnp.float32)
-    xs_new = x_ref[...].T.reshape(TC, sub, LANES)
-    xs_old = xo_ref[...].T.reshape(TC, sub, LANES)
+    # int16 PCM refs convert on the VPU first (n/32768, exact —
+    # fir_td._load_f32): same f32 bits as f32 ingest, half the x bytes
+    from .fir_td import _load_f32
+
+    xs_new = _load_f32(x_ref[...]).T.reshape(TC, sub, LANES)
+    xs_old = _load_f32(xo_ref[...]).T.reshape(TC, sub, LANES)
 
     # Phase A — two fresh per-chunk cumsums (1-add serial chains each):
     # the stored value is the SHIFTED cumsum C[t−1] the window needs.
@@ -200,7 +204,7 @@ def _fused_kernel(s_ref, x_ref, xo_ref, xa_ref, g0_ref, yh_ref, gl_ref,
     chunk = c_scr[...].reshape(TC, sub * LANES)
     gcl = jnp.clip(chunk.T, 0.1, max_gain)
     mask_w = jnp.where(j >= h, 1.0, 0.0).astype(jnp.float32)
-    y = jnp.clip(xa_ref[...] * gcl, -out_clip, out_clip) * mask_w
+    y = jnp.clip(_load_f32(xa_ref[...]) * gcl, -out_clip, out_clip) * mask_w
     if yl_ref is None:
         yh_ref[...] = y
     else:
@@ -316,7 +320,9 @@ def agc_rms_apply_pallas(x: jnp.ndarray, w: int, a_att, a_rel, target,
         _, B, T = x.shape
         idx = jnp.asarray(ring_idx, dtype=jnp.int32).reshape(1)
     else:
-        x = jnp.asarray(x, dtype=jnp.float32)
+        x = jnp.asarray(x)
+        if x.dtype != jnp.int16:  # raw int16 PCM converts in VMEM (exact)
+            x = x.astype(jnp.float32)
         B, T = x.shape
         idx = None
     w = int(w)

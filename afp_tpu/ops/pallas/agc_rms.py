@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fir_td import LANE, _split_bf16_in_kernel, split_bf16
+from .fir_td import LANE, _load_f32, _split_bf16_in_kernel, split_bf16
 
 __all__ = ["rms_desired_pallas", "band_is_exact_bf16"]
 
@@ -51,7 +51,9 @@ def _kernel(s_ref, x_ref, bhi_ref, o_ref, *, n_taps: int, t_tiles: int,
             lp: int, rp: int, transposed: bool, blo_ref=None):
     target = s_ref[0, 0]
     max_gain = s_ref[0, 1]
-    sq = jnp.square(x_ref[:, :])
+    # int16 PCM refs convert on the VPU first (n/32768, exact —
+    # fir_td._load_f32), so squaring sees the same f32 bits as f32 ingest
+    sq = jnp.square(_load_f32(x_ref[:, :]))
     sq = jnp.pad(sq, ((0, 0), (lp, rp)))  # 'same' centering, in VMEM
     sq_hi, sq_lo = _split_bf16_in_kernel(sq)
     for t in range(t_tiles):
@@ -91,7 +93,7 @@ def _kernel_two_level(s_ref, x_ref, bhi_ref, o_ref, *, w: int, t_tiles: int,
     max_gain = s_ref[0, 1]
     m = w // LANE
     inv_w = 1.0 / w
-    sq = jnp.square(x_ref[:, :])
+    sq = jnp.square(_load_f32(x_ref[:, :]))  # int16 PCM converts first
     sq = jnp.pad(sq, ((0, 0), (lp, rp)))  # padded width = T + w − 1
     sq_hi, sq_lo = _split_bf16_in_kernel(sq)
     # level 1: LANE-wide moving sums over the whole padded extent
@@ -251,8 +253,14 @@ def rms_desired_pallas(x: jnp.ndarray, band: jnp.ndarray, lp: int, rp: int,
     kernel streams slot `ring_idx` directly (scalar-prefetch BlockSpec —
     no staged `dynamic_slice` copy; the zero-copy ring discipline of
     `fir_td_mxu_ring`).
+
+    `x` may also be RAW int16 PCM (``ingest='pcm16'``, block or ring):
+    the kernel converts on the VPU (``n / 32768`` — exact, so `d` is
+    bit-identical to feeding the floats) and the x-read HBM bytes halve.
     """
-    x = jnp.asarray(x, dtype=jnp.float32)
+    x = jnp.asarray(x)
+    if x.dtype != jnp.int16:
+        x = x.astype(jnp.float32)
     if x.shape[-1] % LANE:
         raise ValueError(f"block length {x.shape[-1]} must be a multiple of {LANE}")
     W = np.asarray(band).shape[0] - LANE + 1

@@ -227,7 +227,11 @@ def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
     g_scr[...] = g
     chunk = c_scr[...].reshape(T_CHUNK, sub * LANES)
     gcl = jnp.clip(chunk.T, 0.1, max_gain)  # [sub·128, T_CHUNK]
-    y = jnp.clip(x_ref[...] * gcl, -out_clip, out_clip)
+    from .fir_td import _load_f32
+
+    # int16 PCM x converts on the VPU first (n/32768, exact) — the gain
+    # applies to the same f32 bits f32 ingest would carry
+    y = jnp.clip(_load_f32(x_ref[...]) * gcl, -out_clip, out_clip)
     if yl_ref is None:
         y_ref[...] = y
     else:
@@ -338,9 +342,15 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
     With ``ring_idx`` set, `x` is an [S, B, T] f32 serving ring and the
     kernel streams slot `ring_idx` directly (scalar-prefetch BlockSpec,
     the zero-copy ring discipline) — no staged block copy.
+
+    `x` may also be RAW int16 PCM (``ingest='pcm16'``, block or ring):
+    the kernel converts on the VPU (``n / 32768`` — exact), halving the
+    x-read HBM bytes; outputs are bit-identical to feeding the floats.
     """
     d = jnp.asarray(desired_tm, dtype=jnp.float32)
-    x = jnp.asarray(x, dtype=jnp.float32)
+    x = jnp.asarray(x)
+    if x.dtype != jnp.int16:
+        x = x.astype(jnp.float32)
     T, B = d.shape
     sub = _pick_sublanes(B)
     if B % (sub * LANES) or T % T_CHUNK:

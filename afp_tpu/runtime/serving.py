@@ -58,11 +58,13 @@ class RingServer:
     pipeline:
         A `Pipeline` with ``supports_ring_step``: pair ingest (bf16
         (hi, lo) input rings), the fused AGC chain (one f32 input
-        ring; exact-mode AGC on TPU), the f32 conv ring (one f32
-        ring, no AGC — the reference's f32 input contract with
-        zero-copy dispatch), or the pcm16 conv ring (one raw int16
-        ring, ``ingest='pcm16'`` — half the ingest bytes, exact
-        in-VMEM conversion).  Waterfall off, no device ASRC.
+        ring — or one raw int16 ring with ``ingest='pcm16'``, whose
+        AGC kernels convert in VMEM; exact-mode AGC on TPU), the f32
+        conv ring (one f32 ring, no AGC — the reference's f32 input
+        contract with zero-copy dispatch), or the pcm16 conv ring
+        (one raw int16 ring, ``ingest='pcm16'`` — half the ingest
+        bytes, exact in-VMEM conversion).  Waterfall off, no device
+        ASRC.
         A `parallel.ShardedPipeline` works unchanged — the rings are
         placed with its published `ring_sharding` (global batch over the
         'streams' mesh), so one RingServer serves a whole slice.

@@ -765,13 +765,15 @@ def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
     # kernels, the conv writes the output ring in place
     ring = None
     ring_asym = None
+    ring_pcm16 = None
+    ring_pcm16_asym = None
+    n_asym = int(os.environ.get("AFP_BENCH_SUSTAIN_ASYMPTOTE", "2048"))
     if pipe.supports_ring_step:
         try:
             ring = _sustained_agc_ring_xrt(pipe, params, blocks, reps)
         except Exception as e:  # noqa: BLE001
             print(f"bench: agc ring mode failed ({e})",
                   file=sys.stderr, flush=True)
-        n_asym = int(os.environ.get("AFP_BENCH_SUSTAIN_ASYMPTOTE", "2048"))
         if ring is not None and n_asym > int(
                 os.environ.get("AFP_BENCH_SUSTAIN", "512")):
             try:
@@ -780,8 +782,33 @@ def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
             except Exception as e:  # noqa: BLE001
                 print(f"bench: agc ring asymptote failed ({e})",
                       file=sys.stderr, flush=True)
+        # pcm16 C8 serving ring: the AGC kernels read the RAW int16 ring
+        # slot and convert in VMEM (exact), halving the chain's two f32
+        # x-reads — outputs bit-identical to the f32 ring fed n/32768
+        if ring is not None and agc_mode == "exact":
+            try:
+                import dataclasses as _dc
+
+                icfg = _dc.replace(cfg, ingest="pcm16")
+                ipipe = Pipeline(icfg)
+                if ipipe.supports_ring_step and ipipe._i16_agc_raw:
+                    iparams = ipipe.device_params(
+                        PipelineParams.design(ipipe.cfg))
+                    iblocks = jnp.clip(
+                        jnp.round(blocks * 32768.0), -32768, 32767
+                    ).astype(jnp.int16)
+                    ring_pcm16 = _sustained_agc_ring_xrt(
+                        ipipe, iparams, iblocks, reps)
+                    if ring_pcm16 is not None and n_asym > int(
+                            os.environ.get("AFP_BENCH_SUSTAIN", "512")):
+                        ring_pcm16_asym = _sustained_agc_ring_xrt(
+                            ipipe, iparams, iblocks, reps, n_sust=n_asym)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: agc pcm16 ring failed ({e})",
+                      file=sys.stderr, flush=True)
     return {"chained": float(round(xrt, 1)), "sustained": sustained,
-            "ring": ring, "ring_asym": ring_asym}
+            "ring": ring, "ring_asym": ring_asym,
+            "ring_pcm16": ring_pcm16, "ring_pcm16_asym": ring_pcm16_asym}
 
 
 def _sustained_agc_ring_xrt(pipe, params, blocks, reps: int,
@@ -916,6 +943,11 @@ def main() -> None:
                 result[f"agc_{mode}_ring_xrt"] = r["ring"]
             if r.get("ring_asym") is not None:
                 result[f"agc_{mode}_ring_asym2048_xrt"] = r["ring_asym"]
+            if r.get("ring_pcm16") is not None:
+                result[f"agc_{mode}_ring_pcm16_xrt"] = r["ring_pcm16"]
+            if r.get("ring_pcm16_asym") is not None:
+                result[f"agc_{mode}_ring_pcm16_asym2048_xrt"] = (
+                    r["ring_pcm16_asym"])
         except (BenchTimeout, Exception) as e:  # noqa: BLE001
             signal.alarm(0)
             print(f"bench: agc {mode} failed ({e})", file=sys.stderr, flush=True)

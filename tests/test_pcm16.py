@@ -45,9 +45,12 @@ def test_pcm16_config_validation():
     assert cfg.ingest == "pcm16"
     with pytest.raises(ValueError, match="conv_strategy"):
         dataclasses.replace(cfg, conv_strategy="fft").validate()
+    # pcm16 + AGC is SUPPORTED (the AGC kernels convert the raw int16 x
+    # in VMEM — tests/test_pcm16_agc.py); 'pair' + AGC stays rejected
+    dataclasses.replace(cfg, agc_enabled=True).validate()
     with pytest.raises(ValueError, match="agc"):
-        dataclasses.replace(cfg, agc_enabled=True).validate()
-    with pytest.raises(ValueError, match="agc"):
+        dataclasses.replace(cfg, ingest="pair", agc_enabled=True).validate()
+    with pytest.raises(ValueError, match="asrc"):
         dataclasses.replace(cfg, source_samplerate=48000).validate()
     with pytest.raises(ValueError, match="output_rate"):
         dataclasses.replace(cfg, output_rate="upsampled").validate()

@@ -511,6 +511,36 @@ def check_serving_ring() -> dict:
     ga, gb = np.asarray(st.agc_gain), np.asarray(st2.agc_gain)
     assert np.array_equal(ga, gb), "AGC gain carry diverges in ring mode"
     results["serving_ring_agc_max_abs_diff"] = d
+
+    # pcm16 AGC chain (raw int16 ring through RMS → scan+apply → conv):
+    # the in-VMEM convert is exact, so the compiled lowering must be
+    # BIT-identical to the f32 AGC ring fed the same n/32768 floats —
+    # output ring, gain carry, and the pair conv tail.
+    a16 = dataclasses.replace(acfg, ingest="pcm16")
+    p16 = Pipeline(a16)
+    assert p16.supports_ring_step and p16._i16_agc_raw, (
+        "pcm16 fused AGC chain must engage on TPU at the C8 shape")
+    params16 = p16.device_params(PipelineParams.design(p16.cfg))
+    ai_sig = np.clip(np.round(sig * 32768.0), -32768, 32767).astype(np.int16)
+    af_sig = ai_sig.astype(np.float32) / np.float32(32768.0)
+    ring_f = jnp.zeros((K, B, T), jnp.float32)
+    stf, ring_f = pa.run_ring(aparams, pa.init_state(seed=4),
+                              jnp.asarray(af_sig), None, ring_f, K)
+    ring_i = jnp.zeros((K, B, T), jnp.float32)
+    sti, ring_i = p16.run_ring(params16, p16.init_state(seed=4),
+                               jnp.asarray(ai_sig), None, ring_i, K)
+    d = float(np.max(np.abs(np.asarray(ring_i) - np.asarray(ring_f))))
+    assert d == 0.0, (
+        f"pcm16 AGC ring vs f32 AGC ring on the same n/32768 floats "
+        f"diverges: {d} (the exact-convert contract broke)")
+    assert np.array_equal(np.asarray(sti.agc_gain),
+                          np.asarray(stf.agc_gain)), (
+        "pcm16 AGC gain carry diverges from the f32 chain")
+    for k in (0, 1):
+        assert np.array_equal(np.asarray(sti.conv_tail[k]),
+                              np.asarray(stf.conv_tail[k])), (
+            "pcm16 AGC pair tail diverges from the f32 chain")
+    results["serving_ring_agc_pcm16_vs_f32_max_abs_diff"] = d
     return results
 
 
