@@ -46,7 +46,13 @@ def _add_config_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--ingest", default="f32", choices=["f32", "pcm16"],
                     help="pcm16: feed 16-bit PCM WAVs raw (exact on-device "
                          "n/32768 conversion, half the transfer bytes; "
-                         "forces the td_mxu strategy, no --agc/resample)")
+                         "forces the td_mxu strategy, no resample; --agc "
+                         "works — the AGC kernels read the raw int16)")
+    ap.add_argument("--emit", default="f32", choices=["f32", "pcm16"],
+                    help="pcm16: the device quantizes the dithered output "
+                         "to int16 PCM in the conv store and the WAV is "
+                         "written from the raw samples (half the "
+                         "device→host bytes; 16-bit output file)")
 
 
 def _build_config(args, samplerate: int):
@@ -80,7 +86,7 @@ def _build_config(args, samplerate: int):
 
 def cmd_process(args) -> int:
     from .engine import StreamEngine
-    from .utils import read_wav, read_wav_pcm16, write_wav
+    from .utils import read_wav, read_wav_pcm16, write_wav, write_wav_pcm16
 
     pcm16 = getattr(args, "ingest", "f32") == "pcm16"
     if pcm16:
@@ -96,9 +102,6 @@ def cmd_process(args) -> int:
 
     cfg = dataclasses.replace(cfg, batch=x.shape[0])
     if pcm16:
-        if args.agc:
-            raise SystemExit("--ingest pcm16 is incompatible with --agc "
-                             "(the AGC stage consumes the f32 block)")
         if sr != rate:
             raise SystemExit("--ingest pcm16 is incompatible with rate "
                              "conversion (drop --samplerate, or use f32)")
@@ -107,6 +110,8 @@ def cmd_process(args) -> int:
         # to the strategies' documented numerics class) stays the CLI's
         cfg = dataclasses.replace(cfg, ingest="pcm16",
                                   conv_strategy="td_mxu")
+    if getattr(args, "emit", "f32") == "pcm16":
+        cfg = dataclasses.replace(cfg, emit="pcm16")
     if sr != rate:
         cfg = dataclasses.replace(cfg, source_samplerate=rate)
     engine = StreamEngine(cfg)
@@ -131,7 +136,12 @@ def cmd_process(args) -> int:
         out = out[:, : int(n_in * sr / rate)]
     elif out.shape[1] > n_in:
         out = out[:, : n_in]
-    write_wav(args.output, out, cfg.samplerate, width=3)
+    if cfg.emit == "pcm16":
+        # the device already quantized (dither → int16 in the conv store):
+        # write the raw samples verbatim — no host float round trip
+        write_wav_pcm16(args.output, out, cfg.samplerate)
+    else:
+        write_wav(args.output, out, cfg.samplerate, width=3)
     m = engine.metrics
     print(f"{args.input} → {args.output}: {x.shape[0]} ch × {x.shape[1]} samples, "
           f"xRT(busy) {m.xrt_busy(cfg.samplerate):,.0f}", file=sys.stderr)

@@ -181,6 +181,23 @@ class StreamConfig:
     #            stays a pair, not int16).
     ingest: str = "f32"
 
+    # Output format at the Pipeline boundary:
+    #   'f32'   — [B, L] float32 blocks (the reference's contract; default),
+    #   'pcm16' — [B, L] raw int16 PCM (n ≡ n/32768, the sound-card /
+    #             16-bit-WAV transport format).  This is the DITHER'S
+    #             ACTUAL TARGET: the reference dithers precisely so the
+    #             card's 16-bit requantization decorrelates
+    #             (`stream_process.py:83-90`); emit='pcm16' makes that
+    #             quantization explicit and on-device —
+    #             ``int16(clip(round(y·32768), ±fs))`` fused into the conv
+    #             kernel's store on the td_mxu serving paths
+    #             (`fir_td._finish_tile`), an XLA epilogue elsewhere.
+    #             Output HBM bytes and the device→host drain HALVE.
+    #             validate() clamps dither_bits to ≤16 when dither is on
+    #             (deeper dither is inaudible under a 16-bit quantizer and
+    #             would under-dither it).
+    emit: str = "f32"
+
     @property
     def upsampled_rate(self) -> int:
         return self.samplerate * self.upsample_factor
@@ -234,6 +251,14 @@ class StreamConfig:
             raise ValueError("conv_strategy='td_mxu' requires fuse_rate_conversion")
         if self.ingest not in ("f32", "pair", "pcm16"):
             raise ValueError(f"invalid ingest {self.ingest!r}")
+        if self.emit not in ("f32", "pcm16"):
+            raise ValueError(f"invalid emit {self.emit!r}")
+        dither_bits = int(self.dither_bits)
+        if self.emit == "pcm16" and self.dither_kind != "off":
+            # dither must sit at (or above) the output quantizer's LSB to
+            # decorrelate it; 24-bit-deep dither under a 16-bit quantizer
+            # leaves the truncation error correlated (under-dithered)
+            dither_bits = min(dither_bits, 16)
         if self.ingest in ("pair", "pcm16"):
             if self.conv_strategy != "td_mxu":
                 raise ValueError(
@@ -265,6 +290,7 @@ class StreamConfig:
             cutoff=cutoff,
             agc_window_size=agc_window,
             batch=max(1, int(self.batch)),
+            dither_bits=dither_bits,
         )
 
     # --- static/dynamic split: the jit cache key ---
@@ -293,6 +319,7 @@ class StreamConfig:
             self.agc_carry,
             self.output_rate,
             self.ingest,
+            self.emit,
             self.resample_quality,
         )
 

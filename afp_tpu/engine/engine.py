@@ -116,6 +116,11 @@ class StreamEngine:
         # floats to int16 here: that would silently quantize.
         self._in_dtype = (np.int16 if getattr(self.pipeline, "_i16_ingest",
                                               False) else np.float32)
+        # emit='pcm16': outputs are raw int16 PCM end-to-end (ladder
+        # fallbacks, underrun blends, output framer residuals all carry
+        # int16; blends compute in f32 and requantize — see _blend_i16)
+        self._out_dtype = (np.int16 if getattr(self.pipeline, "_emit16",
+                                               False) else np.float32)
         self._block_seconds = self.cfg.blocksize / self.cfg.samplerate
         out_len = (self.cfg.upsampled_block if self.pipeline.upsampled_out
                    else self.cfg.blocksize)
@@ -295,7 +300,7 @@ class StreamEngine:
                                           dtype=self._in_dtype)
             self._out_framer = BlockFramer(self.cfg.batch)
             self._out_framer.push(
-                np.zeros((self.cfg.batch, out_len), dtype=np.float32))
+                np.zeros((self.cfg.batch, out_len), dtype=self._out_dtype))
         self._in_framer.push(chunk)
         while True:
             blk = self._in_framer.pull(self.cfg.blocksize)
@@ -324,7 +329,10 @@ class StreamEngine:
                 pipeline, params, state_in = self.pipeline, self.params, self.state
             state, out = pipeline.step(params, state_in, block)
             out_np = np.asarray(jax.block_until_ready(out))
-            if not np.all(np.isfinite(out_np)):
+            # int16 output (emit='pcm16') is finite by construction — the
+            # isfinite rung only guards the float contract
+            if np.issubdtype(out_np.dtype, np.floating) and not np.all(
+                    np.isfinite(out_np)):
                 raise FloatingPointError("non-finite output")
             with self._swap_lock:
                 if self.pipeline is pipeline:  # drop state if rebuilt mid-block
@@ -340,16 +348,25 @@ class StreamEngine:
                 self.metrics.fallback_replays += 1
                 return self._last_good[-1]
             self.metrics.fallback_silence += 1
-            return np.zeros(self._out_shape, dtype=np.float32)
+            return np.zeros(self._out_shape, dtype=self._out_dtype)
+
+    def _scale_out(self, block: np.ndarray, factor: float) -> np.ndarray:
+        """Scale an output block in the engine's emit dtype: f32 scales
+        directly; int16 PCM scales in f32 and requantizes (round
+        half-to-even — the framework's single quantizer semantics)."""
+        if self._out_dtype == np.int16:
+            return np.clip(np.round(factor * block.astype(np.float64)),
+                           -32768, 32767).astype(np.int16)
+        return (factor * block).astype(np.float32)
 
     def underrun_block(self) -> np.ndarray:
         """Output to emit when no processed block is ready: the reference's
         0.8·last + 0.2·silence blend (`stream_process_EQ_GUI.py:476-480`)."""
         self.metrics.underruns += 1
         if self._last_good:
-            return (0.8 * self._last_good[-1]).astype(np.float32)
+            return self._scale_out(self._last_good[-1], 0.8)
         self.metrics.fallback_silence += 1
-        return np.zeros(self._out_shape, dtype=np.float32)
+        return np.zeros(self._out_shape, dtype=self._out_dtype)
 
     def waterfall_ring(self) -> np.ndarray:
         """Fetch the scan-carried spectrum ring ([batch, 50, n_bins] dB;
@@ -386,7 +403,7 @@ class StreamEngine:
             L = self.cfg.blocksize
             nblocks = self._asrc_frontend.available() // L
             if nblocks == 0:
-                return np.zeros((self.cfg.batch, 0), dtype=np.float32)
+                return np.zeros((self.cfg.batch, 0), dtype=self._out_dtype)
             data = self._asrc_frontend.pull(nblocks * L)
             # contiguous transfer + device-side block layout (see
             # Pipeline.process_signal: host-side strided copies of GB-class

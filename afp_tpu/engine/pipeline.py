@@ -308,6 +308,13 @@ class Pipeline:
         # convert in VMEM — agc_rms/agc_scan/agc_fused `_load_f32` notes).
         self._i16_tail = self._i16_ingest and not cfg.agc_enabled
         self._i16_agc_raw = self._i16_ingest and self._agc_chain_pair
+        # int16 PCM output contract (cfg.emit='pcm16'): the final output
+        # stage quantizes int16(clip(round(y·32768), ±fs)) — fused into
+        # the conv kernel's store on the td serving paths
+        # (fir_td._finish_tile), an XLA epilogue everywhere else.  Output
+        # HBM bytes and the device→host drain halve; the dither (clamped
+        # to ≤16 bits by validate()) decorrelates exactly this quantizer.
+        self._emit16 = cfg.emit == "pcm16"
         #: bf16-class conv precision — the B3 split kernels (pair ingest,
         #: fused AGC pair chain, f32 serving ring) all require it
         self._td_b3 = _td_prec in ("B3", "B3F", "B3C")
@@ -557,6 +564,7 @@ class Pipeline:
             x = jnp.asarray(block, dtype=jnp.float32)  # [B, L_in]
         dither_done = False  # set when the conv kernel fused the dither
         clip_done = False  # set when the conv kernel fused the output clip
+        emit_done = False  # set when the conv kernel fused the i16 quantize
         key0 = state.key
 
         # 1. ASRC: source rate → engine rate, padded/trimmed to blocksize
@@ -768,6 +776,14 @@ class Pipeline:
                             dither_bits=cfg.dither_bits,
                             dither_tpdf=(cfg.dither_kind == "tpdf"),
                         )
+                    # emit='pcm16': the int16 quantize is the FINAL output
+                    # stage, so it fuses into the store only when nothing
+                    # runs after the kernel — dither must be fused or off
+                    # (a post-kernel dither pass would have to dequantize)
+                    if self._emit16 and (fuse_dither
+                                         or cfg.dither_kind == "off"):
+                        dkw["emit_i16"] = True
+                        emit_done = True
                     if x_pair:
                         # pair-input kernel: no staging pass at all — the
                         # AGC kernel emitted the pair, the tail is carried
@@ -879,12 +895,30 @@ class Pipeline:
                 else:
                     y = dither(sub, y, cfg.dither_bits, cfg.dither_kind)
 
+        # 7b. output quantization (emit='pcm16'): int16 PCM is the dither's
+        # target format (the reference dithers so the sound card's 16-bit
+        # requantization decorrelates, `stream_process.py:83-90`); fused
+        # into the conv store above when the kernel ran last, an XLA
+        # epilogue otherwise (fft strategy, per-stream banks, interpret
+        # dither) — same quantizer either way (fir_td.quantize_pcm16)
+        if self._emit16 and not emit_done:
+            from ..ops.pallas.fir_td import quantize_pcm16
+
+            y = quantize_pcm16(y)
+
         # 8. scan-carried waterfall capture (§5.5 observability on-device)
         wf = state.wf
         if wf is not None:
             from ..ops.spectrum import spectrum_db, waterfall_push
 
-            wf = waterfall_push(wf, spectrum_db(y))
+            y_wf = y
+            if self._emit16:
+                # the listener's signal IS the quantized one — dequantize
+                # (n/32768, exact) only to feed the f32 FFT
+                from ..ops.pallas.fir_td import PCM16_SCALE
+
+                y_wf = y.astype(jnp.float32) * PCM16_SCALE
+            wf = waterfall_push(wf, spectrum_db(y_wf))
 
         new_state = StreamState(
             asrc=asrc, up=up, conv_tail=conv_tail, down=down,
@@ -971,6 +1005,20 @@ class Pipeline:
                 "rings, the fused AGC chain and the f32 conv ring take one "
                 "f32 ring")
         agc_mode = f32_ring and cfg.agc_enabled  # fused AGC chain
+        if self._emit16:
+            if out_ring.dtype != jnp.int16:
+                raise ValueError(
+                    f"emit='pcm16' serving output rings must be int16, got "
+                    f"{out_ring.dtype}")
+            if cfg.dither_kind != "off" and self._pl_interpret:
+                raise ValueError(
+                    "emit='pcm16' ring serving off-TPU requires "
+                    "dither_kind='off' (the post-kernel interpret dither "
+                    "pass cannot run after the in-kernel quantize)")
+        elif out_ring.dtype != jnp.float32:
+            raise ValueError(
+                f"serving output rings must be float32, got "
+                f"{out_ring.dtype} (set emit='pcm16' for int16 output)")
 
         S, B, T = ring_hi.shape
         kp = self._k_pad
@@ -1197,6 +1245,11 @@ class Pipeline:
                 "run_ring_mega needs the fused dither epilogue (TPU); in "
                 "interpret mode run it with dither_kind='off' or use "
                 "run_ring")
+        want = jnp.int16 if self._emit16 else jnp.float32
+        if out_ring.dtype != want:
+            raise ValueError(
+                f"emit={cfg.emit!r} output rings must be {jnp.dtype(want)}, "
+                f"got {out_ring.dtype}")
         from ..ops.pallas.fir_td import fir_td_mxu_ring_mega
 
         k = params.combined_cascade(has_eq)

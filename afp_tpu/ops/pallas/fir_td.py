@@ -31,7 +31,8 @@ __all__ = ["band_matrix", "wide_band_matrix", "fir_td_mxu",
            "fir_td_mxu_ring", "fir_td_mxu_ring_f32", "fir_td_mxu_ring_mega",
            "fir_td_mxu_ring_mega_f32", "fir_td_mxu_ring_pcm16",
            "fir_td_mxu_ring_mega_pcm16", "fir_td_mxu_pair_to_ring",
-           "split_bf16", "merge_bf16", "PCM16_SCALE", "PRECISION_MODE"]
+           "split_bf16", "merge_bf16", "PCM16_SCALE", "quantize_pcm16",
+           "PRECISION_MODE"]
 
 import os as _os
 
@@ -109,14 +110,24 @@ def _tile_noise(shape, lsb: float, tpdf: bool):
     return tile_noise(shape, lsb, tpdf)
 
 
-def _finish_tile(y, seed_ref, lsb, tpdf, out_clip):
+def _finish_tile(y, seed_ref, lsb, tpdf, out_clip, out_dtype=None):
     """Shared output-stage epilogue: optional output clip (the reference's
     ±0.99 clamp, `stream_process_AGC.py:180`) THEN optional requantization
-    dither — the pipeline's stage order (clip, then dither)."""
+    dither — the pipeline's stage order (clip, then dither).
+
+    With an int16 `out_dtype` (``emit='pcm16'`` — the dither's actual
+    target format: the reference dithers precisely so the sound card's
+    16-bit requantization decorrelates, `stream_process.py:83-90`) the
+    dithered value quantizes on the way to the store:
+    ``int16(clip(round(y·32768), ±full_scale))`` (round half-to-even, the
+    IEEE default) — the output HBM bytes and device→host drain HALVE."""
     if out_clip is not None:
         y = jnp.clip(y, -out_clip, out_clip)
     if seed_ref is not None:
         y = y + _tile_noise(y.shape, lsb, tpdf)
+    if out_dtype is not None and jnp.dtype(out_dtype) == jnp.dtype(jnp.int16):
+        y = jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0
+                     ).astype(jnp.int16)
     return y
 
 
@@ -142,7 +153,7 @@ def _fir_kernel(x_ref, band_ref, o_ref, *, n_taps: int, t_tiles: int,
             precision=_PRECISION,
         )
         o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
-            y, seed_ref, lsb, tpdf, out_clip)
+            y, seed_ref, lsb, tpdf, out_clip, out_dtype=o_ref.dtype)
 
 
 def _fir_kernel_b3(xhi_ref, xlo_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
@@ -164,7 +175,7 @@ def _fir_kernel_b3(xhi_ref, xlo_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
             + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
         )
         o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
-            y, seed_ref, lsb, tpdf, out_clip)
+            y, seed_ref, lsb, tpdf, out_clip, out_dtype=o_ref.dtype)
 
 
 def _split_bf16_in_kernel(v):
@@ -180,6 +191,17 @@ def _split_bf16_in_kernel(v):
 #: matching `utils.wavio.read_wav` and the sounddevice int16 mapping.  A
 #: power-of-two scale, so the conversion is EXACT in f32.
 PCM16_SCALE = 1.0 / 32768.0
+
+
+def quantize_pcm16(y: jnp.ndarray) -> jnp.ndarray:
+    """f32 → int16 PCM with the framework's single quantizer semantics:
+    ``int16(clip(round(y·32768), −32768, 32767))``, round half-to-even
+    (the IEEE default — same op the fused kernel epilogue runs, so XLA
+    fallback paths and the in-kernel ``emit_i16`` store are bit-identical
+    given the same dithered f32 input).  The inverse is ``n / 32768``
+    (:data:`PCM16_SCALE`), matching the ingest convention."""
+    return jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0
+                    ).astype(jnp.int16)
 
 
 def _load_f32(v):
@@ -217,7 +239,7 @@ def _fir_kernel_b3f(x_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
             + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
         )
         o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
-            y, seed_ref, lsb, tpdf, out_clip)
+            y, seed_ref, lsb, tpdf, out_clip, out_dtype=o_ref.dtype)
 
 
 def _fir_kernel_b3t(xhi_ref, xlo_ref, thi_ref, tlo_ref, bhi_ref, blo_ref,
@@ -256,7 +278,7 @@ def _fir_kernel_b3t(xhi_ref, xlo_ref, thi_ref, tlo_ref, bhi_ref, blo_ref,
             + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
         )
         o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
-            y, seed_ref, lsb, tpdf, out_clip)
+            y, seed_ref, lsb, tpdf, out_clip, out_dtype=o_ref.dtype)
     if thi_o is not None:
         # emit the NEXT step's overlap tail — the last k_pad samples of the
         # extended signal concat(tail, x) — straight from VMEM, so the
@@ -303,7 +325,7 @@ def _fir_kernel_b3c(xa_ref, xb_ref, bhi_ref, blo_ref, o_ref, *, n_taps: int,
             + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
         )
         o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
-            y, seed_ref, lsb, tpdf, out_clip)
+            y, seed_ref, lsb, tpdf, out_clip, out_dtype=o_ref.dtype)
 
 
 def _pick_b_tile(B: int, text: int, T: int, cap: int = 256) -> int:
@@ -329,11 +351,12 @@ def _pick_b_tile(B: int, text: int, T: int, cap: int = 256) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "precision", "dither_bits", "dither_tpdf", "out_clip"))
+    "interpret", "precision", "dither_bits", "dither_tpdf", "out_clip",
+    "emit_i16"))
 def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
                  precision: str = PRECISION_MODE, seed=None,
                  dither_bits: int | None = None, dither_tpdf: bool = True,
-                 out_clip: float | None = None):
+                 out_clip: float | None = None, emit_i16: bool = False):
     B, text = x_ext.shape
     n_taps = band.shape[0] - LANE + 1
     T = text - (n_taps - 1)
@@ -345,7 +368,8 @@ def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((b_tile, T), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((B, T), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct(
+        (B, T), jnp.int16 if emit_i16 else jnp.float32)
     seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     dkw = {"out_clip": out_clip}
     if dither_bits is not None:
@@ -473,12 +497,13 @@ def _pick_b_tile_b3t(B: int, k_pad: int, T: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "dither_bits", "dither_tpdf", "out_clip", "emit_tail"))
+    "interpret", "dither_bits", "dither_tpdf", "out_clip", "emit_tail",
+    "emit_i16"))
 def _fir_td_pair_call(x_hi, x_lo, tail_hi, tail_lo, band,
                       interpret: bool = False, seed=None,
                       dither_bits: int | None = None, dither_tpdf: bool = True,
                       out_clip: float | None = None,
-                      emit_tail: bool = False):
+                      emit_tail: bool = False, emit_i16: bool = False):
     B, T = x_hi.shape
     k_pad = tail_hi.shape[1]  # LANE multiple ≥ n_taps − 1
     n_taps = band.shape[0] - LANE + 1
@@ -497,7 +522,8 @@ def _fir_td_pair_call(x_hi, x_lo, tail_hi, tail_lo, band,
                              memory_space=pltpu.VMEM)
     out_specs = pl.BlockSpec((bt, T), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((B, T), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct(
+        (B, T), jnp.int16 if emit_i16 else jnp.float32)
     if emit_tail:
         tail_out = pl.BlockSpec((bt, k_pad), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
@@ -542,9 +568,10 @@ def fir_td_mxu_pair(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
                     dither_seed=None, dither_bits: int | None = None,
                     dither_tpdf: bool = True,
                     out_clip: float | None = None,
-                    emit_tail: bool = False):
+                    emit_tail: bool = False, emit_i16: bool = False):
     """Causal/valid FIR conv consuming the bf16 hi/lo PAIR of the block and
-    of the carried overlap tail → [B, T] f32.
+    of the carried overlap tail → [B, T] f32 (or int16 PCM with
+    ``emit_i16`` — dither+quantize fused into the store, `_finish_tile`).
 
     Numerically ≡ ``fir_td_mxu(concat([tail, x]), band, precision='B3')``
     when the pairs are :func:`split_bf16` of the f32 inputs (the kernel
@@ -577,7 +604,8 @@ def fir_td_mxu_pair(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
     return _fir_td_pair_call(x_hi, x_lo, tail_hi, tail_lo, band,
                              interpret=interpret, seed=dither_seed,
                              dither_bits=dither_bits, dither_tpdf=dither_tpdf,
-                             out_clip=out_clip, emit_tail=emit_tail)
+                             out_clip=out_clip, emit_tail=emit_tail,
+                             emit_i16=emit_i16)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -614,7 +642,7 @@ def _fir_td_pair_to_ring_call(idx, x_hi, x_lo, tail_hi, tail_lo, band,
     ring_io_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_specs = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((S, B, T), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((S, B, T), out_ring.dtype)
     if emit_tail:
         tail_out = pl.BlockSpec((bt, k_pad), lambda i, s: (i, 0),
                                 memory_space=pltpu.VMEM)
@@ -728,7 +756,7 @@ def _fir_td_ring_call(idx, ring_hi, ring_lo, tail_hi, tail_lo, band, out_ring,
     ring_io_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_specs = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((S, B, T), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((S, B, T), out_ring.dtype)
     if emit_tail:
         # second/third outputs: the next step's overlap tail pair, copied
         # out of the VMEM-resident block instead of a separate HBM slice
@@ -872,7 +900,7 @@ def _fir_kernel_b3t_f32(x_ref, t_ref, bhi_ref, blo_ref, o_ref, *, k_pad: int,
             + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
         )
         o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
-            y, seed_ref, lsb, tpdf, out_clip)
+            y, seed_ref, lsb, tpdf, out_clip, out_dtype=o_ref.dtype)
     if t_o is not None:
         T = t_tiles * LANE
         if k_pad <= T:
@@ -927,7 +955,7 @@ def _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
     ]
     # tail rides the ingest dtype: f32 contract → f32, pcm16 → raw int16
     # history (exact, and half the tail bytes)
-    out_shape = [jax.ShapeDtypeStruct((S, B, T), jnp.float32),
+    out_shape = [jax.ShapeDtypeStruct((S, B, T), out_ring.dtype),
                  jax.ShapeDtypeStruct((B, k_pad), tail.dtype)]
     dkw = {"out_clip": out_clip}
     if dither_bits is not None:
@@ -1083,7 +1111,7 @@ def _fir_kernel_b3mega(xhi_ref, xlo_ref, thi_ref, tlo_ref, bhi_ref, blo_ref,
             + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
         )
         o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
-            y, seed_ref, lsb, tpdf, out_clip)
+            y, seed_ref, lsb, tpdf, out_clip, out_dtype=o_ref.dtype)
     T = t_tiles * LANE
     if k_pad <= T:
         thi_o[:, :] = xhi_ref[:, T - k_pad :]
@@ -1133,7 +1161,7 @@ def _fir_td_ring_mega_call(start, seeds, ring_hi, ring_lo, tail_hi, tail_lo,
         pl.BlockSpec((bt, k_pad), lambda i, st, *pref: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_shape = [jax.ShapeDtypeStruct((S, B, T), jnp.float32),
+    out_shape = [jax.ShapeDtypeStruct((S, B, T), out_ring.dtype),
                  jax.ShapeDtypeStruct((B, k_pad), jnp.bfloat16),
                  jax.ShapeDtypeStruct((B, k_pad), jnp.bfloat16)]
     dkw = {"out_clip": out_clip}
@@ -1251,7 +1279,7 @@ def _fir_kernel_b3mega_f32(x_ref, t_in_ref, bhi_ref, blo_ref, o_ref, t_o,
             + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
         )
         o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
-            y, seed_ref, lsb, tpdf, out_clip)
+            y, seed_ref, lsb, tpdf, out_clip, out_dtype=o_ref.dtype)
     T = t_tiles * LANE
     if k_pad <= T:
         t_o[:, :] = x_ref[:, T - k_pad :]
@@ -1291,7 +1319,7 @@ def _fir_td_ring_mega_f32_call(start, seeds, ring, tail, band, out_ring,
         pl.BlockSpec((bt, k_pad), lambda i, st, *pref: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_shape = [jax.ShapeDtypeStruct((S, B, T), jnp.float32),
+    out_shape = [jax.ShapeDtypeStruct((S, B, T), out_ring.dtype),
                  jax.ShapeDtypeStruct((B, k_pad), tail.dtype)]
     dkw = {"out_clip": out_clip}
     if dither_bits is not None:
@@ -1387,8 +1415,11 @@ def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,
                precision: str | None = None,
                dither_seed=None, dither_bits: int | None = None,
                dither_tpdf: bool = True,
-               out_clip: float | None = None) -> jnp.ndarray:
-    """Causal/valid FIR conv of [B, T+N−1] against the band matrix → [B, T].
+               out_clip: float | None = None,
+               emit_i16: bool = False) -> jnp.ndarray:
+    """Causal/valid FIR conv of [B, T+N−1] against the band matrix → [B, T]
+    (f32, or int16 PCM with ``emit_i16`` — dither+quantize fused into the
+    store, see `_finish_tile`).
 
     `T` must be a multiple of 128 and `B` a multiple of the batch tile
     (≤256); the engine's static shapes guarantee both.  `interpret=True` runs
@@ -1411,7 +1442,8 @@ def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,
     return _fir_td_call(x_ext, band, interpret=interpret,
                         precision=precision or PRECISION_MODE,
                         seed=dither_seed, dither_bits=dither_bits,
-                        dither_tpdf=dither_tpdf, out_clip=out_clip)
+                        dither_tpdf=dither_tpdf, out_clip=out_clip,
+                        emit_i16=emit_i16)
 
 
 def _fir_kernel_ps(x_ref, wide_ref, g_ref, o_ref, *, n_taps: int,

@@ -112,15 +112,18 @@ class AudioStream:
         # ingest='pcm16': request int16 from PortAudio itself — the card's
         # native DMA sample format rides untouched from driver to device
         # kernel (zero host conversion passes; the engine converts exactly
-        # on the VPU).  Output stays float32 (processed audio).
+        # on the VPU).  emit='pcm16' does the same on the OUTPUT side: the
+        # device quantizes in the conv store and PortAudio hands the raw
+        # int16 blocks to the card (no host float→int16 conversion).
         in_np = engine._in_dtype
+        out_np = engine._out_dtype
         self._in_framer = BlockFramer(cfg.batch, dtype=in_np)
-        self._out_framer = BlockFramer(cfg.batch)
+        self._out_framer = BlockFramer(cfg.batch, dtype=out_np)
         self._stream = self.sd.Stream(
             samplerate=cfg.samplerate,  # the card clock = engine rate
             blocksize=cfg.blocksize,
             channels=self.channels,
-            dtype=(np.dtype(in_np).name, "float32"),
+            dtype=(np.dtype(in_np).name, np.dtype(out_np).name),
             latency=latency,
             device=device,
             callback=self._callback,

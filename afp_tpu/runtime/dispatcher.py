@@ -84,19 +84,21 @@ class BlockDispatcher:
         # (output_rate='upsampled' → blocksize·upf) — size the output ring
         # from the engine's actual output shape, not the input shape
         out_shape = tuple(engine._out_shape)
-        # the input ring rides the engine's ingest dtype (raw int16 for
-        # ingest='pcm16' — half the queue bytes, no conversion); output
-        # blocks are always processed f32
+        # both rings ride the engine's I/O dtypes: raw int16 input for
+        # ingest='pcm16' (half the queue bytes, no conversion) and raw
+        # int16 OUTPUT for emit='pcm16' (the sound-card transport format —
+        # half the drain bytes; blends requantize via engine._scale_out)
         self.in_ring = BlockRing(queue_depth, shape, dtype=engine._in_dtype)
-        self.out_ring = BlockRing(queue_depth, out_shape)
+        self.out_ring = BlockRing(queue_depth, out_shape,
+                                  dtype=engine._out_dtype)
         self._shape = shape
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         # prime the output queue with silence so the consumer never starves
         # at startup (`stream_process_EQ_GUI.py:147-148`)
         for _ in range(min(prime, queue_depth)):
-            self.out_ring.push(np.zeros(out_shape, dtype=np.float32))
-        self._last_out = np.zeros(out_shape, dtype=np.float32)
+            self.out_ring.push(np.zeros(out_shape, dtype=engine._out_dtype))
+        self._last_out = np.zeros(out_shape, dtype=engine._out_dtype)
 
     # --- producer side (the "audio callback" input half) ---
 
@@ -141,7 +143,7 @@ class BlockDispatcher:
         out = self.out_ring.pop()
         if out is None:
             self.engine.metrics.underruns += 1
-            out = (0.8 * self._last_out).astype(np.float32)
+            out = self.engine._scale_out(self._last_out, 0.8)
         self._last_out = out
         return out
 
@@ -151,7 +153,7 @@ class BlockDispatcher:
         out = self.out_ring.pop(timeout=timeout)
         if out is None:
             self.engine.metrics.underruns += 1
-            out = (0.8 * self._last_out).astype(np.float32)
+            out = self.engine._scale_out(self._last_out, 0.8)
         self._last_out = out
         return out
 

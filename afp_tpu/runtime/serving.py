@@ -149,7 +149,13 @@ class RingServer:
         else:
             self._ring_hi = _alloc(jnp.float32)
             self._ring_lo = None
-        self._out = _alloc(jnp.float32)
+        #: emit='pcm16' → int16 output ring: the conv store quantizes in
+        #: VMEM and the device→host drain bytes halve (the dither's target
+        #: format — fir_td._finish_tile)
+        self._out = _alloc(
+            jnp.int16 if getattr(pipeline, "_emit16", False)
+            or getattr(getattr(pipeline, "pipeline", None), "_emit16", False)
+            else jnp.float32)
         self.blocks_served = 0
         #: land→drain wall latency per served block (seconds, host clock),
         #: appended by stream(); read via latency_stats()

@@ -256,6 +256,11 @@ class EqualizerController:
 
         if self.show_spectrum:
             block = np.asarray(block)
+            if block.dtype == np.int16:
+                # emit='pcm16' engines hand raw int16 PCM — dequantize
+                # (n/32768, the framework convention) so dB levels match
+                # the f32 contract's
+                block = block.astype(np.float32) / np.float32(32768.0)
             db = np.asarray(spectrum_db(block))
             self._last_spectrum = db
             # host-side waterfall history (depth-50 deque analog,

@@ -108,6 +108,29 @@ def read_wav_pcm16(path: str) -> Tuple[np.ndarray, int]:
     return x.reshape(-1, n_ch).T.copy(), rate
 
 
+def write_wav_pcm16(path: str, x: np.ndarray, rate: int) -> None:
+    """Write raw int16 PCM samples [channels, frames] (or [frames]) to a
+    16-bit WAV VERBATIM — the zero-conversion sink for
+    ``StreamConfig(emit='pcm16')`` engines, whose on-device quantizer
+    already produced the final samples (``int16(clip(round(y·32768)))``,
+    `ops.pallas.fir_td.quantize_pcm16`).  Refuses float input: quantizing
+    here would silently duplicate the device's quantizer with different
+    semantics (write_wav's ×32767 convention)."""
+    x = np.asarray(x)
+    if x.dtype != np.int16:
+        raise ValueError(
+            f"write_wav_pcm16 takes raw int16 samples, got {x.dtype} — "
+            "use write_wav() for float audio")
+    if x.ndim == 1:
+        x = x[None, :]
+    n_ch = x.shape[0]
+    with wave.open(path, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.ascontiguousarray(x.T.astype("<i2")).tobytes())
+
+
 def write_wav(path: str, x: np.ndarray, rate: int, width: int = 2,
               float_format: bool = False) -> None:
     """Write float32 [channels, frames] (or [frames]) in ±1.0 to WAV.

@@ -171,7 +171,12 @@ def _time_sustained(label, dispatch, pipe, n_sust, K, batch, blocksize,
     import jax.numpy as jnp
 
     st = pipe.init_state(seed=0)
-    ring = jnp.zeros((K, batch, blocksize), jnp.float32)
+    # emit='pcm16' pipelines serve into an int16 output ring (the checksum
+    # fetch sums int16 → int32, still a real device→host scalar fetch)
+    out_dtype = (jnp.int16 if getattr(pipe, "_emit16", False)
+                 or getattr(getattr(pipe, "pipeline", None), "_emit16", False)
+                 else jnp.float32)
+    ring = jnp.zeros((K, batch, blocksize), out_dtype)
     st, ring = dispatch(st, ring)  # compile + warm
     float(jnp.sum(ring))
     times = []
@@ -516,6 +521,9 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
     sustained_pcm16_ring_mega_asym_xrt = None
     mfu_pcm16_ring = None
     mfu_pcm16_ring_asym = None
+    sustained_i16io_ring_xrt = None
+    sustained_i16io_ring_asym_xrt = None
+    sustained_i16io_ring_mega_asym_xrt = None
     if (strategy == "td_mxu" and precision.startswith("B3")
             and os.environ.get("AFP_BENCH_PCM16", "1") != "0"):
         import dataclasses
@@ -563,6 +571,37 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
             mfu_pcm16_ring_asym = _ring_mfu(ipipe, batch, cfg.blocksize,
                                             sustained_pcm16_ring_asym_xrt,
                                             sustained_pcm16_ring_mega_asym_xrt)
+            # full int16 transport (emit='pcm16' on top of pcm16 ingest):
+            # int16 ring → int16 ring — output HBM bytes and device→host
+            # drain halve; the dither+quantize fuses into the store
+            try:
+                ecfg = dataclasses.replace(icfg, emit="pcm16")
+                epipe = Pipeline(ecfg)
+                eparams = epipe.device_params(
+                    PipelineParams.design(epipe.cfg))
+                print("bench: int16-I/O conv ring compiling...",
+                      file=sys.stderr, flush=True)
+                sustained_i16io_ring_xrt = _sustained_ring_xrt(
+                    epipe, eparams, fring16, reps)
+                sustained_i16io_ring_asym_xrt = None
+                sustained_i16io_ring_mega_asym_xrt = None
+                if n_asym > int(os.environ.get("AFP_BENCH_SUSTAIN", "512")):
+                    sustained_i16io_ring_asym_xrt = _sustained_ring_xrt(
+                        epipe, eparams, fring16, reps, n_sust=n_asym)
+                    try:
+                        sustained_i16io_ring_mega_asym_xrt = (
+                            _sustained_ring_mega_xrt(
+                                epipe, eparams, fring16, reps,
+                                n_sust=n_asym))
+                    except Exception as e:  # noqa: BLE001
+                        print(f"bench: int16-I/O mega asymptote failed "
+                              f"({e})", file=sys.stderr, flush=True)
+            except Exception as e:  # noqa: BLE001
+                sustained_i16io_ring_xrt = None
+                sustained_i16io_ring_asym_xrt = None
+                sustained_i16io_ring_mega_asym_xrt = None
+                print(f"bench: int16-I/O conv ring failed ({e})",
+                      file=sys.stderr, flush=True)
             del iring, fring16
         except Exception as e:  # noqa: BLE001
             print(f"bench: pcm16 conv ring failed ({e})",
@@ -617,6 +656,10 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
         "sustained_pcm16_ring_asym2048_xrt": sustained_pcm16_ring_asym_xrt,
         "sustained_pcm16_ring_mega_asym2048_xrt":
             sustained_pcm16_ring_mega_asym_xrt,
+        "sustained_i16io_ring_xrt": sustained_i16io_ring_xrt,
+        "sustained_i16io_ring_asym2048_xrt": sustained_i16io_ring_asym_xrt,
+        "sustained_i16io_ring_mega_asym2048_xrt":
+            sustained_i16io_ring_mega_asym_xrt,
         "strategy": strategy,
         "precision": precision if strategy == "td_mxu" else None,
         "mfu": mfu,
@@ -767,6 +810,7 @@ def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
     ring_asym = None
     ring_pcm16 = None
     ring_pcm16_asym = None
+    ring_i16io_asym = None
     n_asym = int(os.environ.get("AFP_BENCH_SUSTAIN_ASYMPTOTE", "2048"))
     if pipe.supports_ring_step:
         try:
@@ -803,12 +847,25 @@ def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
                             os.environ.get("AFP_BENCH_SUSTAIN", "512")):
                         ring_pcm16_asym = _sustained_agc_ring_xrt(
                             ipipe, iparams, iblocks, reps, n_sust=n_asym)
+                    # full int16 transport: pcm16 in + pcm16 out (the
+                    # conv store quantizes; output ring bytes halve)
+                    if ring_pcm16 is not None:
+                        ecfg = _dc.replace(icfg, emit="pcm16")
+                        epipe = Pipeline(ecfg)
+                        if epipe.supports_ring_step:
+                            eparams = epipe.device_params(
+                                PipelineParams.design(epipe.cfg))
+                            ring_i16io_asym = _sustained_agc_ring_xrt(
+                                epipe, eparams, iblocks, reps,
+                                n_sust=n_asym if n_asym > int(os.environ.get(
+                                    "AFP_BENCH_SUSTAIN", "512")) else None)
             except Exception as e:  # noqa: BLE001
                 print(f"bench: agc pcm16 ring failed ({e})",
                       file=sys.stderr, flush=True)
     return {"chained": float(round(xrt, 1)), "sustained": sustained,
             "ring": ring, "ring_asym": ring_asym,
-            "ring_pcm16": ring_pcm16, "ring_pcm16_asym": ring_pcm16_asym}
+            "ring_pcm16": ring_pcm16, "ring_pcm16_asym": ring_pcm16_asym,
+            "ring_i16io_asym": ring_i16io_asym}
 
 
 def _sustained_agc_ring_xrt(pipe, params, blocks, reps: int,
@@ -948,6 +1005,9 @@ def main() -> None:
             if r.get("ring_pcm16_asym") is not None:
                 result[f"agc_{mode}_ring_pcm16_asym2048_xrt"] = (
                     r["ring_pcm16_asym"])
+            if r.get("ring_i16io_asym") is not None:
+                result[f"agc_{mode}_ring_i16io_asym2048_xrt"] = (
+                    r["ring_i16io_asym"])
         except (BenchTimeout, Exception) as e:  # noqa: BLE001
             signal.alarm(0)
             print(f"bench: agc {mode} failed ({e})", file=sys.stderr, flush=True)

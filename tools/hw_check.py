@@ -541,6 +541,57 @@ def check_serving_ring() -> dict:
                               np.asarray(stf.conv_tail[k])), (
             "pcm16 AGC pair tail diverges from the f32 chain")
     results["serving_ring_agc_pcm16_vs_f32_max_abs_diff"] = d
+
+    # emit='pcm16' (int16 output rings): the in-kernel dither+quantize
+    # store must be BIT-identical to quantizing the f32 ring's dithered
+    # output on the host-visible side (same key walk → same noise; same
+    # round-half-even quantizer — fir_td.quantize_pcm16).  Certified on
+    # the compiled lowering for the conv ring, the megakernel, and the
+    # full int16-I/O AGC chain (pcm16 in + pcm16 out).
+    from afp_tpu.ops.pallas.fir_td import quantize_pcm16
+
+    ecfg = dataclasses.replace(cfg, emit="pcm16", dither_bits=16)
+    fcfg16 = dataclasses.replace(cfg, dither_bits=16)
+    pe, pf16 = Pipeline(ecfg), Pipeline(fcfg16)
+    assert pe._emit16 and pe.supports_ring_step
+    eparams = pe.device_params(PipelineParams.design(pe.cfg))
+    fparams16 = pf16.device_params(PipelineParams.design(pf16.cfg))
+    for name, disp_e, disp_f in (
+            ("conv", pe.run_ring, pf16.run_ring),
+            ("conv_mega", pe.run_ring_mega, pf16.run_ring_mega)):
+        ring_i = jnp.zeros((K, B, T), jnp.int16)
+        _, ring_i = disp_e(eparams, pe.init_state(seed=4),
+                           jnp.asarray(sig), None, ring_i, K)
+        ring_f = jnp.zeros((K, B, T), jnp.float32)
+        _, ring_f = disp_f(fparams16, pf16.init_state(seed=4),
+                           jnp.asarray(sig), None, ring_f, K)
+        exp = np.asarray(quantize_pcm16(ring_f))
+        d = float(np.max(np.abs(np.asarray(ring_i).astype(np.int64)
+                                - exp.astype(np.int64))))
+        assert d == 0.0, (
+            f"emit16 {name} ring vs quantize(f32 ring) diverges: {d} LSB")
+        results[f"emit16_{name}_vs_quantized_f32_max_lsb"] = d
+    # full int16 transport: pcm16 in + pcm16 out through the AGC chain
+    e16 = dataclasses.replace(acfg, ingest="pcm16", emit="pcm16",
+                              dither_bits=16)
+    a16f = dataclasses.replace(acfg, dither_bits=16)
+    pei, paf = Pipeline(e16), Pipeline(a16f)
+    assert pei._i16_agc_raw and pei._emit16 and pei.supports_ring_step
+    peiparams = pei.device_params(PipelineParams.design(pei.cfg))
+    pafparams = paf.device_params(PipelineParams.design(paf.cfg))
+    ring_i = jnp.zeros((K, B, T), jnp.int16)
+    sti, ring_i = pei.run_ring(peiparams, pei.init_state(seed=4),
+                               jnp.asarray(ai_sig), None, ring_i, K)
+    ring_f = jnp.zeros((K, B, T), jnp.float32)
+    stf, ring_f = paf.run_ring(pafparams, paf.init_state(seed=4),
+                               jnp.asarray(af_sig), None, ring_f, K)
+    exp = np.asarray(quantize_pcm16(ring_f))
+    d = float(np.max(np.abs(np.asarray(ring_i).astype(np.int64)
+                            - exp.astype(np.int64))))
+    assert d == 0.0, (
+        f"int16-I/O AGC chain vs quantize(f32 chain) diverges: {d} LSB")
+    assert np.array_equal(np.asarray(sti.agc_gain), np.asarray(stf.agc_gain))
+    results["emit16_agc_i16io_vs_quantized_f32_max_lsb"] = d
     return results
 
 
