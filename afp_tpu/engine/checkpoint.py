@@ -108,12 +108,13 @@ def load_checkpoint(path: str) -> StreamEngine:
         if meta.get("has_framer"):
             from ..runtime.framer import BlockFramer
 
-            # input residuals ride the ingest dtype (raw int16 for pcm16 —
-            # a float framer would silently convert them); output residuals
-            # are always processed f32 (engine.process_frames)
+            # residuals ride the transport dtypes (raw int16 for pcm16
+            # ingest / emit='pcm16' output — a float framer would silently
+            # convert them)
             engine._in_framer = BlockFramer(engine.cfg.batch,
                                             dtype=engine._in_dtype)
-            engine._out_framer = BlockFramer(engine.cfg.batch)
+            engine._out_framer = BlockFramer(engine.cfg.batch,
+                                             dtype=engine._out_dtype)
             engine._in_framer.set_state(z["framer_in"])
             engine._out_framer.set_state(z["framer_out"])
     saved_pair = bool(meta.get("conv_pair", False))

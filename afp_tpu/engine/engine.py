@@ -118,7 +118,7 @@ class StreamEngine:
                                               False) else np.float32)
         # emit='pcm16': outputs are raw int16 PCM end-to-end (ladder
         # fallbacks, underrun blends, output framer residuals all carry
-        # int16; blends compute in f32 and requantize — see _blend_i16)
+        # int16; blends compute in f32 and requantize — see _scale_out)
         self._out_dtype = (np.int16 if getattr(self.pipeline, "_emit16",
                                                False) else np.float32)
         self._block_seconds = self.cfg.blocksize / self.cfg.samplerate
@@ -294,11 +294,13 @@ class StreamEngine:
         if self._in_framer is None:
             from ..runtime.framer import BlockFramer
 
-            # input residuals ride the ingest dtype (raw int16 for pcm16);
-            # the output side is always processed f32
+            # residuals ride the transport dtypes: raw int16 ingest for
+            # pcm16, raw int16 output for emit='pcm16' (a float framer
+            # would silently coerce the device's PCM to raw-integer f32)
             self._in_framer = BlockFramer(self.cfg.batch,
                                           dtype=self._in_dtype)
-            self._out_framer = BlockFramer(self.cfg.batch)
+            self._out_framer = BlockFramer(self.cfg.batch,
+                                           dtype=self._out_dtype)
             self._out_framer.push(
                 np.zeros((self.cfg.batch, out_len), dtype=self._out_dtype))
         self._in_framer.push(chunk)

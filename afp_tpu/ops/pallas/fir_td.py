@@ -1009,6 +1009,20 @@ def fir_td_mxu_ring_f32(ring: jnp.ndarray, idx, tail: jnp.ndarray,
     VMEM-resident block.
     """
     assert ring.dtype == jnp.float32 and tail.dtype == jnp.float32
+    band, tail = _ring_geometry(ring, tail, band)
+    idx = jnp.asarray(idx, dtype=jnp.int32).reshape(1)
+    return _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
+                                 interpret=interpret, seed=dither_seed,
+                                 dither_bits=dither_bits,
+                                 dither_tpdf=dither_tpdf, out_clip=out_clip)
+
+
+def _ring_geometry(ring, tail, band):
+    """Shared wrapper plumbing for the raw-input serving rings (f32 and
+    pcm16, per-step and mega forms): band coercion, the LANE rule on the
+    slot length, and zero-padding a narrow carried tail to the kernel's
+    k_pad (n_taps−1 rounded up to a LANE multiple).  One definition so
+    the four public wrappers can never diverge on the geometry rules."""
     band = jnp.asarray(band, dtype=jnp.float32)
     if ring.shape[-1] % LANE:
         raise ValueError(f"T={ring.shape[-1]} must be a multiple of {LANE}")
@@ -1018,11 +1032,7 @@ def fir_td_mxu_ring_f32(ring: jnp.ndarray, idx, tail: jnp.ndarray,
         pad = k_pad - tail.shape[1]
         assert pad > 0, (tail.shape, k_pad)
         tail = jnp.pad(tail, ((0, 0), (pad, 0)))
-    idx = jnp.asarray(idx, dtype=jnp.int32).reshape(1)
-    return _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
-                                 interpret=interpret, seed=dither_seed,
-                                 dither_bits=dither_bits,
-                                 dither_tpdf=dither_tpdf, out_clip=out_clip)
+    return band, tail
 
 
 def fir_td_mxu_ring_pcm16(ring: jnp.ndarray, idx, tail: jnp.ndarray,
@@ -1048,15 +1058,7 @@ def fir_td_mxu_ring_pcm16(ring: jnp.ndarray, idx, tail: jnp.ndarray,
     """
     assert ring.dtype == jnp.int16 and tail.dtype == jnp.int16, (
         ring.dtype, tail.dtype)
-    band = jnp.asarray(band, dtype=jnp.float32)
-    if ring.shape[-1] % LANE:
-        raise ValueError(f"T={ring.shape[-1]} must be a multiple of {LANE}")
-    k = band.shape[0] - LANE
-    k_pad = -(-max(k, 1) // LANE) * LANE
-    if tail.shape[1] != k_pad:
-        pad = k_pad - tail.shape[1]
-        assert pad > 0, (tail.shape, k_pad)
-        tail = jnp.pad(tail, ((0, 0), (pad, 0)))
+    band, tail = _ring_geometry(ring, tail, band)
     idx = jnp.asarray(idx, dtype=jnp.int32).reshape(1)
     return _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
                                  interpret=interpret, seed=dither_seed,
@@ -1363,15 +1365,7 @@ def fir_td_mxu_ring_mega_f32(ring: jnp.ndarray, start, tail: jnp.ndarray,
     :func:`fir_td_mxu_ring_f32` calls (same per-step math and seed fold).
     Returns ``(out_ring, next_tail)``."""
     assert ring.dtype == jnp.float32 and tail.dtype == jnp.float32
-    band = jnp.asarray(band, dtype=jnp.float32)
-    if ring.shape[-1] % LANE:
-        raise ValueError(f"T={ring.shape[-1]} must be a multiple of {LANE}")
-    k = band.shape[0] - LANE
-    k_pad = -(-max(k, 1) // LANE) * LANE
-    if tail.shape[1] != k_pad:
-        pad = k_pad - tail.shape[1]
-        assert pad > 0, (tail.shape, k_pad)
-        tail = jnp.pad(tail, ((0, 0), (pad, 0)))
+    band, tail = _ring_geometry(ring, tail, band)
     start = jnp.asarray(start, dtype=jnp.int32).reshape(1)
     return _fir_td_ring_mega_f32_call(
         start, seeds, ring, tail, band, out_ring, n_steps=int(n_steps),
@@ -1394,15 +1388,7 @@ def fir_td_mxu_ring_mega_pcm16(ring: jnp.ndarray, start, tail: jnp.ndarray,
     ``(out_ring, next_tail)``."""
     assert ring.dtype == jnp.int16 and tail.dtype == jnp.int16, (
         ring.dtype, tail.dtype)
-    band = jnp.asarray(band, dtype=jnp.float32)
-    if ring.shape[-1] % LANE:
-        raise ValueError(f"T={ring.shape[-1]} must be a multiple of {LANE}")
-    k = band.shape[0] - LANE
-    k_pad = -(-max(k, 1) // LANE) * LANE
-    if tail.shape[1] != k_pad:
-        pad = k_pad - tail.shape[1]
-        assert pad > 0, (tail.shape, k_pad)
-        tail = jnp.pad(tail, ((0, 0), (pad, 0)))
+    band, tail = _ring_geometry(ring, tail, band)
     start = jnp.asarray(start, dtype=jnp.int32).reshape(1)
     return _fir_td_ring_mega_f32_call(
         start, seeds, ring, tail, band, out_ring, n_steps=int(n_steps),

@@ -13,7 +13,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["read_wav", "read_wav_pcm16", "write_wav"]
+__all__ = ["read_wav", "read_wav_pcm16", "write_wav", "write_wav_pcm16"]
 
 
 def _parse_riff(path: str):

@@ -848,8 +848,11 @@ def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
                         ring_pcm16_asym = _sustained_agc_ring_xrt(
                             ipipe, iparams, iblocks, reps, n_sust=n_asym)
                     # full int16 transport: pcm16 in + pcm16 out (the
-                    # conv store quantizes; output ring bytes halve)
-                    if ring_pcm16 is not None:
+                    # conv store quantizes; output ring bytes halve).
+                    # Only measured at the true asymptote — the key says
+                    # asym2048, so never fall back to the 512-step sustain
+                    if ring_pcm16 is not None and n_asym > int(
+                            os.environ.get("AFP_BENCH_SUSTAIN", "512")):
                         ecfg = _dc.replace(icfg, emit="pcm16")
                         epipe = Pipeline(ecfg)
                         if epipe.supports_ring_step:
@@ -857,8 +860,7 @@ def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
                                 PipelineParams.design(epipe.cfg))
                             ring_i16io_asym = _sustained_agc_ring_xrt(
                                 epipe, eparams, iblocks, reps,
-                                n_sust=n_asym if n_asym > int(os.environ.get(
-                                    "AFP_BENCH_SUSTAIN", "512")) else None)
+                                n_sust=n_asym)
             except Exception as e:  # noqa: BLE001
                 print(f"bench: agc pcm16 ring failed ({e})",
                       file=sys.stderr, flush=True)

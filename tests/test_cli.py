@@ -99,16 +99,22 @@ def test_cli_process_pcm16_matches_f32_td_mxu(tmp_path, rng):
     assert np.mean(yq == q) > 0.9
 
 
-def test_cli_process_pcm16_rejects_agc_and_float_wavs(tmp_path, rng):
+def test_cli_process_pcm16_rejects_float_wavs_accepts_agc(tmp_path, rng):
     src, dst = str(tmp_path / "inf.wav"), str(tmp_path / "out.wav")
     x = (0.3 * rng.standard_normal((1, 2048))).astype(np.float32)
     write_wav(src, x, 44100, float_format=True)  # IEEE float, not PCM16
     with pytest.raises(ValueError, match="16-bit PCM"):
         main(["process", src, dst, "--ingest", "pcm16", "--dither", "off"])
+    # pcm16 ingest works through the AGC (C8) chain — the kernels read
+    # the raw int16 x and convert in VMEM (late-r3 session 5)
     src2 = str(tmp_path / "in.wav")
     write_wav(src2, x, 44100, width=2)
-    with pytest.raises(SystemExit, match="agc"):
-        main(["process", src2, dst, "--ingest", "pcm16", "--agc"])
+    rc = main(["process", src2, dst, "--ingest", "pcm16", "--agc",
+               "--blocksize", "512", "--upsample", "1", "--numtaps", "65",
+               "--dither", "off"])
+    assert rc == 0
+    y, rate = read_wav(dst)
+    assert rate == 44100 and y.shape == (1, 2048) and np.any(y != 0)
 
 
 def test_cli_process_keeps_partial_final_block(tmp_path, rng):

@@ -285,3 +285,64 @@ def test_cli_emit16_roundtrip(rng, tmp_path):
     out, rate = read_wav_pcm16(dst)
     assert rate == 44100 and out.dtype == np.int16
     assert out.shape[1] == 4096 and np.any(out != 0)
+
+
+def test_engine_emit16_process_frames_keeps_int16(rng):
+    """The output framer must carry raw int16 residuals under emit='pcm16':
+    arbitrary-sized chunks through process_frames return int16 blocks that
+    are sample-identical to blocksize-fed process_block output (the framer
+    used to default to float32 and silently coerce the PCM to raw-integer
+    floats)."""
+    from afp_tpu.engine.engine import StreamEngine
+
+    total = 512 * 4
+    sig = blocks_f32(rng, (4, total))
+    eng_a = StreamEngine(make_cfg(), seed=0)
+    out_a, pos = [], 0
+    while pos < total:
+        n = int(min(rng.integers(1, 700), total - pos))
+        y = eng_a.process_frames(sig[:, pos:pos + n])
+        assert y.dtype == np.int16, y.dtype
+        out_a.append(y)
+        pos += n
+    out_a = np.concatenate(out_a, axis=-1)
+
+    eng_b = StreamEngine(make_cfg(), seed=0)
+    out_b = np.concatenate(
+        [eng_b.process_frames(sig[:, i * 512:(i + 1) * 512])
+         for i in range(4)], axis=-1)
+    assert out_b.dtype == np.int16
+    assert out_a.shape == out_b.shape
+    np.testing.assert_array_equal(out_a, out_b)
+
+    # content check vs process_block: process_frames primes one output
+    # block of zeros (framer latency), then carries the raw int16 PCM
+    eng_c = StreamEngine(make_cfg(), seed=0)
+    blocks = np.concatenate(
+        [eng_c.process_block(sig[:, i * 512:(i + 1) * 512])
+         for i in range(4)], axis=-1)
+    out_len = out_a.shape[1] // 4
+    assert not np.any(out_a[:, :out_len])
+    np.testing.assert_array_equal(out_a[:, out_len:],
+                                  blocks[:, :-out_len])
+
+
+def test_engine_emit16_checkpoint_restores_int16_out_framer(rng, tmp_path):
+    """Checkpoint restore must rebuild the OUTPUT framer as int16 under
+    emit='pcm16' (it used to restore float32, coercing saved residuals)."""
+    from afp_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+    from afp_tpu.engine.engine import StreamEngine
+
+    sig = blocks_f32(rng, (4, 512 * 3 + 137))
+    eng = StreamEngine(make_cfg(), seed=3)
+    eng.process_frames(sig[:, :700])  # residuals in both framers
+    path = str(tmp_path / "ck16.npz")
+    save_checkpoint(path, eng)
+    eng2 = load_checkpoint(path)
+    assert eng2._out_dtype == np.int16
+    assert eng2._out_framer._dtype == np.int16
+    rest = sig[:, 700:]
+    out1 = eng.process_frames(rest)
+    out2 = eng2.process_frames(rest)
+    assert out1.dtype == out2.dtype == np.int16
+    np.testing.assert_array_equal(out1, out2)
