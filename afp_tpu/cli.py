@@ -131,7 +131,12 @@ def cmd_process(args) -> int:
         rem = cfg.blocksize - n_in % cfg.blocksize
         x = np.concatenate([x, np.zeros((x.shape[0], rem), x.dtype)],
                            axis=1)
-    out = engine.process_signal(x)
+    # offline by definition: prefer the time-folded batched fast path (one
+    # kernel call over all blocks — the scan starves the MXU at batch 1);
+    # with dither on the fold's noise realization differs from blockwise
+    # streaming (same keyed TPDF distribution), which a file-processing
+    # run never observes
+    out = engine.process_signal(x, fold="prefer")
     if engine._asrc_frontend is not None:
         out = out[:, : int(n_in * sr / rate)]
     elif out.shape[1] > n_in:

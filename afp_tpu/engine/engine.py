@@ -386,10 +386,15 @@ class StreamEngine:
         """
         return jax.profiler.trace(logdir)
 
-    def process_signal(self, signal: np.ndarray) -> np.ndarray:
+    def process_signal(self, signal: np.ndarray, fold="auto") -> np.ndarray:
         """Whole-signal convenience: [batch, T] → [batch, T'] via lax.scan.
         With exact-mode ASRC, `signal` is source-rate: it streams through the
-        frontend and every completed engine block is processed in order."""
+        frontend and every completed engine block is processed in order.
+
+        ``fold`` is forwarded to :meth:`Pipeline.process_signal` — the
+        offline time-folded fast path ('auto' folds only when bit-exact vs
+        the scan; 'prefer' folds whenever supported, for offline callers
+        like the CLI; False keeps the literal scan)."""
         signal = self._coerce_in(signal)
         if signal.ndim == 1:
             # broadcast to the full batch — the same coercion contract as
@@ -407,29 +412,29 @@ class StreamEngine:
             if nblocks == 0:
                 return np.zeros((self.cfg.batch, 0), dtype=self._out_dtype)
             data = self._asrc_frontend.pull(nblocks * L)
-            # contiguous transfer + device-side block layout (see
-            # Pipeline.process_signal: host-side strided copies of GB-class
-            # arrays stall on some hosts)
-            blocks = jnp.asarray(data, dtype=jnp.float32).reshape(
-                self.cfg.batch, nblocks, L).swapaxes(0, 1)
             t0 = time.monotonic()
             # same lock discipline as _process_engine_block: snapshot under
             # the swap lock, write state back only if no rebuild intervened
+            # (Pipeline.process_signal keeps the contiguous-transfer layout
+            # and applies the offline fold when eligible)
             with self._swap_lock:
                 pipeline, params, state_in = self.pipeline, self.params, self.state
-            state, outs = pipeline.run(params, state_in, blocks)
+            state, outs = pipeline.process_signal(
+                params, state_in, np.asarray(data, dtype=np.float32),
+                fold=fold)
             out = np.asarray(jax.block_until_ready(outs))
             with self._swap_lock:
                 if self.pipeline is pipeline:
                     self.state = state
             busy = time.monotonic() - t0
-            n = nblocks * out.shape[-1]
+            n = out.shape[-1]
             self.metrics.record_block(n, busy, n / self.cfg.samplerate)
-            return out.swapaxes(0, 1).reshape(self.cfg.batch, -1)
+            return out
         t0 = time.monotonic()
         with self._swap_lock:
             pipeline, params, state_in = self.pipeline, self.params, self.state
-        state, out = pipeline.process_signal(params, state_in, signal)
+        state, out = pipeline.process_signal(params, state_in, signal,
+                                             fold=fold)
         out = np.asarray(jax.block_until_ready(out))
         with self._swap_lock:
             if self.pipeline is pipeline:

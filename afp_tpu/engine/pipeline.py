@@ -1348,22 +1348,236 @@ class Pipeline:
 
     # convenience: process a whole [B, T] signal
     def process_signal(self, params: DeviceParams, state: StreamState,
-                       signal: jnp.ndarray):
+                       signal: jnp.ndarray, fold="auto"):
+        """Whole-signal convenience: [B, T] → [B, T'].
+
+        ``fold`` selects the offline execution strategy:
+
+        * ``False`` — the literal streaming scan (one ``_step_impl`` per
+          block, state threaded through ``lax.scan``).
+        * ``"auto"`` (default) — use the time-FOLDED fast path (see
+          :meth:`process_signal_folded`) when it is BIT-exact vs the scan:
+          dither off, ON TPU (the MXU's per-output K accumulation is
+          batch-size-independent; interpret mode lowers to host GEMMs
+          whose blocking reassociates at the ~1e-7 level), and the batch
+          under-tiles the MXU (B < 256).  Semantics never change under
+          'auto'.
+        * ``"prefer"`` — fold whenever :attr:`supports_fold` (offline
+          callers that don't need the scan's dither stream: the CLI); with
+          dither on the fold's noise REALIZATION differs from blockwise
+          streaming (same keyed distribution — one fold seed instead of a
+          per-block key walk), everything else is identical.
+        * ``True`` — require the fold; raises if unsupported.
+        """
         B, T = signal.shape
         L = self.block
         nblocks = T // L
+        use_fold = False
+        if fold is True:
+            if not self.supports_fold:
+                raise ValueError(
+                    "fold=True but this pipeline cannot fold (needs the "
+                    "fused single-rate chain without AGC/device-ASRC/"
+                    "waterfall/per-stream banks)")
+            use_fold = True
+        elif fold == "prefer":
+            use_fold = self.supports_fold
+        elif fold == "auto":
+            use_fold = (self.supports_fold
+                        and self.cfg.dither_kind == "off"
+                        and not self._pl_interpret
+                        and self.batch < 256)
+        if use_fold and self.cfg.eq_enabled and params.eq_gains.ndim == 2:
+            if fold is True:
+                raise ValueError("fold=True does not support per-stream "
+                                 "gain banks")
+            use_fold = False
+        if use_fold and nblocks > 0:
+            return self.process_signal_folded(params, state, signal)
         # transfer the CONTIGUOUS signal first and lay out the block axis on
         # device: reshape+swapaxes on a large host array forces a strided
         # host copy, which on some hosts stalls in kernel time for GB-class
         # signals (measured >840 s at [4096, 64·4096] vs ~4 s this way)
+        signal = self._coerce_signal(signal)
+        blocks = signal[:, : nblocks * L].reshape(B, nblocks, L).swapaxes(0, 1)
+        state, outs = self.run(params, state, blocks)
+        return state, outs.swapaxes(0, 1).reshape(B, -1)
+
+    def _coerce_signal(self, signal):
         if self._i16_ingest:
             signal = jnp.asarray(signal)
             if signal.dtype != jnp.int16:  # never silently quantize floats
                 raise ValueError(
                     f"ingest='pcm16' signals must be int16, got "
                     f"{signal.dtype}")
-        else:
-            signal = jnp.asarray(signal, dtype=jnp.float32)
-        blocks = signal[:, : nblocks * L].reshape(B, nblocks, L).swapaxes(0, 1)
-        state, outs = self.run(params, state, blocks)
-        return state, outs.swapaxes(0, 1).reshape(B, -1)
+            return signal
+        return jnp.asarray(signal, dtype=jnp.float32)
+
+    # ---------------- offline time-folded fast path ----------------
+
+    @property
+    def supports_fold(self) -> bool:
+        """True when the offline fold applies: the fused single-rate chain
+        with no cross-block recurrence (AGC) and no streaming resampler
+        state (device ASRC / unfused up-down chain) — each block's output
+        then depends only on the signal window behind it, so blocks fold
+        into the BATCH axis and the whole signal runs as ONE batched
+        kernel call (`process_signal_folded`)."""
+        cfg = self.cfg
+        return (self.fused
+                and not cfg.agc_enabled
+                and not self._asrc_device
+                and not cfg.waterfall_enabled)
+
+    def _frame_rows(self, ext, nb: int, W: int):
+        """Frame [B, H + nb·L] into hop-L windows [B·nb, W] (W = H + L)
+        using k = ceil(W/L) shifted block VIEWS + one concat — no gather
+        (XLA gathers on TPU serialize; slices/concats fuse).  Works for
+        f32, bf16, and int16 operands."""
+        B = ext.shape[0]
+        L = self.block
+        k = -(-W // L)
+        need = (nb - 1 + k) * L
+        if need > ext.shape[-1]:
+            ext = jnp.pad(ext, ((0, 0), (0, need - ext.shape[-1])))
+        view = ext[:, :need].reshape(B, nb - 1 + k, L)
+        frames = jnp.concatenate(
+            [view[:, j:j + nb] for j in range(k)], axis=-1)[..., :W]
+        return frames.reshape(B * nb, W)
+
+    def process_signal_folded(self, params: DeviceParams, state: StreamState,
+                              signal: jnp.ndarray):
+        """Offline fast path: fold a [B, T] signal's blocks into the BATCH
+        axis and run the conv chain as ONE batched call.
+
+        The streaming scan at small batch starves the MXU — a [1, ·] block
+        occupies one row of the 128-row systolic array and serializes
+        nblocks dispatches.  With no AGC the fused cascade has no
+        cross-block recurrence: block i's output depends only on
+        signal[i·L − (n_casc−1) … (i+1)·L), so the windows fold into rows
+        of one [B·nb, n−1+L] call — identical per-row math, full MXU
+        tiles.  On TPU, BIT-exact vs the scan with dither off (same kernel
+        windows and geometry, and the MXU's per-output K accumulation is
+        batch-size-independent — certified on hardware, tools/hw_check.py);
+        in interpret/CPU mode the host GEMM's batch-dependent blocking
+        reassociates at the ~1e-7 level.  With dither on the noise
+        realization differs (one fold seed, not the scan's per-block key
+        walk).  Final state matches the scan's (conv tail = the signal's
+        last history columns, sliced — exact on every backend).
+
+        Memory: ≈ (2 + (n−1)/L)× the signal bytes transiently (the framed
+        rows duplicate each block's history).
+
+        No reference analog — the reference processes offline files through
+        the same per-block callback loop (`stream_process.py:79-120`).
+        """
+        if not hasattr(self, "_fold"):
+            self._fold = jax.jit(self._fold_impl)
+        signal = self._coerce_signal(signal)
+        nb = signal.shape[-1] // self.block
+        if nb == 0:  # nothing to fold (and zero-size device buffers are
+            # a known tunnel hazard — docs/ROADMAP.md dev notes)
+            out_dt = jnp.int16 if self._emit16 else jnp.float32
+            return state, jnp.zeros((signal.shape[0], 0), out_dt)
+        return self._fold(params, state, signal[:, : nb * self.block])
+
+    def _fold_impl(self, params: DeviceParams, state: StreamState,
+                   signal: jnp.ndarray):
+        cfg = self.cfg
+        B, T = signal.shape
+        L = self.block
+        nb = T // L
+        n_conv = self.n_casc
+        has_eq = cfg.eq_enabled and len(cfg.eq_bands) > 0
+        R = B * nb
+        R8 = -(-R // 8) * 8  # the td kernels' batch-tile granule floor
+        key = state.key
+        dither_on = cfg.dither_kind != "off"
+        clip_done = dither_done = emit_done = False
+
+        def pad_rows(a):
+            return jnp.pad(a, ((0, R8 - R), (0, 0))) if R8 != R else a
+
+        if self._use_td:
+            from ..ops.pallas.fir_td import fir_td_mxu, fir_td_mxu_pair
+
+            band = jnp.where(self._band_mask,
+                             jnp.take(params.combined_cascade(has_eq),
+                                      self._band_idx), 0.0)
+            fuse_dither = dither_on and not self._pl_interpret
+            fuse_clip = cfg.output_clip is not None
+            dkw = {"out_clip": cfg.output_clip if fuse_clip else None}
+            clip_done = fuse_clip
+            if fuse_dither:
+                from ..ops.pallas.dither_pl import fold_seed
+
+                key, sub = jax.random.split(key)
+                dither_done = True
+                dkw.update(dither_seed=fold_seed(sub),
+                           dither_bits=cfg.dither_bits,
+                           dither_tpdf=(cfg.dither_kind == "tpdf"))
+            if self._emit16 and (fuse_dither or not dither_on):
+                dkw["emit_i16"] = True
+                emit_done = True
+            if self._conv_pair:
+                from ..ops.pallas.fir_td import PCM16_SCALE, split_bf16
+
+                kp = self._k_pad
+                if self._i16_tail:
+                    ext_i = jnp.concatenate([state.conv_tail, signal],
+                                            axis=-1)
+                    rows_f = (self._frame_rows(ext_i, nb, kp + L)
+                              .astype(jnp.float32) * PCM16_SCALE)
+                    rh, rl = split_bf16(rows_f)
+                    new_tail = ext_i[:, -kp:]
+                else:  # pair-ingest: frame in the SPLIT domain (the split
+                    # is elementwise, so framing commutes with it and the
+                    # kernel sees bit-identical pair windows)
+                    th, tl = state.conv_tail
+                    sh, sl = split_bf16(signal)
+                    ext_h = jnp.concatenate([th, sh], axis=-1)
+                    ext_l = jnp.concatenate([tl, sl], axis=-1)
+                    rh = self._frame_rows(ext_h, nb, kp + L)
+                    rl = self._frame_rows(ext_l, nb, kp + L)
+                    new_tail = (ext_h[:, -kp:], ext_l[:, -kp:])
+                y = fir_td_mxu_pair(
+                    pad_rows(rh[:, kp:]), pad_rows(rl[:, kp:]),
+                    pad_rows(rh[:, :kp]), pad_rows(rl[:, :kp]), band,
+                    interpret=self._pl_interpret, **dkw)
+            else:
+                ext = jnp.concatenate(
+                    [state.conv_tail[..., -(n_conv - 1):], signal], axis=-1)
+                rows = self._frame_rows(ext, nb, n_conv - 1 + L)
+                y = fir_td_mxu(pad_rows(rows), band,
+                               interpret=self._pl_interpret, **dkw)
+                new_tail = ext[:, -(n_conv - 1):]
+        else:  # fused fft strategy: one batched overlap-save pass
+            ext = jnp.concatenate(
+                [state.conv_tail[..., -(n_conv - 1):], signal], axis=-1)
+            rows = self._frame_rows(ext, nb, n_conv - 1 + L)
+            H = params.combined_response(has_eq, premultiplied=True)
+            Y = jnp.fft.rfft(rows, n=self.nfft) * H
+            y = jax.lax.slice_in_dim(jnp.fft.irfft(Y, n=self.nfft),
+                                     n_conv - 1, n_conv - 1 + L, axis=-1)
+            new_tail = ext[:, -(n_conv - 1):]
+
+        if cfg.output_clip is not None and not clip_done:
+            y = jnp.clip(y, -cfg.output_clip, cfg.output_clip)
+        if dither_on and not dither_done:
+            key, sub = jax.random.split(key)
+            if not self._pl_interpret:
+                from ..ops.pallas.dither_pl import dither_pallas
+
+                y = dither_pallas(sub, y, cfg.dither_bits, cfg.dither_kind)
+            else:
+                y = dither(sub, y, cfg.dither_bits, cfg.dither_kind)
+        if self._emit16 and not emit_done:
+            from ..ops.pallas.fir_td import quantize_pcm16
+
+            y = quantize_pcm16(y)
+
+        y = y[:R].reshape(B, nb, -1).reshape(B, -1)
+        new_state = StreamState(
+            asrc=state.asrc, up=state.up, conv_tail=new_tail,
+            down=state.down, agc_gain=state.agc_gain, key=key, wf=state.wf)
+        return new_state, y

@@ -915,6 +915,50 @@ def agc_parallel_vs_exact_db(strategy: str) -> float:
     return float(round(20 * np.log10(err / scale + 1e-300), 1))
 
 
+def run_offline_fold_xrt(reps: int) -> dict:
+    """Single-stream offline processing (the CLI case, batch 1) at the
+    headline filter chain: the time-FOLDED batched path vs the streaming
+    scan, device-resident signal.  The scan starves the MXU at batch 1
+    (one row of the 128-row systolic array per dispatch step); the fold
+    runs the same per-block windows as rows of one batched call."""
+    import jax
+    import jax.numpy as jnp
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+
+    nb = int(os.environ.get("AFP_BENCH_FOLD_BLOCKS", "256"))
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=4096, upsample_factor=4, numtaps=1001,
+        batch=1, filter_type="lowpass", cutoff=11000.0,
+        window_type="hamming", eq_enabled=False, agc_enabled=False,
+        downsample_mode="decimate", dither_kind="tpdf", output_clip=None,
+        conv_strategy="td_mxu",
+    )
+    pipe = Pipeline(cfg)
+    assert pipe.supports_fold
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    sig = jax.random.normal(jax.random.PRNGKey(0),
+                            (1, nb * cfg.blocksize), jnp.float32) * 0.3
+    jax.block_until_ready(sig)
+    audio_s = nb * cfg.blocksize / cfg.samplerate
+    out = {}
+    for name, fold in (("fold", "prefer"), ("scan", False)):
+        print(f"bench: offline b1 {name} compiling...", file=sys.stderr,
+              flush=True)
+        _, y = pipe.process_signal(params, pipe.init_state(seed=0), sig,
+                                   fold=fold)  # compile + warm
+        float(jnp.sum(y.astype(jnp.float32)))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, y = pipe.process_signal(params, pipe.init_state(seed=0),
+                                       sig, fold=fold)
+            float(jnp.sum(y.astype(jnp.float32)))  # force (early-return BUR)
+            ts.append(time.perf_counter() - t0)
+        out[f"offline_b1_{name}_xrt"] = round(audio_s / min(ts), 1)
+    return out
+
+
 def _device_contact_watchdog(seconds: int):
     """Hard watchdog around the FIRST device contact.
 
@@ -1052,6 +1096,17 @@ def main() -> None:
             print(f"bench: engine pair path failed ({e})",
                   file=sys.stderr, flush=True)
             result["engine_pair_xrt"] = None
+
+    # single-stream offline fold (batch 1, the CLI case)
+    if result.get("strategy") == "td_mxu":
+        try:
+            _alarm(900)
+            result.update(run_offline_fold_xrt(max(2, reps - 2)))
+            signal.alarm(0)
+        except (BenchTimeout, Exception) as e:  # noqa: BLE001
+            signal.alarm(0)
+            print(f"bench: offline fold failed ({e})",
+                  file=sys.stderr, flush=True)
 
     print(json.dumps(result))
 

@@ -595,6 +595,50 @@ def check_serving_ring() -> dict:
     return results
 
 
+def check_offline_fold() -> dict:
+    """The offline time-folded fast path vs the streaming scan on the
+    compiled lowering.  The bit-exact claim rests on a HARDWARE property —
+    the MXU's per-output K accumulation is batch-size-independent (the
+    fold runs the same per-row windows at a different batch tile) — so it
+    must be certified here, not in interpret mode (where host GEMM
+    blocking reassociates at ~1e-7; tests/test_fold.py documents that)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+
+    rng = np.random.default_rng(12)
+    B, nb, L = 1, 8, 2048
+    results = {}
+    base = StreamConfig(
+        samplerate=44100, blocksize=L, upsample_factor=2, numtaps=129,
+        batch=B, eq_enabled=True, dither_kind="off", output_clip=0.99,
+        downsample_mode="decimate", conv_strategy="td_mxu",
+    )
+    sig = (rng.standard_normal((B, nb * L)) * 0.3).astype(np.float32)
+    sig_i = np.clip(np.round(sig * 32768.0), -32768, 32767).astype(np.int16)
+    for name, cfg, x in (
+            ("f32", base, sig),
+            ("pcm16", dataclasses.replace(base, ingest="pcm16"), sig_i),
+            ("i16io", dataclasses.replace(base, ingest="pcm16",
+                                          emit="pcm16"), sig_i)):
+        p = Pipeline(cfg)
+        assert p.supports_fold
+        params = p.device_params(PipelineParams.design(p.cfg))
+        _, y_scan = p.process_signal(params, p.init_state(0), x, fold=False)
+        st_f, y_fold = p.process_signal(params, p.init_state(0), x,
+                                        fold=True)
+        a, b = np.asarray(y_scan), np.asarray(y_fold)
+        if a.dtype == np.int16:
+            d = float(np.max(np.abs(a.astype(np.int64) - b.astype(np.int64))))
+        else:
+            d = float(np.max(np.abs(a - b)))
+        assert d == 0.0, f"offline fold ({name}) vs scan diverges: {d}"
+        results[f"offline_fold_{name}_max_abs_diff"] = d
+    return results
+
+
 def main() -> None:
     import jax
 
@@ -612,7 +656,7 @@ def main() -> None:
     for fn in (check_fir_td, check_fir_per_stream, check_agc_scan,
                check_dither, check_fused_dither, check_fused_clip,
                check_agc_fused, check_agc_one_kernel, check_conv_pair,
-               check_serving_ring):
+               check_serving_ring, check_offline_fold):
         print(f"hw_check: {fn.__name__}...", file=sys.stderr, flush=True)
         out.update(fn())
     print(json.dumps(out))
