@@ -1372,26 +1372,7 @@ class Pipeline:
         B, T = signal.shape
         L = self.block
         nblocks = T // L
-        use_fold = False
-        if fold is True:
-            if not self.supports_fold:
-                raise ValueError(
-                    "fold=True but this pipeline cannot fold (needs the "
-                    "fused single-rate chain without AGC/device-ASRC/"
-                    "waterfall/per-stream banks)")
-            use_fold = True
-        elif fold == "prefer":
-            use_fold = self.supports_fold
-        elif fold == "auto":
-            use_fold = (self.supports_fold
-                        and self.cfg.dither_kind == "off"
-                        and not self._pl_interpret
-                        and self.batch < 256)
-        if use_fold and self.cfg.eq_enabled and params.eq_gains.ndim == 2:
-            if fold is True:
-                raise ValueError("fold=True does not support per-stream "
-                                 "gain banks")
-            use_fold = False
+        use_fold = self._fold_decision(fold, params)
         if use_fold and nblocks > 0:
             return self.process_signal_folded(params, state, signal)
         # transfer the CONTIGUOUS signal first and lay out the block axis on
@@ -1414,6 +1395,34 @@ class Pipeline:
         return jnp.asarray(signal, dtype=jnp.float32)
 
     # ---------------- offline time-folded fast path ----------------
+
+    def _fold_decision(self, fold, params: DeviceParams,
+                       batch: int | None = None) -> bool:
+        """Resolve a `fold` argument ('auto'|'prefer'|True|False) against
+        this pipeline's capabilities.  `batch` overrides the MXU-tiling
+        heuristic's batch (sharded callers pass their per-shard batch)."""
+        batch = self.batch if batch is None else batch
+        use_fold = False
+        if fold is True:
+            if not self.supports_fold:
+                raise ValueError(
+                    "fold=True but this pipeline cannot fold (needs the "
+                    "fused single-rate chain without AGC/device-ASRC/"
+                    "waterfall/per-stream banks)")
+            use_fold = True
+        elif fold == "prefer":
+            use_fold = self.supports_fold
+        elif fold == "auto":
+            use_fold = (self.supports_fold
+                        and self.cfg.dither_kind == "off"
+                        and not self._pl_interpret
+                        and batch < 256)
+        if use_fold and self.cfg.eq_enabled and params.eq_gains.ndim == 2:
+            if fold is True:
+                raise ValueError("fold=True does not support per-stream "
+                                 "gain banks")
+            use_fold = False
+        return use_fold
 
     @property
     def supports_fold(self) -> bool:

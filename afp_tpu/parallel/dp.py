@@ -255,6 +255,58 @@ class ShardedPipeline:
         _, run = self._get_exec(params, pair_blocks=isinstance(blocks, tuple))
         return run(params, state, blocks)
 
+    def process_signal(self, params: DeviceParams, state: StreamState,
+                       signal, fold="auto"):
+        """Sharded offline convenience: [B_global, T] → [B_global, T'].
+        Stream-DP over the mesh with `Pipeline.process_signal` semantics —
+        the offline time-folded fast path applies PER SHARD (each shard
+        folds its local streams' blocks into its batch axis; same fold
+        rules, with the MXU-tiling heuristic judged at the per-shard
+        batch).  Zero hot-path collectives, per-shard dither keys."""
+        pipe = self.pipeline
+        signal = pipe._coerce_signal(signal)
+        nb = signal.shape[-1] // pipe.block
+        use_fold = pipe._fold_decision(fold, params,
+                                       batch=self.batch // self.n_shards)
+        if nb == 0:
+            out_dt = jnp.int16 if pipe._emit16 else jnp.float32
+            return state, jnp.zeros((signal.shape[0], 0), out_dt)
+        signal = signal[:, : nb * pipe.block]
+        pspec = _param_spec_tree(params)
+        key = ("signal", use_fold, nb, signal.dtype.name) + tuple(
+            getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)
+        )
+        if key not in self._exec_cache:
+            mesh, sspec = self.mesh, self._sspec
+            L, n_blocks = pipe.block, nb
+
+            def local_signal(params, state, sig):
+                state = state._replace(key=state.key[0])
+                if use_fold:
+                    st, y = pipe._fold_impl(params, state, sig)
+                else:
+                    B = sig.shape[0]
+                    blocks = sig.reshape(B, n_blocks, L).swapaxes(0, 1)
+
+                    def body(carry, blk):
+                        return pipe._step_impl(params, carry, blk)
+
+                    st, ys = jax.lax.scan(body, state, blocks)
+                    y = ys.swapaxes(0, 1).reshape(B, -1)
+                return st._replace(key=st.key[None]), y
+
+            sigspec = P("streams", None)
+            self._exec_cache[key] = jax.jit(
+                jax.shard_map(
+                    local_signal,
+                    mesh=mesh,
+                    in_specs=(pspec, sspec, sigspec),
+                    out_specs=(sspec, sigspec),
+                    check_vma=False,
+                ),
+            )
+        return self._exec_cache[key](params, state, signal)
+
     def run_ring(self, params: DeviceParams, state: StreamState,
                  ring_hi, ring_lo, out_ring, n_steps: int, start=0):
         """Sharded zero-copy serving loop (`Pipeline.run_ring`): the

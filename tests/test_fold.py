@@ -209,3 +209,31 @@ def test_engine_fold_prefer_matches_scan(rng):
     y_scan = e1.process_signal(sig, fold=False)
     y_fold = e2.process_signal(sig, fold="prefer")
     assert_close(y_scan, y_fold)
+
+
+def test_sharded_process_signal_fold(rng):
+    """ShardedPipeline.process_signal: stream-DP offline processing with
+    the per-shard fold — sharded fold ≡ sharded scan (interpret-mode GEMM
+    bound) and ≡ the single-device scan, per-shard dither keys off."""
+    from afp_tpu.parallel import ShardedPipeline, make_mesh
+
+    mesh = make_mesh(8, axis_names=("streams",))
+    cfg = make_cfg(batch=8, conv_strategy="td_mxu")
+    sig = (rng.normal(size=(8, 4 * 512)) * 0.35).astype(np.float32)
+
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    _, gold = pipe.process_signal(params, pipe.init_state(0), sig,
+                                  fold=False)
+
+    sp = ShardedPipeline(cfg, mesh)
+    sparams = sp.device_params(PipelineParams.design(sp.cfg))
+    st_scan, y_scan = sp.process_signal(sparams, sp.init_state(0), sig,
+                                        fold=False)
+    st_fold, y_fold = sp.process_signal(sparams, sp.init_state(0), sig,
+                                        fold="prefer")
+    assert_close(np.asarray(y_scan), np.asarray(gold))
+    assert_close(np.asarray(y_fold), np.asarray(y_scan))
+    # final sharded states agree between fold and scan (tails are slices)
+    np.testing.assert_array_equal(np.asarray(st_scan.conv_tail),
+                                  np.asarray(st_fold.conv_tail))
