@@ -1417,11 +1417,6 @@ class Pipeline:
                         and self.cfg.dither_kind == "off"
                         and not self._pl_interpret
                         and batch < 256)
-        if use_fold and self.cfg.eq_enabled and params.eq_gains.ndim == 2:
-            if fold is True:
-                raise ValueError("fold=True does not support per-stream "
-                                 "gain banks")
-            use_fold = False
         return use_fold
 
     @property
@@ -1507,7 +1502,43 @@ class Pipeline:
         def pad_rows(a):
             return jnp.pad(a, ((0, R8 - R), (0, 0))) if R8 != R else a
 
-        if self._use_td:
+        per_stream = has_eq and params.eq_gains.ndim == 2
+        if self._use_td and per_stream:
+            # per-stream gain banks: f32 ext rows (pair modes reconstruct,
+            # exactly as the staged per-stream path does) + the per-stream
+            # gain row repeated nb× (rows are B-major: row b·nb+i)
+            from ..ops.pallas.fir_td import fir_td_mxu_per_stream
+
+            kp = self._k_pad
+            if self._i16_tail:
+                from ..ops.pallas.fir_td import PCM16_SCALE
+
+                ext_i = jnp.concatenate([state.conv_tail, signal], axis=-1)
+                ext = ext_i.astype(jnp.float32) * PCM16_SCALE
+                ext = ext[:, kp - (n_conv - 1):]
+                new_tail = ext_i[:, -kp:]
+            elif self._conv_pair:
+                from ..ops.pallas.fir_td import merge_bf16, split_bf16
+
+                th, tl = state.conv_tail
+                tail_f32 = merge_bf16(th, tl)[:, -(n_conv - 1):]
+                # mirror the staged pair+per-stream path exactly: the block
+                # rides as merge(split(x)) there (the sub-lo residual drops
+                # at ingest), so fold the same values
+                sh, sl = split_bf16(signal)
+                ext = jnp.concatenate([tail_f32, merge_bf16(sh, sl)],
+                                      axis=-1)
+                new_tail = tuple(split_bf16(ext[:, -kp:]))
+            else:
+                ext = jnp.concatenate(
+                    [state.conv_tail[..., -(n_conv - 1):], signal], axis=-1)
+                new_tail = ext[:, -(n_conv - 1):]
+            rows = self._frame_rows(ext, nb, n_conv - 1 + L)
+            gains = jnp.repeat(params.eq_gains, nb, axis=0)
+            y = fir_td_mxu_per_stream(
+                pad_rows(rows), params.casc_bands, pad_rows(gains),
+                interpret=self._pl_interpret, wide=params.casc_wide)
+        elif self._use_td:
             from ..ops.pallas.fir_td import fir_td_mxu, fir_td_mxu_pair
 
             band = jnp.where(self._band_mask,
@@ -1565,6 +1596,9 @@ class Pipeline:
                 [state.conv_tail[..., -(n_conv - 1):], signal], axis=-1)
             rows = self._frame_rows(ext, nb, n_conv - 1 + L)
             H = params.combined_response(has_eq, premultiplied=True)
+            if H.ndim == 2:  # per-stream responses: one row per stream,
+                # repeated nb× to match the B-major folded rows
+                H = jnp.repeat(H, nb, axis=0)
             Y = jnp.fft.rfft(rows, n=self.nfft) * H
             y = jax.lax.slice_in_dim(jnp.fft.irfft(Y, n=self.nfft),
                                      n_conv - 1, n_conv - 1 + L, axis=-1)

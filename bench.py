@@ -956,6 +956,13 @@ def run_offline_fold_xrt(reps: int) -> dict:
             float(jnp.sum(y.astype(jnp.float32)))  # force (early-return BUR)
             ts.append(time.perf_counter() - t0)
         out[f"offline_b1_{name}_xrt"] = round(audio_s / min(ts), 1)
+    # derived: per-block device latency of ONE real-time stream (the
+    # reference's operating shape) — the scan leg is nb sequential steps
+    # inside one jit, so RTT amortizes out
+    if out.get("offline_b1_scan_xrt"):
+        block_s = cfg.blocksize / cfg.samplerate
+        out["block_latency_us_b1"] = round(
+            block_s / out["offline_b1_scan_xrt"] * 1e6, 2)
     return out
 
 

@@ -178,25 +178,28 @@ def test_fold_unsupported_raises_and_auto_falls_back(rng):
         assert np.asarray(y).shape[0] == 4
 
 
-def test_fold_per_stream_banks_fall_back(rng):
+@pytest.mark.parametrize("strategy", ["td_mxu", "fft"])
+def test_fold_per_stream_banks(rng, strategy):
+    """Per-stream gain banks fold too: the gain row repeats nb× to match
+    the B-major folded rows (both strategies)."""
     from afp_tpu.engine.batch import with_per_stream_gains
 
-    cfg = make_cfg(batch=4)
+    cfg = make_cfg(batch=4, conv_strategy=strategy)
     pipe = Pipeline(cfg)
     assert pipe.supports_fold
     params = pipe.device_params(PipelineParams.design(pipe.cfg))
     n_bands = params.eq_gains.shape[-1]
     gains = np.ones((4, n_bands), np.float32)
     gains[1] *= 0.5
+    gains[3, :4] = 2.0
     params_ps = with_per_stream_gains(pipe, params, gains)
     sig = (rng.normal(size=(4, 3 * 512)) * 0.3).astype(np.float32)
     st_a, y_a = pipe.process_signal(params_ps, pipe.init_state(0), sig,
                                     fold=False)
     st_b, y_b = pipe.process_signal(params_ps, pipe.init_state(0), sig,
-                                    fold="auto")
-    np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_b))
-    with pytest.raises(ValueError, match="per-stream"):
-        pipe.process_signal(params_ps, pipe.init_state(0), sig, fold=True)
+                                    fold=True)
+    assert_close(y_a, y_b)
+    assert_state_match(st_a, st_b)
 
 
 def test_engine_fold_prefer_matches_scan(rng):
@@ -237,3 +240,26 @@ def test_sharded_process_signal_fold(rng):
     # final sharded states agree between fold and scan (tails are slices)
     np.testing.assert_array_equal(np.asarray(st_scan.conv_tail),
                                   np.asarray(st_fold.conv_tail))
+
+
+def test_fold_per_stream_banks_pcm16(rng):
+    """Per-stream banks + pcm16 ingest in fold mode: the ext rows convert
+    int16→f32 exactly (the staged merge(split(x)) is lossless for 16-bit
+    data) and the carried tail stays raw int16."""
+    from afp_tpu.engine.batch import with_per_stream_gains
+
+    cfg = make_cfg(batch=4, ingest="pcm16")
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    gains = np.ones((4, params.eq_gains.shape[-1]), np.float32)
+    gains[2] *= 0.25
+    params_ps = with_per_stream_gains(pipe, params, gains)
+    f = (rng.normal(size=(4, 3 * 512)) * 0.3).astype(np.float32)
+    sig = np.clip(np.round(f * 32768.0), -32768, 32767).astype(np.int16)
+    st_a, y_a = pipe.process_signal(params_ps, pipe.init_state(0), sig,
+                                    fold=False)
+    st_b, y_b = pipe.process_signal(params_ps, pipe.init_state(0), sig,
+                                    fold=True)
+    assert_close(y_a, y_b)
+    assert st_b.conv_tail.dtype == jnp.int16
+    assert_state_match(st_a, st_b)
