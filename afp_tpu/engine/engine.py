@@ -412,6 +412,10 @@ class StreamEngine:
             if nblocks == 0:
                 return np.zeros((self.cfg.batch, 0), dtype=self._out_dtype)
             data = self._asrc_frontend.pull(nblocks * L)
+            # device transfer OUTSIDE the busy window — host→device copies
+            # of GB-class signals can stall in the >100 s class (see
+            # Pipeline.process_signal) and are not device busy time
+            data = jnp.asarray(np.asarray(data, dtype=np.float32))
             t0 = time.monotonic()
             # same lock discipline as _process_engine_block: snapshot under
             # the swap lock, write state back only if no rebuild intervened
@@ -419,9 +423,8 @@ class StreamEngine:
             # and applies the offline fold when eligible)
             with self._swap_lock:
                 pipeline, params, state_in = self.pipeline, self.params, self.state
-            state, outs = pipeline.process_signal(
-                params, state_in, np.asarray(data, dtype=np.float32),
-                fold=fold)
+            state, outs = pipeline.process_signal(params, state_in, data,
+                                                  fold=fold)
             out = np.asarray(jax.block_until_ready(outs))
             with self._swap_lock:
                 if self.pipeline is pipeline:

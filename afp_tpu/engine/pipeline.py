@@ -1357,11 +1357,12 @@ class Pipeline:
           block, state threaded through ``lax.scan``).
         * ``"auto"`` (default) — use the time-FOLDED fast path (see
           :meth:`process_signal_folded`) when it is BIT-exact vs the scan:
-          dither off, ON TPU (the MXU's per-output K accumulation is
-          batch-size-independent; interpret mode lowers to host GEMMs
-          whose blocking reassociates at the ~1e-7 level), and the batch
-          under-tiles the MXU (B < 256).  Semantics never change under
-          'auto'.
+          the td_mxu strategy only (the MXU's per-output K accumulation is
+          batch-size-independent; the fft strategy's batched plan may
+          specialize and shift ulps, and interpret mode lowers to host
+          GEMMs whose blocking reassociates at the ~1e-7 level), dither
+          off, ON TPU, and the batch under-tiles the MXU (B < 256).
+          Semantics never change under 'auto'.
         * ``"prefer"`` — fold whenever :attr:`supports_fold` (offline
           callers that don't need the scan's dither stream: the CLI); with
           dither on the fold's noise REALIZATION differs from blockwise
@@ -1373,7 +1374,10 @@ class Pipeline:
         L = self.block
         nblocks = T // L
         use_fold = self._fold_decision(fold, params)
-        if use_fold and nblocks > 0:
+        if use_fold:
+            # nblocks == 0 included: process_signal_folded's guarded empty
+            # return avoids the zero-size device buffer the scan path below
+            # would otherwise create (a known tunnel hazard)
             return self.process_signal_folded(params, state, signal)
         # transfer the CONTIGUOUS signal first and lay out the block axis on
         # device: reshape+swapaxes on a large host array forces a strided
@@ -1408,15 +1412,24 @@ class Pipeline:
                 raise ValueError(
                     "fold=True but this pipeline cannot fold (needs the "
                     "fused single-rate chain without AGC/device-ASRC/"
-                    "waterfall/per-stream banks)")
+                    "waterfall)")
             use_fold = True
         elif fold == "prefer":
             use_fold = self.supports_fold
         elif fold == "auto":
+            # bit-exactness is only claimed (and hw-certified) for the td
+            # kernels, whose per-output K accumulation is batch-size-
+            # independent; the fft strategy's batched plan may specialize
+            # and shift ulps, so it folds only under 'prefer'/True
             use_fold = (self.supports_fold
+                        and self._use_td
                         and self.cfg.dither_kind == "off"
                         and not self._pl_interpret
                         and batch < 256)
+        elif fold is not False:
+            raise ValueError(
+                f"fold must be 'auto', 'prefer', True, or False; got "
+                f"{fold!r}")
         return use_fold
 
     @property

@@ -114,6 +114,20 @@ class ShardedPipeline:
         self._bspec = bspec
         self._exec_cache = {}
 
+    def _local_scan(self, params, state, blocks):
+        """Shard-local scan over `_step_impl` — the single definition of the
+        per-shard streaming loop (key unwrap → lax.scan → key re-wrap),
+        shared by the `run` executable and `process_signal`'s scan
+        fallback so the key-wrap discipline can't drift between them.
+        `blocks` is [T, B_local, L] (or the bf16 (hi, lo) pair of such)."""
+        state = state._replace(key=state.key[0])
+
+        def body(carry, blk):
+            return self.pipeline._step_impl(params, carry, blk)
+
+        st, ys = jax.lax.scan(body, state, blocks)
+        return st._replace(key=st.key[None]), ys
+
     def _get_exec(self, params: DeviceParams, pair_blocks: bool = False):
         """Build (lazily, cached) the shard_map'd step/run for this params
         structure — per-stream gain banks (structurally 2-D) shard on
@@ -153,19 +167,10 @@ class ShardedPipeline:
             # buys nothing
         )
 
-        def local_run(params, state, blocks):
-            state = state._replace(key=state.key[0])
-
-            def body(carry, blk):
-                return self.pipeline._step_impl(params, carry, blk)
-
-            st, ys = jax.lax.scan(body, state, blocks)
-            return st._replace(key=st.key[None]), ys
-
         tspec = P(None, "streams", None)
         run = jax.jit(
             jax.shard_map(
-                local_run,
+                self._local_scan,
                 mesh=mesh,
                 in_specs=(pspec, sspec,
                           (tspec, tspec) if pair_blocks else tspec),
@@ -281,19 +286,14 @@ class ShardedPipeline:
             L, n_blocks = pipe.block, nb
 
             def local_signal(params, state, sig):
-                state = state._replace(key=state.key[0])
                 if use_fold:
+                    state = state._replace(key=state.key[0])
                     st, y = pipe._fold_impl(params, state, sig)
-                else:
-                    B = sig.shape[0]
-                    blocks = sig.reshape(B, n_blocks, L).swapaxes(0, 1)
-
-                    def body(carry, blk):
-                        return pipe._step_impl(params, carry, blk)
-
-                    st, ys = jax.lax.scan(body, state, blocks)
-                    y = ys.swapaxes(0, 1).reshape(B, -1)
-                return st._replace(key=st.key[None]), y
+                    return st._replace(key=st.key[None]), y
+                B = sig.shape[0]
+                blocks = sig.reshape(B, n_blocks, L).swapaxes(0, 1)
+                st, ys = self._local_scan(params, state, blocks)
+                return st, ys.swapaxes(0, 1).reshape(B, -1)
 
             sigspec = P("streams", None)
             self._exec_cache[key] = jax.jit(

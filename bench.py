@@ -354,7 +354,11 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
         cparams = cpipe.device_params(PP.design(cpipe.cfg))
         rngx = np.random.default_rng(0)
         sig = (rngx.standard_normal((1, cfg.blocksize * 4)) * 0.3).astype(np.float32)
-        _, out = cpipe.process_signal(cparams, cpipe.init_state(), sig)
+        # fold=False: the gate certifies the streaming SCAN path serving
+        # actually dispatches, not the offline fold (which is separately
+        # certified bit-exact vs the scan by tools/hw_check.py)
+        _, out = cpipe.process_signal(cparams, cpipe.init_state(), sig,
+                                      fold=False)
         out = np.asarray(out)[0]
         design = PP.design(cpipe.cfg)
         h_up = streaming_kernel(cfg.upsample_factor, 1)

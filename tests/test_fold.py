@@ -263,3 +263,44 @@ def test_fold_per_stream_banks_pcm16(rng):
     assert_close(y_a, y_b)
     assert st_b.conv_tail.dtype == jnp.int16
     assert_state_match(st_a, st_b)
+
+
+def test_fold_auto_excludes_fft():
+    """'auto' promises bit-exactness, which is only certified for the td
+    kernels — the fft strategy's batched plan may specialize and shift
+    ulps, so it folds only under 'prefer'/True (review fix)."""
+    fft_p = Pipeline(make_cfg(conv_strategy="fft", batch=1))
+    td_p = Pipeline(make_cfg(conv_strategy="td_mxu", batch=1))
+    params_f = fft_p.device_params(PipelineParams.design(fft_p.cfg))
+    params_t = td_p.device_params(PipelineParams.design(td_p.cfg))
+    assert fft_p.supports_fold and td_p.supports_fold
+    # simulate the TPU gate (interpret mode blocks 'auto' on this CPU box);
+    # _fold_decision only READS the flag, nothing is executed here
+    fft_p._pl_interpret = False
+    td_p._pl_interpret = False
+    assert not fft_p._fold_decision("auto", params_f)
+    assert td_p._fold_decision("auto", params_t)
+    assert fft_p._fold_decision("prefer", params_f)
+
+
+def test_fold_invalid_value_raises():
+    """Typos like fold='Prefer' must raise, not silently scan."""
+    pipe = Pipeline(make_cfg(batch=1))
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    sig = np.zeros((1, 1024), np.float32)
+    for bad in ("Prefer", "fold", 1, None):
+        with pytest.raises(ValueError, match="fold"):
+            pipe.process_signal(params, pipe.init_state(0), sig, fold=bad)
+
+
+def test_fold_empty_signal_guarded():
+    """fold=True/'prefer' with under one block of samples takes the fold
+    path's guarded empty return (zero-size device scan buffers are a known
+    tunnel hazard — review fix)."""
+    pipe = Pipeline(make_cfg(batch=2))
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    for fold in (True, "prefer"):
+        st, y = pipe.process_signal(params, pipe.init_state(0),
+                                    np.zeros((2, 100), np.float32),
+                                    fold=fold)
+        assert np.asarray(y).shape == (2, 0)

@@ -620,6 +620,7 @@ def check_offline_fold() -> dict:
     sig_i = np.clip(np.round(sig * 32768.0), -32768, 32767).astype(np.int16)
     for name, cfg, x in (
             ("f32", base, sig),
+            ("pair", dataclasses.replace(base, ingest="pair"), sig),
             ("pcm16", dataclasses.replace(base, ingest="pcm16"), sig_i),
             ("i16io", dataclasses.replace(base, ingest="pcm16",
                                           emit="pcm16"), sig_i)):
@@ -634,6 +635,31 @@ def check_offline_fold() -> dict:
             d = float(np.max(np.abs(a.astype(np.int64) - b.astype(np.int64))))
         else:
             d = float(np.max(np.abs(a - b)))
+        assert d == 0.0, f"offline fold ({name}) vs scan diverges: {d}"
+        results[f"offline_fold_{name}_max_abs_diff"] = d
+
+    # per-stream gain banks fold under 'auto' too (the wide-dot kernel at
+    # folded batch) — both the f32 and the pair-ingest forms must hold the
+    # same bit-exactness claim on the compiled lowering
+    from afp_tpu.engine.batch import with_per_stream_gains
+
+    B2 = 2
+    sig2 = (rng.standard_normal((B2, nb * L)) * 0.3).astype(np.float32)
+    for name, cfg in (
+            ("ps_f32", dataclasses.replace(base, batch=B2)),
+            ("ps_pair", dataclasses.replace(base, batch=B2,
+                                            ingest="pair"))):
+        p = Pipeline(cfg)
+        assert p.supports_fold
+        params = p.device_params(PipelineParams.design(p.cfg))
+        gains = np.ones((B2, params.eq_gains.shape[-1]), np.float32)
+        gains[1] *= 0.5
+        params = with_per_stream_gains(p, params, gains)
+        _, y_scan = p.process_signal(params, p.init_state(0), sig2,
+                                     fold=False)
+        _, y_fold = p.process_signal(params, p.init_state(0), sig2,
+                                     fold=True)
+        d = float(np.max(np.abs(np.asarray(y_scan) - np.asarray(y_fold))))
         assert d == 0.0, f"offline fold ({name}) vs scan diverges: {d}"
         results[f"offline_fold_{name}_max_abs_diff"] = d
     return results
