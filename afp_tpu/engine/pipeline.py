@@ -1475,7 +1475,8 @@ class Pipeline:
         of one [B·nb, n−1+L] call — identical per-row math, full MXU
         tiles.  On TPU, BIT-exact vs the scan with dither off (same kernel
         windows and geometry, and the MXU's per-output K accumulation is
-        batch-size-independent — certified on hardware, tools/hw_check.py);
+        batch-size-independent — asserted on hardware by
+        tools/hw_check.py's check_offline_fold leg);
         in interpret/CPU mode the host GEMM's batch-dependent blocking
         reassociates at the ~1e-7 level.  With dither on the noise
         realization differs (one fold seed, not the scan's per-block key
