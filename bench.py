@@ -262,6 +262,41 @@ def _ring_mfu(pipe, batch: int, blocksize: int, *xrts) -> float | None:
                        / per_block / _peak_flops(), 4))
 
 
+def _ring_leg_suite(pipe, params, ring_blocks, reps: int, label: str) -> dict:
+    """The standard zero-copy serving measurement set for ONE pipeline:
+    default-step ring + megakernel + the 2048-step asymptote pair.  The
+    base ring leg raises through to the caller's section guard (a broken
+    ring mode skips the whole section, as before); every later leg is
+    individually try-guarded so one failure never discards another leg's
+    measurement.  The four former verbatim copies of this block had
+    already diverged on exactly that (the i16io copy clobbered its own
+    measured ring xrt).  Returns {ring, mega, asym, mega_asym} with None
+    where a leg was skipped or failed."""
+    out = {"ring": None, "mega": None, "asym": None, "mega_asym": None}
+    out["ring"] = _sustained_ring_xrt(pipe, params, ring_blocks, reps)
+    try:
+        out["mega"] = _sustained_ring_mega_xrt(pipe, params, ring_blocks,
+                                               reps)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: {label} ring-mega variant failed ({e})",
+              file=sys.stderr, flush=True)
+    n_asym = int(os.environ.get("AFP_BENCH_SUSTAIN_ASYMPTOTE", "2048"))
+    if n_asym > int(os.environ.get("AFP_BENCH_SUSTAIN", "512")):
+        try:
+            out["asym"] = _sustained_ring_xrt(pipe, params, ring_blocks,
+                                              reps, n_sust=n_asym)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {label} ring asymptote failed ({e})",
+                  file=sys.stderr, flush=True)
+        try:
+            out["mega_asym"] = _sustained_ring_mega_xrt(
+                pipe, params, ring_blocks, reps, n_sust=n_asym)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {label} ring-mega asymptote failed ({e})",
+                  file=sys.stderr, flush=True)
+    return out
+
+
 def run_config(batch: int, nblocks: int, reps: int, strategy: str,
                precision: str) -> dict:
     import jax
@@ -409,37 +444,16 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
             print("bench: pair-ingest variant compiling...",
                   file=sys.stderr, flush=True)
             sustained_pair_xrt = _sustained_xrt(ppipe, pparams, pblocks, reps)
-            # zero-copy serving ring (fir_td_mxu_ring): same blocks, the
-            # staging slice/update around the kernel removed
-            sustained_pair_ring_xrt = _sustained_ring_xrt(
-                ppipe, pparams, pblocks, reps)
-            try:  # one-launch megakernel variant, same ring/conditions
-                sustained_pair_ring_mega_xrt = _sustained_ring_mega_xrt(
-                    ppipe, pparams, pblocks, reps)
-            except Exception as e:  # noqa: BLE001
-                print(f"bench: ring-mega variant failed ({e})",
-                      file=sys.stderr, flush=True)
-            # asymptote leg: the same ring/mega modes at a 2048-step
-            # dispatch — per-dispatch tunnel RTT (~26 ms) amortized 4×
-            # further (51 → 13 µs/block at the headline shape).  Extra
-            # keys, NOT the 512-step default methodology; a co-located
-            # production host with long-lived dispatches sees this number.
-            n_asym = int(os.environ.get("AFP_BENCH_SUSTAIN_ASYMPTOTE",
-                                        "2048"))
-            if n_asym > int(os.environ.get("AFP_BENCH_SUSTAIN", "512")):
-                try:
-                    sustained_pair_ring_asym_xrt = _sustained_ring_xrt(
-                        ppipe, pparams, pblocks, reps, n_sust=n_asym)
-                except Exception as e:  # noqa: BLE001
-                    print(f"bench: ring asymptote failed ({e})",
-                          file=sys.stderr, flush=True)
-                try:
-                    sustained_pair_ring_mega_asym_xrt = (
-                        _sustained_ring_mega_xrt(
-                            ppipe, pparams, pblocks, reps, n_sust=n_asym))
-                except Exception as e:  # noqa: BLE001
-                    print(f"bench: ring-mega asymptote failed ({e})",
-                          file=sys.stderr, flush=True)
+            # zero-copy serving ring + megakernel + the 2048-step asymptote
+            # pair (per-dispatch tunnel RTT ~26 ms amortized 4× further;
+            # extra keys, NOT the 512-step default methodology — a
+            # co-located production host with long-lived dispatches sees
+            # the asymptote numbers)
+            legs = _ring_leg_suite(ppipe, pparams, pblocks, reps, "pair")
+            sustained_pair_ring_xrt = legs["ring"]
+            sustained_pair_ring_mega_xrt = legs["mega"]
+            sustained_pair_ring_asym_xrt = legs["asym"]
+            sustained_pair_ring_mega_asym_xrt = legs["mega_asym"]
             mfu_ring = _ring_mfu(pipe, batch, cfg.blocksize,
                                  sustained_pair_ring_xrt,
                                  sustained_pair_ring_mega_xrt)
@@ -478,30 +492,11 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
             fring = (blocks[:ring_n], None)
             print("bench: f32 conv ring compiling...",
                   file=sys.stderr, flush=True)
-            sustained_f32_ring_xrt = _sustained_ring_xrt(
-                pipe, params, fring, reps)
-            try:
-                sustained_f32_ring_mega_xrt = _sustained_ring_mega_xrt(
-                    pipe, params, fring, reps)
-            except Exception as e:  # noqa: BLE001
-                print(f"bench: f32 ring-mega variant failed ({e})",
-                      file=sys.stderr, flush=True)
-            n_asym = int(os.environ.get("AFP_BENCH_SUSTAIN_ASYMPTOTE",
-                                        "2048"))
-            if n_asym > int(os.environ.get("AFP_BENCH_SUSTAIN", "512")):
-                try:
-                    sustained_f32_ring_asym_xrt = _sustained_ring_xrt(
-                        pipe, params, fring, reps, n_sust=n_asym)
-                except Exception as e:  # noqa: BLE001
-                    print(f"bench: f32 ring asymptote failed ({e})",
-                          file=sys.stderr, flush=True)
-                try:
-                    sustained_f32_ring_mega_asym_xrt = (
-                        _sustained_ring_mega_xrt(
-                            pipe, params, fring, reps, n_sust=n_asym))
-                except Exception as e:  # noqa: BLE001
-                    print(f"bench: f32 ring-mega asymptote failed ({e})",
-                          file=sys.stderr, flush=True)
+            legs = _ring_leg_suite(pipe, params, fring, reps, "f32")
+            sustained_f32_ring_xrt = legs["ring"]
+            sustained_f32_ring_mega_xrt = legs["mega"]
+            sustained_f32_ring_asym_xrt = legs["asym"]
+            sustained_f32_ring_mega_asym_xrt = legs["mega_asym"]
             mfu_f32_ring = _ring_mfu(pipe, batch, cfg.blocksize,
                                      sustained_f32_ring_xrt,
                                      sustained_f32_ring_mega_xrt)
@@ -526,6 +521,7 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
     mfu_pcm16_ring = None
     mfu_pcm16_ring_asym = None
     sustained_i16io_ring_xrt = None
+    sustained_i16io_ring_mega_xrt = None
     sustained_i16io_ring_asym_xrt = None
     sustained_i16io_ring_mega_asym_xrt = None
     if (strategy == "td_mxu" and precision.startswith("B3")
@@ -545,30 +541,11 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
             fring16 = (iring, None)
             print("bench: pcm16 conv ring compiling...",
                   file=sys.stderr, flush=True)
-            sustained_pcm16_ring_xrt = _sustained_ring_xrt(
-                ipipe, iparams, fring16, reps)
-            try:
-                sustained_pcm16_ring_mega_xrt = _sustained_ring_mega_xrt(
-                    ipipe, iparams, fring16, reps)
-            except Exception as e:  # noqa: BLE001
-                print(f"bench: pcm16 ring-mega variant failed ({e})",
-                      file=sys.stderr, flush=True)
-            n_asym = int(os.environ.get("AFP_BENCH_SUSTAIN_ASYMPTOTE",
-                                        "2048"))
-            if n_asym > int(os.environ.get("AFP_BENCH_SUSTAIN", "512")):
-                try:
-                    sustained_pcm16_ring_asym_xrt = _sustained_ring_xrt(
-                        ipipe, iparams, fring16, reps, n_sust=n_asym)
-                except Exception as e:  # noqa: BLE001
-                    print(f"bench: pcm16 ring asymptote failed ({e})",
-                          file=sys.stderr, flush=True)
-                try:
-                    sustained_pcm16_ring_mega_asym_xrt = (
-                        _sustained_ring_mega_xrt(
-                            ipipe, iparams, fring16, reps, n_sust=n_asym))
-                except Exception as e:  # noqa: BLE001
-                    print(f"bench: pcm16 ring-mega asymptote failed ({e})",
-                          file=sys.stderr, flush=True)
+            legs = _ring_leg_suite(ipipe, iparams, fring16, reps, "pcm16")
+            sustained_pcm16_ring_xrt = legs["ring"]
+            sustained_pcm16_ring_mega_xrt = legs["mega"]
+            sustained_pcm16_ring_asym_xrt = legs["asym"]
+            sustained_pcm16_ring_mega_asym_xrt = legs["mega_asym"]
             mfu_pcm16_ring = _ring_mfu(ipipe, batch, cfg.blocksize,
                                        sustained_pcm16_ring_xrt,
                                        sustained_pcm16_ring_mega_xrt)
@@ -585,25 +562,15 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
                     PipelineParams.design(epipe.cfg))
                 print("bench: int16-I/O conv ring compiling...",
                       file=sys.stderr, flush=True)
-                sustained_i16io_ring_xrt = _sustained_ring_xrt(
-                    epipe, eparams, fring16, reps)
-                sustained_i16io_ring_asym_xrt = None
-                sustained_i16io_ring_mega_asym_xrt = None
-                if n_asym > int(os.environ.get("AFP_BENCH_SUSTAIN", "512")):
-                    sustained_i16io_ring_asym_xrt = _sustained_ring_xrt(
-                        epipe, eparams, fring16, reps, n_sust=n_asym)
-                    try:
-                        sustained_i16io_ring_mega_asym_xrt = (
-                            _sustained_ring_mega_xrt(
-                                epipe, eparams, fring16, reps,
-                                n_sust=n_asym))
-                    except Exception as e:  # noqa: BLE001
-                        print(f"bench: int16-I/O mega asymptote failed "
-                              f"({e})", file=sys.stderr, flush=True)
+                legs = _ring_leg_suite(epipe, eparams, fring16, reps,
+                                       "int16-I/O")
+                sustained_i16io_ring_xrt = legs["ring"]
+                sustained_i16io_ring_mega_xrt = legs["mega"]
+                sustained_i16io_ring_asym_xrt = legs["asym"]
+                sustained_i16io_ring_mega_asym_xrt = legs["mega_asym"]
             except Exception as e:  # noqa: BLE001
-                sustained_i16io_ring_xrt = None
-                sustained_i16io_ring_asym_xrt = None
-                sustained_i16io_ring_mega_asym_xrt = None
+                # already-measured legs keep their values (the suite guards
+                # each leg); this catches the pipeline/params build only
                 print(f"bench: int16-I/O conv ring failed ({e})",
                       file=sys.stderr, flush=True)
             del iring, fring16
@@ -661,6 +628,7 @@ def run_config(batch: int, nblocks: int, reps: int, strategy: str,
         "sustained_pcm16_ring_mega_asym2048_xrt":
             sustained_pcm16_ring_mega_asym_xrt,
         "sustained_i16io_ring_xrt": sustained_i16io_ring_xrt,
+        "sustained_i16io_ring_mega_xrt": sustained_i16io_ring_mega_xrt,
         "sustained_i16io_ring_asym2048_xrt": sustained_i16io_ring_asym_xrt,
         "sustained_i16io_ring_mega_asym2048_xrt":
             sustained_i16io_ring_mega_asym_xrt,
@@ -851,12 +819,11 @@ def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
                             os.environ.get("AFP_BENCH_SUSTAIN", "512")):
                         ring_pcm16_asym = _sustained_agc_ring_xrt(
                             ipipe, iparams, iblocks, reps, n_sust=n_asym)
-                    # full int16 transport: pcm16 in + pcm16 out (the
-                    # conv store quantizes; output ring bytes halve).
-                    # Only measured at the true asymptote — the key says
-                    # asym2048, so never fall back to the 512-step sustain
-                    if ring_pcm16 is not None and n_asym > int(
-                            os.environ.get("AFP_BENCH_SUSTAIN", "512")):
+                        # full int16 transport: pcm16 in + pcm16 out (the
+                        # conv store quantizes; output ring bytes halve).
+                        # Only measured at the true asymptote — the key
+                        # says asym2048, so never fall back to the
+                        # 512-step sustain
                         ecfg = _dc.replace(icfg, emit="pcm16")
                         epipe = Pipeline(ecfg)
                         if epipe.supports_ring_step:
@@ -963,10 +930,10 @@ def run_offline_fold_xrt(reps: int) -> dict:
     # derived: per-block device latency of ONE real-time stream (the
     # reference's operating shape) — the scan leg is nb sequential steps
     # inside one jit, so RTT amortizes out
-    if out.get("offline_b1_scan_xrt"):
+    scan_xrt = out.get("offline_b1_scan_xrt")
+    if scan_xrt:  # a 0.0 xrt would divide to inf; skip the derived key then
         block_s = cfg.blocksize / cfg.samplerate
-        out["block_latency_us_b1"] = round(
-            block_s / out["offline_b1_scan_xrt"] * 1e6, 2)
+        out["block_latency_us_b1"] = round(block_s / scan_xrt * 1e6, 2)
     return out
 
 
@@ -1051,7 +1018,8 @@ def main() -> None:
             # headline per mode = sustained (the serving number) when it was
             # measured; the chained value is kept under its own key so the
             # two methodologies never mix silently
-            result[key] = r["sustained"] if r["sustained"] else r["chained"]
+            result[key] = (r["sustained"] if r["sustained"] is not None
+                           else r["chained"])
             result[f"agc_{mode}_chained_xrt"] = r["chained"]
             if r.get("ring") is not None:
                 result[f"agc_{mode}_ring_xrt"] = r["ring"]

@@ -397,8 +397,12 @@ def check_serving_ring() -> dict:
     st2, ring = p.run_ring(params, p.init_state(seed=4), rh, rl, ring, K)
     d = float(np.max(np.abs(np.asarray(ring) - np.stack(gold))))
     assert d == 0.0, f"pair serving ring vs staged steps diverge: {d}"
-    th, th2 = np.asarray(st.conv_tail[0]), np.asarray(st2.conv_tail[0])
-    assert np.array_equal(th, th2), "emitted tail carry diverges"
+    # BOTH pair-tail halves — a lowering bug corrupting only the low-order
+    # bf16 half would leave the hi tail identical
+    for k in (0, 1):
+        assert np.array_equal(np.asarray(st.conv_tail[k]),
+                              np.asarray(st2.conv_tail[k])), (
+            f"emitted tail carry diverges (half {k})")
     results["serving_ring_pair_max_abs_diff"] = d
 
     # one-launch megakernel form (dithered — the TPU-only fused epilogue)
@@ -406,8 +410,10 @@ def check_serving_ring() -> dict:
     st3, ring = p.run_ring_mega(params, p.init_state(seed=4), rh, rl, ring, K)
     d = float(np.max(np.abs(np.asarray(ring) - np.stack(gold))))
     assert d == 0.0, f"mega serving ring vs staged steps diverge: {d}"
-    assert np.array_equal(np.asarray(st3.conv_tail[0]), th), (
-        "mega tail carry diverges")
+    for k in (0, 1):
+        assert np.array_equal(np.asarray(st3.conv_tail[k]),
+                              np.asarray(st.conv_tail[k])), (
+            f"mega tail carry diverges (half {k})")
     results["serving_ring_mega_max_abs_diff"] = d
 
     # f32 conv ring (single raw-f32 ring, in-VMEM bf16 split).  Numerics
@@ -550,8 +556,11 @@ def check_serving_ring() -> dict:
     # full int16-I/O AGC chain (pcm16 in + pcm16 out).
     from afp_tpu.ops.pallas.fir_td import quantize_pcm16
 
-    ecfg = dataclasses.replace(cfg, emit="pcm16", dither_bits=16)
-    fcfg16 = dataclasses.replace(cfg, dither_bits=16)
+    # ingest='f32': these legs drive a SINGLE f32 ring (`sig, None`), which
+    # a pair-ingest pipeline rejects at trace time (ring form mismatch)
+    ecfg = dataclasses.replace(cfg, ingest="f32", emit="pcm16",
+                               dither_bits=16)
+    fcfg16 = dataclasses.replace(cfg, ingest="f32", dither_bits=16)
     pe, pf16 = Pipeline(ecfg), Pipeline(fcfg16)
     assert pe._emit16 and pe.supports_ring_step
     eparams = pe.device_params(PipelineParams.design(pe.cfg))
@@ -666,14 +675,38 @@ def check_offline_fold() -> dict:
 
 
 def main() -> None:
+    import threading
+
     import jax
 
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        # honor an explicit CPU pin before the first backend init — the axon
+    watchdog = None
+    pin = os.environ.get("JAX_PLATFORMS", "").lower()
+    if "cpu" in pin.split(","):
+        # honor an explicit CPU pin (any spelling JAX itself accepts:
+        # 'cpu', 'CPU', 'cpu,tpu') before the first backend init — the axon
         # plugin overrides the env var during discovery, and a wedged tunnel
         # would hang the guard check below instead of exiting cleanly
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # first device contact can block forever inside backend init on a
+        # wedged tunnel (GIL released — SIGALRM handlers never run); a
+        # daemon thread still gets scheduled and fails the sweep with the
+        # JSON contract instead of hanging (same guard as bench.py)
+        seconds = int(os.environ.get("AFP_HW_CONTACT_TIMEOUT", "120"))
+
+        def fire():
+            print(json.dumps({
+                "ok": False,
+                "error": f"device contact timed out after {seconds}s "
+                         "(tunnel unreachable)"}), flush=True)
+            os._exit(3)
+
+        watchdog = threading.Timer(seconds, fire)
+        watchdog.daemon = True
+        watchdog.start()
     dev = jax.devices()[0]
+    if watchdog is not None:
+        watchdog.cancel()
     if dev.platform != "tpu":
         print(json.dumps({"ok": False,
                           "error": f"needs a real TPU, got {dev.platform}"}))
