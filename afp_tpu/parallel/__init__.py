@@ -3,6 +3,7 @@
 from .dp import ShardedPipeline
 from .halo import halo_convolve, halo_convolve_sharded
 from .kp import KernelParallelConv
+from .long import filter_long_signal
 from .mesh import Mesh, NamedSharding, P, make_mesh
 
 __all__ = [
@@ -10,6 +11,7 @@ __all__ = [
     "halo_convolve",
     "halo_convolve_sharded",
     "KernelParallelConv",
+    "filter_long_signal",
     "make_mesh",
     "Mesh",
     "NamedSharding",
