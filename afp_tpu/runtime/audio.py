@@ -98,6 +98,16 @@ class AudioStream:
                 "(use AsrcFrontend/process_source_block for offline exact "
                 "conversion)"
             )
+        if cfg.output_rate == "upsampled":
+            # the same one-clock hazard: each engine block then yields
+            # blocksize·upf output samples, but the card drains only
+            # `frames` at cfg.samplerate — the output ring would overflow
+            # permanently and playback would be time-stretched by upf
+            raise ValueError(
+                "AudioStream requires output_rate='base': a duplex stream "
+                "runs one clock, so upsampled-rate output cannot be played "
+                "at the card's samplerate"
+            )
         kw = {} if queue_depth is None else {"queue_depth": queue_depth}
         self.dispatcher = BlockDispatcher(engine, **kw)
         self.channels = cfg.batch  # channel k ↔ stream k
@@ -133,8 +143,20 @@ class AudioStream:
 
     def _callback(self, indata, outdata, frames, time_info, status) -> None:
         if status:  # under/overflow flags (`stream_process.py:83-85`)
-            self.engine.metrics.underruns += 1
             logger.warning("Stream status: %s", status)
+            # PortAudio CallbackFlags distinguishes the directions: an
+            # UNDERflow starves the stream (→ underruns); an OVERflow
+            # loses data (→ drops).  Opaque/fake status objects without
+            # the flag attributes keep the coarse underrun count.
+            under = getattr(status, "output_underflow", None)
+            if under is None:
+                self.engine.metrics.underruns += 1
+            else:
+                if under or getattr(status, "input_underflow", False):
+                    self.engine.metrics.underruns += 1
+                if (getattr(status, "input_overflow", False)
+                        or getattr(status, "output_overflow", False)):
+                    self.engine.metrics.drops += 1
         bs = self.engine.cfg.blocksize
         self._in_framer.push(
             np.ascontiguousarray(indata.T, dtype=self.engine._in_dtype))

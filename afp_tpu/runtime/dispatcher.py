@@ -73,12 +73,23 @@ class FaultInjector:
 
 
 class BlockDispatcher:
-    """Input ring → engine thread → output ring, with reference semantics."""
+    """Input ring → engine thread → output ring, with reference semantics.
+
+    ``realtime=True`` (the default) is the reference's callback contract:
+    input starvation fabricates a silence block
+    (`stream_process_AGC.py:111-115`), the processed output is pushed
+    nowait and DROPPED when the ring is full (`:198-199`), and the output
+    ring is primed.  ``realtime=False`` is offline LOCKSTEP: the worker
+    never fabricates input (a stalled driver just waits) and never drops
+    a processed block (it waits for the consumer) — 1-in-1-out with no
+    phantom silence, the mode :class:`SimulatedStream` uses for offline
+    file runs."""
 
     def __init__(self, engine: StreamEngine,
                  queue_depth: int = DEFAULT_QUEUE_DEPTH,
-                 prime: int = PRIME_BLOCKS):
+                 prime: int = PRIME_BLOCKS, realtime: bool = True):
         self.engine = engine
+        self._realtime = realtime
         shape = (engine.cfg.batch, engine.cfg.blocksize)
         # output blocks may be longer than input blocks
         # (output_rate='upsampled' → blocksize·upf) — size the output ring
@@ -109,17 +120,29 @@ class BlockDispatcher:
     # --- worker ---
 
     def _worker(self) -> None:
-        cfg = self.engine.cfg
         while not self._stop.is_set():
             blk = self.in_ring.pop(timeout=0.1)
             if blk is None:
+                if not self._realtime:
+                    # lockstep: a stalled driver is not starvation — wait
+                    # for real input, never fabricate (fabricated silence
+                    # would shift every later output by one block)
+                    continue
                 # input timeout → process silence (in the ingest dtype —
                 # int16 zeros for pcm16; `stream_process_AGC.py:111-115`)
                 blk = np.zeros(self._shape, dtype=self.engine._in_dtype)
             out = self.engine.process_block(blk)
-            # put_nowait; drop frame when full (`stream_process_AGC.py:198-199`)
-            if not self.out_ring.push(out, timeout=0.1):
-                self.engine.metrics.drops += 1
+            if self._realtime:
+                # put_nowait; drop frame when full
+                # (`stream_process_AGC.py:198-199`)
+                if not self.out_ring.push(out):
+                    self.engine.metrics.drops += 1
+            else:
+                # lockstep: never drop processed data — wait for the
+                # consumer (bounded polls so stop() can interrupt)
+                while not self._stop.is_set():
+                    if self.out_ring.push(out, timeout=0.2):
+                        break
 
     def start(self) -> None:
         if self._thread is not None:
@@ -137,25 +160,26 @@ class BlockDispatcher:
 
     # --- consumer side (the "audio callback" output half) ---
 
-    def fetch(self) -> np.ndarray:
-        """Nowait dequeue; on underrun, the 0.8·last + 0.2·silence blend
-        (`stream_process_EQ_GUI.py:476-480`)."""
-        out = self.out_ring.pop()
-        if out is None:
-            self.engine.metrics.underruns += 1
-            out = self.engine._scale_out(self._last_out, 0.8)
-        self._last_out = out
-        return out
-
-    def fetch_blocking(self, timeout: float = 2.0) -> np.ndarray:
-        """Lockstep dequeue for offline (non-realtime) mode; falls back to
-        the underrun blend only after `timeout` seconds."""
+    def _fetch(self, timeout: float) -> np.ndarray:
+        """Dequeue; on underrun, the 0.8·last + 0.2·silence blend
+        (`stream_process_EQ_GUI.py:476-480`) — one definition for both
+        the nowait and the lockstep entry points."""
         out = self.out_ring.pop(timeout=timeout)
         if out is None:
             self.engine.metrics.underruns += 1
             out = self.engine._scale_out(self._last_out, 0.8)
         self._last_out = out
         return out
+
+    def fetch(self) -> np.ndarray:
+        """Nowait dequeue with the underrun blend (the RT callback side)."""
+        return self._fetch(0.0)
+
+    def fetch_blocking(self, timeout: float = 60.0) -> np.ndarray:
+        """Lockstep dequeue for offline (non-realtime) mode; falls back to
+        the underrun blend only after `timeout` seconds (generous: the
+        first block includes jit compilation on a cold cache)."""
+        return self._fetch(timeout)
 
 
 class SimulatedStream:
@@ -172,7 +196,12 @@ class SimulatedStream:
                  faults: Optional[FaultInjector] = None,
                  realtime: bool = True):
         self.engine = engine
-        self.dispatcher = BlockDispatcher(engine)
+        # offline lockstep: no silence priming (the 15 primed blocks would
+        # lead the output and push the last 15 REAL blocks past the stop —
+        # tail data loss), no fabricated input, no processed-block drops
+        self.dispatcher = BlockDispatcher(
+            engine, prime=PRIME_BLOCKS if realtime else 0,
+            realtime=realtime)
         self.source = source
         self.sink = sink
         self.faults = faults
@@ -221,6 +250,11 @@ class SimulatedStream:
                     blk = self.faults.apply(blk)
                 if blk is not None:
                     self.dispatcher.submit(blk)
+                elif not self.realtime:
+                    # lockstep: a dropped input produces no output block —
+                    # fetching anyway would block on a tick that will
+                    # never be processed
+                    continue
                 if self.realtime:
                     out = self.dispatcher.fetch()
                 else:

@@ -44,6 +44,14 @@ class BlockFramer:
         self._buf = np.zeros((self.batch, 0), dtype=self._dtype)
 
     def push(self, chunk: np.ndarray) -> None:
+        chunk = np.asarray(chunk)
+        if self._dtype != np.float32 and chunk.dtype != self._dtype:
+            # int framers never coerce: an f32→int16 cast would silently
+            # quantize [-1, 1] floats to zeros (the same contract as
+            # BlockRing.push and StreamEngine._coerce_in)
+            raise ValueError(
+                f"this framer carries {self._dtype} chunks, got "
+                f"{chunk.dtype}")
         chunk = np.asarray(chunk, dtype=self._dtype)
         if chunk.ndim == 1:
             chunk = np.broadcast_to(chunk[None, :],

@@ -168,6 +168,9 @@ class Pacer:
     def __init__(self, period_seconds: float):
         self._lib = load_library()
         self._h = self._lib.afp_pacer_create(float(period_seconds))
+        if not self._h:  # the C side rejects non-positive/sub-ns periods
+            raise ValueError(
+                f"pacer period must be >= 1 ns, got {period_seconds}s")
 
     def wait(self) -> int:
         """Sleep to the next block boundary; returns missed-tick count."""

@@ -158,8 +158,12 @@ class RingServer:
             else jnp.float32)
         self.blocks_served = 0
         #: land→drain wall latency per served block (seconds, host clock),
-        #: appended by stream(); read via latency_stats()
-        self._latencies: list[float] = []
+        #: appended by stream(); read via latency_stats().  Bounded: a
+        #: sustained server at ~23 blocks/s would otherwise leak ~2M list
+        #: entries/day — the stats cover the most recent window
+        from collections import deque
+
+        self._latencies: deque = deque(maxlen=65536)
 
         from ..ops.pallas.fir_td import split_bf16
 
@@ -268,9 +272,10 @@ class RingServer:
                 "latency": self.latency_stats()}
 
     def latency_stats(self) -> dict:
-        """Land→drain wall latency of every block served so far (host
-        clock): the serving analog of the reference GUI's overrun/cpu_load
-        self-monitoring (`stream_process_EQ_GUI.py:107-111,454-457`).
+        """Land→drain wall latency over the most recent served blocks
+        (bounded window, host clock): the serving analog of the reference
+        GUI's overrun/cpu_load self-monitoring
+        (`stream_process_EQ_GUI.py:107-111,454-457`).
         Returns {n, p50_ms, p95_ms, max_ms, mean_ms} (zeros when empty)."""
         lat = np.asarray(self._latencies, dtype=np.float64)
         if not lat.size:

@@ -167,9 +167,16 @@ void afp_ring_stats(void* h, uint64_t* pushes, uint64_t* pops, uint64_t* drops,
 // ---------------- pacer (simulated sound-card clock) ----------------
 
 void* afp_pacer_create(double period_seconds) {
+  // mirror afp_ring_create's zero-guard: a non-positive period would make
+  // afp_pacer_wait divide by a zero duration (UB/SIGFPE from a ctypes call)
+  if (!(period_seconds > 0.0)) return nullptr;
   Pacer* p = new Pacer();
   p->period = std::chrono::nanoseconds(
       static_cast<int64_t>(period_seconds * 1e9));
+  if (p->period.count() <= 0) {  // sub-nanosecond periods truncate to 0
+    delete p;
+    return nullptr;
+  }
   p->next = Clock::now() + p->period;
   return p;
 }
@@ -177,10 +184,12 @@ void* afp_pacer_create(double period_seconds) {
 void afp_pacer_destroy(void* h) { delete static_cast<Pacer*>(h); }
 
 // Sleep until the next block boundary. Returns the number of ticks that were
-// MISSED (0 = on time) — the overrun signal (the reference's
-// processing_time > frame_time check, stream_process_EQ_GUI.py:107-111).
-// When behind, the schedule resynchronizes past `now` (missed ticks are
-// dropped frames, like a real sound card).
+// MISSED (0 = on time) — the dropped-frame signal, like a real sound card.
+// A missed tick is a deadline that passed WHOLE before this call: arriving
+// exactly on the deadline, or late by less than one period, still serves
+// that tick (0 missed — the engine's own overrun counter tracks
+// processing_time > block_time separately, metrics.py).  When behind, the
+// schedule resynchronizes past `now`.
 int afp_pacer_wait(void* h) {
   Pacer* p = static_cast<Pacer*>(h);
   auto now = Clock::now();
@@ -189,9 +198,11 @@ int afp_pacer_wait(void* h) {
     std::this_thread::sleep_until(p->next);
     p->next += p->period;
   } else {
-    late = static_cast<int>((now - p->next) / p->period) + 1;
-    p->next += p->period * late;
-    p->overruns.fetch_add(late, std::memory_order_relaxed);
+    // full periods behind = deadlines skipped entirely; the tick served by
+    // THIS call is the first deadline not strictly before `now`
+    late = static_cast<int>((now - p->next) / p->period);
+    p->next += p->period * (late + 1);
+    if (late > 0) p->overruns.fetch_add(late, std::memory_order_relaxed);
   }
   p->ticks.fetch_add(1, std::memory_order_relaxed);
   return late;

@@ -88,6 +88,48 @@ def test_callback_counts_status_flags():
     assert eng.metrics.underruns == before + 1
 
 
+def test_callback_status_flags_map_by_direction():
+    """PortAudio CallbackFlags-shaped status: UNDERflows count as engine
+    underruns, OVERflows (data loss) count as drops — not everything as
+    underruns (review fix)."""
+    from types import SimpleNamespace
+
+    eng = make_engine()
+    bridge = AudioStream(eng, sd_module=_fake_sd())
+    indata = np.zeros((512, 1), dtype=np.float32)
+    outdata = np.empty((512, 1), dtype=np.float32)
+    u0, d0 = eng.metrics.underruns, eng.metrics.drops
+
+    def flags(**kw):
+        base = dict(output_underflow=False, input_underflow=False,
+                    input_overflow=False, output_overflow=False)
+        base.update(kw)
+        ns = SimpleNamespace(**base)
+        ns.__bool__ = None  # SimpleNamespace is always truthy anyway
+        return ns
+
+    bridge._callback(indata, outdata, 512, None,
+                     flags(input_overflow=True))
+    assert eng.metrics.drops == d0 + 1 and eng.metrics.underruns == u0
+    bridge._callback(indata, outdata, 512, None,
+                     flags(output_underflow=True))
+    assert eng.metrics.underruns == u0 + 1
+
+
+def test_upsampled_output_rejected():
+    """output_rate='upsampled' cannot ride a one-clock duplex card (the
+    output ring would overflow and playback time-stretch) — same hazard
+    class as exact-mode ASRC, same explicit rejection."""
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=512, upsample_factor=2, numtaps=65,
+        batch=1, eq_enabled=False, agc_enabled=False, dither_kind="off",
+        output_rate="upsampled", conv_strategy="fft",
+    ).validate()
+    eng = StreamEngine(cfg)
+    with pytest.raises(ValueError, match="output_rate"):
+        AudioStream(eng, sd_module=_fake_sd())
+
+
 def test_multichannel_maps_to_batch():
     eng = make_engine(batch=4)
     bridge = AudioStream(eng, sd_module=_fake_sd())

@@ -46,6 +46,29 @@ def test_ring_blocking_timeout():
     assert not r.push(np.zeros(4, np.float32), timeout=0.05)  # full, times out
 
 
+def test_pacer_rejects_nonpositive_period():
+    """period <= 0 used to reach an integer division by zero inside the
+    native wait (UB/SIGFPE); now rejected at create (review fix)."""
+    for bad in (0.0, -0.01, 1e-12):  # 1e-12 s truncates to 0 ns
+        with pytest.raises(ValueError, match="pacer period"):
+            Pacer(bad)
+
+
+def test_framer_int16_never_coerces_floats():
+    """An int16 framer must reject float chunks — np.asarray would
+    truncate [-1, 1] floats to all-zero silence (review fix; the same
+    contract as BlockRing.push / StreamEngine._coerce_in)."""
+    from afp_tpu.runtime.framer import BlockFramer
+
+    f = BlockFramer(1, dtype=np.int16)
+    with pytest.raises(ValueError, match="framer carries"):
+        f.push(np.full((1, 64), 0.5, dtype=np.float32))
+    f.push(np.ones((1, 64), dtype=np.int16))  # exact dtype is fine
+    # float framers still widen/convert (lossless direction)
+    g = BlockFramer(1, dtype=np.float32)
+    g.push(np.ones((1, 64), dtype=np.int16))
+
+
 def test_pacer_rate():
     import time
 
@@ -71,9 +94,37 @@ def test_simulated_stream_end_to_end(rng):
     snap = stream.run(40)
     assert len(outs) == 40
     assert snap["blocks"] >= 1
-    # the dispatcher primes silence, so early outputs are zeros; later ones
-    # must carry real (filtered) signal
-    assert np.max(np.abs(np.stack(outs[-10:]))) > 0
+    # offline mode is LOCKSTEP: no silence priming, no fabricated blocks
+    # (review fix: the primed variant led with 15 silence blocks and lost
+    # the final 15 real blocks at stop()) — every output carries signal
+    assert all(np.max(np.abs(o)) > 0 for o in outs)
+
+
+def test_simulated_stream_offline_lockstep_exact(rng):
+    """Offline SimulatedStream output ≡ the engine's block-by-block output
+    (1-in-1-out, no priming offset, no tail loss)."""
+    eng = make_engine()
+    oracle = make_engine()
+    sig = rng.normal(size=(12, 1, 512)).astype(np.float32) * 0.3
+    outs = []
+    SimulatedStream(eng, source=lambda i: sig[i], sink=outs.append,
+                    realtime=False).run(12)
+    gold = [oracle.process_block(sig[i]) for i in range(12)]
+    assert len(outs) == 12
+    for a, b in zip(outs, gold):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_simulated_stream_offline_drop_skips_tick(rng):
+    """A fault-dropped input produces NO output block in lockstep mode
+    (instead of a phantom primed-silence block)."""
+    eng = make_engine()
+    sig = rng.normal(size=(10, 1, 512)).astype(np.float32) * 0.3
+    outs = []
+    faults = FaultInjector(drop_every=5)
+    SimulatedStream(eng, source=lambda i: sig[i], sink=outs.append,
+                    faults=faults, realtime=False).run(10)
+    assert len(outs) == 8  # blocks 5 and 10 dropped
 
 
 def test_fault_injection_drop_and_corrupt(rng):
