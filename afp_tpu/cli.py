@@ -138,7 +138,10 @@ def cmd_process(args) -> int:
     # run never observes
     out = engine.process_signal(x, fold="prefer")
     if engine._asrc_frontend is not None:
-        out = out[:, : int(n_in * sr / rate)]
+        # exact converted length is CEIL(n·up/down) — the resample_poly
+        # convention; integer arithmetic (float division could also round
+        # an exact product down and drop the final sample)
+        out = out[:, : -(-n_in * sr // rate)]
     elif out.shape[1] > n_in:
         out = out[:, : n_in]
     if cfg.emit == "pcm16":
@@ -148,7 +151,7 @@ def cmd_process(args) -> int:
     else:
         write_wav(args.output, out, cfg.samplerate, width=3)
     m = engine.metrics
-    print(f"{args.input} → {args.output}: {x.shape[0]} ch × {x.shape[1]} samples, "
+    print(f"{args.input} → {args.output}: {x.shape[0]} ch × {n_in} samples, "
           f"xRT(busy) {m.xrt_busy(cfg.samplerate):,.0f}", file=sys.stderr)
     return 0
 

@@ -37,39 +37,47 @@ def _store(leaf) -> tuple[np.ndarray, bool]:
 
 
 def save_checkpoint(path: str, engine: StreamEngine) -> None:
-    """Snapshot a StreamEngine to `path` (.npz)."""
-    state_leaves, state_tree = jax.tree_util.tree_flatten(engine.state)
-    param_leaves, param_tree = jax.tree_util.tree_flatten(engine.params)
-    arrays, bf16 = {}, []
-    for i, l in enumerate(state_leaves):
-        arrays[f"state_{i}"], is_bf16 = _store(l)
-        if is_bf16:
-            bf16.append(f"state_{i}")
-    for i, l in enumerate(param_leaves):
-        arrays[f"param_{i}"], is_bf16 = _store(l)
-        if is_bf16:
-            bf16.append(f"param_{i}")
-    meta = {
-        "version": _FORMAT_VERSION,
-        "config": engine.cfg.to_dict(),
-        "seed": engine._seed,
-        "n_state_leaves": len(state_leaves),
-        "n_param_leaves": len(param_leaves),
-        "bf16_leaves": bf16,
-        # conv-pair mode (TPU AGC-exact td_mxu) carries the overlap tail as
-        # a bf16 hi/lo pair — recorded so a host whose pipeline uses the
-        # other layout can still restore (see load_checkpoint)
-        "conv_pair": isinstance(engine.state.conv_tail, tuple),
-    }
-    if engine._asrc_frontend is not None:  # host ASRC accumulators
-        meta["has_asrc"] = True
-        arrays.update(engine._asrc_frontend.get_state())
-        if engine._asrc_outq:  # drained-but-undelivered engine blocks
-            arrays["asrc_outq"] = np.stack(list(engine._asrc_outq))
-    if engine._in_framer is not None:  # process_frames residuals (v2+)
-        meta["has_framer"] = True
-        arrays["framer_in"] = engine._in_framer.get_state()
-        arrays["framer_out"] = engine._out_framer.get_state()
+    """Snapshot a StreamEngine to `path` (.npz).
+
+    The whole snapshot is taken under the engine's swap lock so a
+    concurrent ``apply_config`` (or block in another thread) can never
+    produce a torn state/params pair; like the engine's own entry points,
+    this makes the read atomic — it does not pause a worker thread that
+    is mid-``process_block``, so checkpoint from the control thread
+    between blocks (the dispatcher's natural cadence)."""
+    with engine._swap_lock:
+        state_leaves, state_tree = jax.tree_util.tree_flatten(engine.state)
+        param_leaves, param_tree = jax.tree_util.tree_flatten(engine.params)
+        arrays, bf16 = {}, []
+        for i, l in enumerate(state_leaves):
+            arrays[f"state_{i}"], is_bf16 = _store(l)
+            if is_bf16:
+                bf16.append(f"state_{i}")
+        for i, l in enumerate(param_leaves):
+            arrays[f"param_{i}"], is_bf16 = _store(l)
+            if is_bf16:
+                bf16.append(f"param_{i}")
+        meta = {
+            "version": _FORMAT_VERSION,
+            "config": engine.cfg.to_dict(),
+            "seed": engine._seed,
+            "n_state_leaves": len(state_leaves),
+            "n_param_leaves": len(param_leaves),
+            "bf16_leaves": bf16,
+            # conv-pair mode (TPU AGC-exact td_mxu) carries the overlap tail
+            # as a bf16 hi/lo pair — recorded so a host whose pipeline uses
+            # the other layout can still restore (see load_checkpoint)
+            "conv_pair": isinstance(engine.state.conv_tail, tuple),
+        }
+        if engine._asrc_frontend is not None:  # host ASRC accumulators
+            meta["has_asrc"] = True
+            arrays.update(engine._asrc_frontend.get_state())
+            if engine._asrc_outq:  # drained-but-undelivered engine blocks
+                arrays["asrc_outq"] = np.stack(list(engine._asrc_outq))
+        if engine._in_framer is not None:  # process_frames residuals (v2+)
+            meta["has_framer"] = True
+            arrays["framer_in"] = engine._in_framer.get_state()
+            arrays["framer_out"] = engine._out_framer.get_state()
     arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
 

@@ -113,14 +113,32 @@ class PresetStore:
                 name, sorted(unknown))
         saved_bands = settings.pop(
             "eq_bands", [dataclasses.asdict(x) for x in base.eq_bands])
-        if len(saved_bands) != len(p["gains"]):
-            # zip() would silently truncate bands or gains
+        gains = list(p["gains"])
+        if len(saved_bands) != len(gains):
+            # the band STRUCTURE must never shrink to the gain count (a
+            # missing gain is not a missing band): bands without a saved
+            # gain keep their own; extra gains are ignored
             _logger().warning(
-                "Preset %r: %d gains for %d EQ bands; extra entries ignored",
-                name, len(p["gains"]), len(saved_bands))
+                "Preset %r: %d gains for %d EQ bands; bands without a "
+                "gain keep their saved one, extra gains are ignored",
+                name, len(gains), len(saved_bands))
+        band_known = {f.name for f in dataclasses.fields(EQBand)}
+
+        def _mk_band(b):
+            if not isinstance(b, dict):
+                return b
+            extra = sorted(set(b) - band_known)
+            if extra:  # per-band forward compatibility (same contract as
+                # the top-level settings filter above)
+                _logger().warning(
+                    "Preset %r: dropping EQ band fields unknown to this "
+                    "build: %s", name, extra)
+            return EQBand(**{k: v for k, v in b.items() if k in band_known})
+
         bands = tuple(
-            dataclasses.replace(EQBand(**b) if isinstance(b, dict) else b, gain=g)
-            for b, g in zip(saved_bands, p["gains"])
+            dataclasses.replace(_mk_band(b), gain=gains[i])
+            if i < len(gains) else _mk_band(b)
+            for i, b in enumerate(saved_bands)
         )
         merged = {**base.to_dict(), **settings}
         for k in EXCLUDED_FIELDS:

@@ -67,11 +67,20 @@ class AsrcFrontend:
         if block.shape[0] != self.batch:
             raise ValueError(f"expected batch {self.batch}, got {block.shape[0]}")
         self._in = np.concatenate([self._in, block], axis=1)
-        while self._in.shape[1] >= self.l_dev:
-            chunk = self._in[:, : self.l_dev]
-            self._in = self._in[:, self.l_dev :]
+        n_chunks = self._in.shape[1] // self.l_dev
+        if not n_chunks:
+            return
+        # ONE output concat per push (a whole-file push used to rebuild the
+        # grown output buffer once per super-block — O(n²) memcpy, minutes
+        # of pure copy time for long files on a 1-CPU host)
+        outs = [self._out]
+        for i in range(n_chunks):
+            chunk = self._in[:, i * self.l_dev:(i + 1) * self.l_dev]
             self._state, y = self._step(self._state, chunk)
-            self._out = np.concatenate([self._out, np.asarray(y)], axis=1)
+            outs.append(np.asarray(y))
+        # .copy(): the residual must not pin the full input buffer via a view
+        self._in = self._in[:, n_chunks * self.l_dev:].copy()
+        self._out = np.concatenate(outs, axis=1)
 
     def available(self) -> int:
         return self._out.shape[1]

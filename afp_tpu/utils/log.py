@@ -20,6 +20,10 @@ if not _root.handlers:
     _h.setFormatter(logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s"))
     _root.addHandler(_h)
     _root.setLevel(logging.INFO)
+    # we own a handler, so stop propagating to the root logger — an
+    # embedding app's basicConfig() would otherwise print every message
+    # twice (defeating the rate limiter's flood protection)
+    _root.propagate = False
 
 
 def get_logger(name: str) -> logging.Logger:

@@ -126,8 +126,12 @@ def plot_filter_response(coefficients, fs: float = 44100,
         # nowhere on a semilogx axis)
         pk = lo + int(np.argmax(sdb[lo:]))
         ax_mag.plot([sfreqs[pk]], [sdb[pk]], "C3v", markersize=7)
+        # annotate the PICKED bin's raw level (sdb[pk] is relative to the
+        # all-bin peak; with a dominant DC bin excluded from the search,
+        # quoting raw_peak_db here would pair this bin's frequency with
+        # the DC bin's dB)
         ax_mag.annotate(
-            f"Peak: {sfreqs[pk]:.0f} Hz ({raw_peak_db:.1f} dB)",
+            f"Peak: {sfreqs[pk]:.0f} Hz ({sdb[pk] + raw_peak_db:.1f} dB)",
             xy=(sfreqs[pk], sdb[pk]), xytext=(5, 8),
             textcoords="offset points", color="C3", fontsize=9,
         )

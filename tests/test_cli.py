@@ -137,3 +137,22 @@ def test_cli_process_keeps_partial_final_block(tmp_path, rng):
     y, _ = read_wav(dst)
     assert y.shape == (1, 22050)
     assert np.any(y[:, -512:])  # the tail carries real audio, not silence
+
+
+def test_cli_process_asrc_output_length(tmp_path, rng):
+    """--samplerate differing from the file rate engages the ASRC; the
+    output length is CEIL(n_in·sr/rate) — the resample_poly convention
+    (review fix: the float-floor trim used to drop the final sample)."""
+    src = str(tmp_path / "in.wav")
+    dst = str(tmp_path / "out.wav")
+    n_in = 1001  # 1001·160/147 → 1089.52… → 1090 samples at 48 kHz
+    x = (0.3 * rng.standard_normal((1, n_in))).astype(np.float32).clip(-1, 1)
+    write_wav(src, x, 44100)
+    rc = main(["process", src, dst, "--samplerate", "48000",
+               "--blocksize", "512", "--upsample", "1", "--numtaps", "65",
+               "--cutoff", "10000", "--dither", "off"])
+    assert rc == 0
+    y, rate = read_wav(dst)
+    assert rate == 48000
+    assert y.shape[1] == -(-n_in * 48000 // 44100)
+    assert np.all(np.isfinite(y))

@@ -668,9 +668,35 @@ def test_preset_flush_is_atomic_and_mismatched_gains_logged(tmp_path, rng):
     with open(path) as f:
         data = json.load(f)  # valid JSON on disk
     # hand-truncate the gains list (older build / hand-edited preset)
-    data["presets"]["a"]["gains"] = data["presets"]["a"]["gains"][:2]
+    n_bands = len(eng.cfg.eq_bands)
+    data["presets"]["a"]["gains"] = [0.25, 0.5]
     with open(path, "w") as f:
         json.dump(data, f)
     store2 = PresetStore(path)
     cfg = store2.load_preset("a", eng.cfg)  # logs a warning, no crash
-    assert len(cfg.eq_bands) == 2
+    # the band STRUCTURE never shrinks to the gain count (review fix —
+    # truncation used to silently drop the upper bands): bands without a
+    # saved gain keep their own
+    assert len(cfg.eq_bands) == n_bands
+    assert cfg.eq_bands[0].gain == 0.25 and cfg.eq_bands[1].gain == 0.5
+    for b, orig in zip(cfg.eq_bands[2:], eng.cfg.eq_bands[2:]):
+        assert b.gain == orig.gain
+
+
+def test_preset_band_forward_compat(tmp_path):
+    """A newer writer's extra per-band fields are dropped with a warning
+    instead of crashing EQBand(**b) (review fix)."""
+    import json
+
+    path = str(tmp_path / "p.json")
+    store = PresetStore(path)
+    eng = make_engine()
+    store.save_preset("a", eng.cfg)
+    with open(path) as f:
+        data = json.load(f)
+    for b in data["presets"]["a"]["settings"]["eq_bands"]:
+        b["q_factor"] = 1.2  # a field this build doesn't have
+    with open(path, "w") as f:
+        json.dump(data, f)
+    cfg = PresetStore(path).load_preset("a", eng.cfg)
+    assert len(cfg.eq_bands) == len(eng.cfg.eq_bands)
