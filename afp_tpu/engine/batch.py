@@ -55,6 +55,15 @@ def with_per_stream_gains(pipe: Pipeline, params: DeviceParams,
     ``combined_response`` then yields a [batch, F] response — each stream is
     filtered by its own EQ curve in the same fused FFT pass.
     """
+    cfg = pipe.cfg
+    if not (cfg.eq_enabled and len(cfg.eq_bands)):
+        # H_bands is a [1, F] placeholder then and combined_response
+        # statically ignores eq_gains — accepting the call would silently
+        # no-op (or reject a correct [B, n_bands] matrix with a
+        # misleading shape error)
+        raise ValueError(
+            "with_per_stream_gains requires eq_enabled=True with at "
+            "least one EQ band (per-stream gains weight the band bank)")
     n_bands = params.H_bands.shape[0]
     g = broadcast_gains(gains, pipe.batch, n_bands)
     return params._replace(eq_gains=g)
@@ -104,13 +113,28 @@ def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict]
     _STATIC = {"numtaps", "blocksize", "upsample_factor", "batch",
                "samplerate", "min_phase", "agc_window_size"}
     mains = []
+    design0 = None
     for ov in variants:
         bad = _STATIC.intersection(ov)
         if bad:
             raise ValueError(f"per-stream overrides cannot change {sorted(bad)}"
                              " (shape-static fields)")
         c = dataclasses.replace(cfg, **ov).validate()
-        mains.append(PipelineParams.design(c).main_taps.astype(np.float64))
+        if c.numtaps != cfg.numtaps:
+            # validate() bumps even numtaps to odd for highpass/bandstop
+            # (a type-II FIR has a forced Nyquist zero) — a per-variant
+            # bump changes the kernel length, which np.stack would reject
+            # (mixed variants) or the bank assignment would silently
+            # truncate (all variants bumped)
+            raise ValueError(
+                f"variant {ov!r} changes numtaps {cfg.numtaps} → "
+                f"{c.numtaps} (the even→odd bump for "
+                f"{c.filter_type}): use an odd base numtaps so every "
+                "per-stream kernel shares one static length")
+        d = PipelineParams.design(c)
+        if design0 is None:
+            design0 = d
+        mains.append(d.main_taps.astype(np.float64))
     mains = np.stack(mains)  # [B, n_kernel]
 
     if pipe.fused:
@@ -123,5 +147,9 @@ def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict]
     else:
         bank = mains
     H_main = jnp.fft.rfft(jnp.asarray(bank, jnp.float32), n=pipe.nfft, axis=-1)
-    params = pipe.device_params(PipelineParams.design(cfg))
+    # base params built from variant 0's already-computed design (its
+    # H_main is replaced on the next line anyway; every other field
+    # depends only on the shared cfg — re-designing the base filter here
+    # would double the cold bank-build cost for nothing)
+    params = pipe.device_params(design0)
     return params._replace(H_main=H_main)

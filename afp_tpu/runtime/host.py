@@ -105,6 +105,13 @@ class BlockRing:
         self._lib = load_library()
         self.block_shape = tuple(int(s) for s in block_shape)
         self.dtype = np.dtype(dtype)
+        if capacity <= 0 or any(s <= 0 for s in self.block_shape):
+            # negative values would wrap through the C ABI's uint64 and
+            # make vector::resize throw across extern-C → std::terminate
+            # (SIGABRT), not a Python exception
+            raise ValueError(
+                f"capacity and block_shape must be positive, got "
+                f"{capacity} / {self.block_shape}")
         nbytes = int(np.prod(self.block_shape)) * self.dtype.itemsize
         if nbytes % 4:
             raise ValueError(

@@ -46,8 +46,14 @@ def main():
                     help="serve raw int16 PCM blocks (ingest='pcm16')")
     args = ap.parse_args()
     dither = "tpdf"
-    if args.mega and _os.environ.get("AFP_FORCE_CPU"):
-        dither = "off"  # fused dither epilogue has no interpret lowering
+    if args.mega:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            # gate on the ACTUAL backend, not the AFP_FORCE_CPU env var:
+            # the fused dither epilogue has no interpret lowering, so
+            # mega off-TPU requires dither off (RingServer enforces it)
+            dither = "off"
 
     cfg = StreamConfig(
         samplerate=44100,

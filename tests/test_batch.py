@@ -152,6 +152,35 @@ def test_per_stream_filter_banks_guards():
         with_per_stream_filters(pipe_td, [dict(), dict()])
 
 
+def test_per_stream_filter_banks_numtaps_bump_rejected():
+    """validate() bumps even numtaps to odd for highpass/bandstop (type-II
+    Nyquist zero) — a per-variant bump changes the kernel length, which
+    used to crash np.stack (mixed variants) or silently truncate the bank
+    (all bumped).  Review fix: rejected with guidance."""
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    pipe, _ = make(batch=2, eq_enabled=False, numtaps=64)
+    with pytest.raises(ValueError, match="odd base numtaps"):
+        with_per_stream_filters(
+            pipe, [dict(filter_type="highpass", cutoff=1000.0),
+                   dict(cutoff=5000.0)])
+    # odd base numtaps: the same variants design fine
+    pipe_odd, _ = make(batch=2, eq_enabled=False, numtaps=65)
+    params = with_per_stream_filters(
+        pipe_odd, [dict(filter_type="highpass", cutoff=1000.0),
+                   dict(cutoff=5000.0)])
+    assert params.H_main.shape[0] == 2
+
+
+def test_per_stream_gains_require_eq():
+    """with_per_stream_gains on an EQ-disabled pipeline used to silently
+    no-op (combined_response statically ignores eq_gains then) — review
+    fix: rejected."""
+    pipe, params = make(batch=2, eq_enabled=False)
+    with pytest.raises(ValueError, match="eq_enabled"):
+        with_per_stream_gains(pipe, params, 2.0)
+
+
 def test_per_stream_td_rejects_untileable_batch(rng):
     """Code-review r2 finding: a batch not divisible by the picked tile must
     raise, not silently leave trailing streams unwritten."""

@@ -46,6 +46,16 @@ def test_ring_blocking_timeout():
     assert not r.push(np.zeros(4, np.float32), timeout=0.05)  # full, times out
 
 
+def test_ring_rejects_nonpositive_dims():
+    """Negative capacity/shape used to wrap through the C ABI's uint64 and
+    std::terminate the process from vector::resize (review fix)."""
+    for kw in (dict(capacity=-1, block_shape=(4,)),
+               dict(capacity=0, block_shape=(4,)),
+               dict(capacity=2, block_shape=(-8,))):
+        with pytest.raises(ValueError, match="positive"):
+            BlockRing(**kw)
+
+
 def test_pacer_rejects_nonpositive_period():
     """period <= 0 used to reach an integer division by zero inside the
     native wait (UB/SIGFPE); now rejected at create (review fix)."""
