@@ -7,6 +7,12 @@ speed::
     python -m afp_tpu process in.wav out.wav --cutoff 11000 --numtaps 301
     python -m afp_tpu devices
     python -m afp_tpu design --cutoff 11000 --numtaps 301 --plot resp.png
+    python -m afp_tpu preset save warm --store p.json --eq-gains 2,2,1,1,1,1,1,1,1
+    python -m afp_tpu process in.wav out.wav --preset warm --preset-store p.json
+
+Presets carry the *sound* (gains + filter settings), never deployment shape
+(samplerate/blocksize/ingest/emit) — the reference's preset semantics
+(`/root/reference/stream_process_GUI_Presets.py:143-195`), persisted to JSON.
 """
 from __future__ import annotations
 
@@ -98,6 +104,17 @@ def cmd_process(args) -> int:
         x, rate = read_wav(args.input)
     sr = args.samplerate or rate
     cfg = _build_config(args, sr)
+    if getattr(args, "preset", None):
+        from .engine.presets import PresetStore
+
+        store = PresetStore(args.preset_store)
+        if args.preset not in store:
+            raise SystemExit(
+                f"unknown preset {args.preset!r} in {args.preset_store}")
+        # preset wins for sound fields; deployment fields (samplerate,
+        # blocksize, ingest, emit, ...) stay the flags' — PresetStore's
+        # EXCLUDED_FIELDS contract
+        cfg = store.load_preset(args.preset, cfg)
     import dataclasses
 
     cfg = dataclasses.replace(cfg, batch=x.shape[0])
@@ -156,6 +173,48 @@ def cmd_process(args) -> int:
     return 0
 
 
+def cmd_preset(args) -> int:
+    """Preset store CRUD — the reference GUI's save/load/delete combobox
+    (`stream_process_GUI_Presets.py:143-195`) as a scriptable surface."""
+    import json
+
+    from .engine.presets import PresetStore
+
+    store = PresetStore(args.store)
+    if args.action == "list":
+        for n in store.names:
+            print(n)
+        return 0
+    if not args.name:
+        raise SystemExit(f"preset {args.action} requires a preset name")
+    if args.action == "delete":
+        if args.name not in store:
+            raise SystemExit(f"unknown preset {args.name!r} in {args.store}")
+        store.delete_preset(args.name)
+        return 0
+    if args.action == "show":
+        try:
+            print(json.dumps(store.get(args.name), indent=2))
+        except KeyError:
+            raise SystemExit(f"unknown preset {args.name!r} in {args.store}")
+        return 0
+    # save: snapshot the sound the design/EQ/AGC flags describe
+    import dataclasses
+
+    cfg = _build_config(args, args.samplerate or 44100)
+    if args.eq_gains:
+        gains = [float(g) for g in args.eq_gains.split(",")]
+        if len(gains) != len(cfg.eq_bands):
+            raise SystemExit(f"--eq-gains needs {len(cfg.eq_bands)} values, "
+                             f"got {len(gains)}")
+        cfg = dataclasses.replace(cfg, eq_bands=tuple(
+            dataclasses.replace(b, gain=g)
+            for b, g in zip(cfg.eq_bands, gains)))
+    store.save_preset(args.name, cfg.validate())
+    print(f"saved preset {args.name!r} → {args.store}", file=sys.stderr)
+    return 0
+
+
 def cmd_devices(_args) -> int:
     from .runtime.devices import format_devices
 
@@ -194,7 +253,23 @@ def main(argv=None) -> int:
     p.add_argument("input")
     p.add_argument("output")
     _add_config_args(p)
+    p.add_argument("--preset", default=None,
+                   help="apply a named preset from --preset-store on top of "
+                        "the flags (sound fields only — deployment flags "
+                        "like --blocksize/--ingest stay yours; --eq-gains "
+                        "still overrides the preset's gains)")
+    p.add_argument("--preset-store", default="presets.json",
+                   help="preset JSON file (default: ./presets.json)")
     p.set_defaults(fn=cmd_process)
+
+    pr = sub.add_parser(
+        "preset", help="save/list/show/delete sound presets (JSON store)")
+    pr.add_argument("action", choices=["save", "list", "show", "delete"])
+    pr.add_argument("name", nargs="?", default=None)
+    pr.add_argument("--store", default="presets.json",
+                    help="preset JSON file (default: ./presets.json)")
+    _add_config_args(pr)
+    pr.set_defaults(fn=cmd_preset)
 
     d = sub.add_parser("devices", help="list accelerator devices")
     d.set_defaults(fn=cmd_devices)

@@ -150,6 +150,13 @@ class PresetStore:
         self._presets.pop(name, None)
         self._flush()
 
+    def get(self, name: str) -> dict:
+        """Return a copy of the stored preset record ({"gains", "settings"})
+        — the inspection surface the CLI's ``preset show`` uses."""
+        if name not in self._presets:
+            raise KeyError(f"unknown preset {name!r}")
+        return json.loads(json.dumps(self._presets[name]))
+
     @property
     def names(self):
         return list(self._presets.keys())

@@ -156,3 +156,87 @@ def test_cli_process_asrc_output_length(tmp_path, rng):
     assert rate == 48000
     assert y.shape[1] == -(-n_in * 48000 // 44100)
     assert np.all(np.isfinite(y))
+
+
+def test_cli_preset_roundtrip(tmp_path, rng, capsys):
+    """`preset save` → `process --preset` applies the stored sound (here a
+    much lower cutoff) while deployment flags stay the command line's —
+    the reference's preset workflow (`stream_process_GUI_Presets.py:143-195`)
+    as a scriptable CLI surface."""
+    store = str(tmp_path / "p.json")
+    rc = main(["preset", "save", "dark", "--store", store,
+               "--cutoff", "2000", "--numtaps", "65", "--window", "blackman"])
+    assert rc == 0
+    rc = main(["preset", "list", "--store", store])
+    assert rc == 0
+    assert "dark" in capsys.readouterr().out.splitlines()
+    rc = main(["preset", "show", "dark", "--store", store])
+    assert rc == 0
+    shown = capsys.readouterr().out
+    assert '"cutoff": 2000' in shown and '"samplerate"' not in shown
+
+    src, dst = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    x = (0.3 * rng.standard_normal((1, 22050))).astype(np.float32).clip(-1, 1)
+    write_wav(src, x, 44100)
+    args = ["process", src, dst, "--blocksize", "1024", "--upsample", "1",
+            "--numtaps", "65", "--cutoff", "18000", "--dither", "off"]
+    assert main(args) == 0
+    y_flags, _ = read_wav(dst)
+    assert main(args + ["--preset", "dark", "--preset-store", store]) == 0
+    y_preset, _ = read_wav(dst)
+    # the preset's 2 kHz lowpass must attenuate 5-15 kHz energy the 18 kHz
+    # flags run passes almost untouched
+    n = x.shape[1]
+    band = slice(int(5000 / 44100 * n), int(15000 / 44100 * n))
+    e_flags = np.mean(np.abs(np.fft.rfft(y_flags[0])[band]) ** 2)
+    e_preset = np.mean(np.abs(np.fft.rfft(y_preset[0])[band]) ** 2)
+    assert e_preset < 1e-3 * e_flags
+
+    assert main(["preset", "delete", "dark", "--store", store]) == 0
+    import json
+
+    with open(store) as f:
+        assert json.load(f)["presets"] == {}
+
+
+def test_cli_preset_eq_gains_and_errors(tmp_path, rng, capsys):
+    """Preset saves carry EQ band gains; `process --eq-gains` still
+    overrides them; unknown names and missing args exit non-zero."""
+    import json
+
+    import pytest
+
+    store = str(tmp_path / "p.json")
+    assert main(["preset", "save", "warm", "--store", store,
+                 "--numtaps", "65", "--upsample", "1", "--dither", "off",
+                 "--eq-gains", "2,1,1,1,1,1,1,1,1"]) == 0
+    rec = json.load(open(store))["presets"]["warm"]
+    assert rec["gains"][0] == 2.0 and rec["settings"]["eq_enabled"] is True
+    capsys.readouterr()
+
+    with pytest.raises(SystemExit):
+        main(["preset", "save", "bad", "--store", store,
+              "--eq-gains", "1,2,3"])  # wrong band count
+    with pytest.raises(SystemExit):
+        main(["preset", "show", "nope", "--store", store])
+    with pytest.raises(SystemExit):
+        main(["preset", "delete", "nope", "--store", store])
+    with pytest.raises(SystemExit):
+        main(["preset", "save", "--store", store])  # missing name
+
+    src, dst = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    x = (0.1 * rng.standard_normal((1, 4096))).astype(np.float32)
+    write_wav(src, x, 44100)
+    with pytest.raises(SystemExit):
+        main(["process", src, dst, "--preset", "nope",
+              "--preset-store", store, "--dither", "off"])
+    # --eq-gains beats the preset's stored gains: flat gains over the
+    # 'warm' preset must reproduce the no-preset flat-EQ output exactly
+    flat = ["--blocksize", "1024", "--upsample", "1", "--numtaps", "65",
+            "--eq-gains", "1,1,1,1,1,1,1,1,1", "--dither", "off"]
+    assert main(["process", src, dst] + flat) == 0
+    y_ref, _ = read_wav(dst)
+    assert main(["process", src, dst, "--preset", "warm",
+                 "--preset-store", store] + flat) == 0
+    y_ovr, _ = read_wav(dst)
+    np.testing.assert_array_equal(y_ovr, y_ref)
