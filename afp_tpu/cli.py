@@ -48,6 +48,11 @@ def _add_config_args(ap: argparse.ArgumentParser) -> None:
                     help="comma-separated 9 gains, e.g. 1,1,1,1,1,1,2,2,2")
     ap.add_argument("--agc", action="store_true")
     ap.add_argument("--agc-target", type=float, default=0.1)
+    ap.add_argument("--agc-link", action="store_true",
+                    help="link the AGC across the file's channels: one gain "
+                         "per frame, driven by the loudest channel's RMS — "
+                         "keeps the stereo image fixed (independent "
+                         "per-channel gains pull it toward the quiet side)")
     ap.add_argument("--dither", default="tpdf", choices=["tpdf", "rpdf", "off"])
     ap.add_argument("--ingest", default="f32", choices=["f32", "pcm16"],
                     help="pcm16: feed 16-bit PCM WAVs raw (exact on-device "
@@ -118,6 +123,10 @@ def cmd_process(args) -> int:
     import dataclasses
 
     cfg = dataclasses.replace(cfg, batch=x.shape[0])
+    if getattr(args, "agc_link", False):
+        if not args.agc:
+            raise SystemExit("--agc-link requires --agc")
+        cfg = dataclasses.replace(cfg, agc_link_group=x.shape[0])
     if pcm16:
         if sr != rate:
             raise SystemExit("--ingest pcm16 is incompatible with rate "

@@ -103,6 +103,15 @@ class StreamConfig:
     # False reproduces the reference's per-block restart at desired[0]
     # (`stream_process_AGC.py:66-67`) exactly.
     agc_carry: bool = True
+    # link the AGC across groups of this many ADJACENT batch rows (e.g. the
+    # channels of one stereo/multichannel stream): every row in a group gets
+    # the gain its LOUDEST member's RMS demands (group-min of the desired
+    # gain — `ops.agc.link_desired`), so inter-channel balance (the stereo
+    # image) never moves.  1 = independent per-row gains (the reference is
+    # mono, `stream_process_AGC.py:22` analog, and never faced the linked
+    # case).  `batch` must be a multiple of the group.  Static (changes the
+    # traced graph); a deployment-layout property, excluded from presets.
+    agc_link_group: int = 1
 
     # ASRC (`stream_process_AGC.py:126-129`)
     source_samplerate: Optional[int] = None
@@ -281,6 +290,13 @@ class StreamConfig:
                     f"ingest={self.ingest!r} requires output_rate='base' "
                     "(upsampled output disables the fused td_mxu path)")
         agc_window = max(1, min(int(self.agc_window_size), blocksize // 2))
+        link = max(1, int(self.agc_link_group))
+        batch = max(1, int(self.batch))
+        if self.agc_enabled and batch % link:
+            raise ValueError(
+                f"batch {batch} must be a multiple of agc_link_group {link} "
+                "(groups are adjacent batch rows, e.g. one file's channels; "
+                "under ShardedPipeline the PER-SHARD batch must divide)")
         return dataclasses.replace(
             self,
             samplerate=samplerate,
@@ -289,7 +305,8 @@ class StreamConfig:
             numtaps=numtaps,
             cutoff=cutoff,
             agc_window_size=agc_window,
-            batch=max(1, int(self.batch)),
+            batch=batch,
+            agc_link_group=link,
             dither_bits=dither_bits,
         )
 
@@ -317,6 +334,7 @@ class StreamConfig:
             self.waterfall_enabled,
             self.agc_mode,
             self.agc_carry,
+            self.agc_link_group,
             self.output_rate,
             self.ingest,
             self.emit,

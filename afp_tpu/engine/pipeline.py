@@ -241,8 +241,12 @@ class Pipeline:
         # boxcar (window-local 2⁻²⁴ vs 2⁻¹⁷) — an accuracy option, not a
         # throughput one.  Both the staged step and the serving ring key
         # on this flag, so the two stay bit-identical either way.
+        # (linked AGC excludes it: the fused kernel never materializes the
+        # desired gain, so there is nowhere to apply the group-min — the
+        # two-kernel chain handles agc_link_group > 1.)
         self._agc_one_kernel = False
         if (self._rms_band is not None and self._agc_fused_apply
+                and cfg.agc_link_group == 1
                 and os.environ.get("AFP_AGC_ONE_KERNEL", "0") == "1"):
             from ..ops.pallas.agc_fused import fused_rms_supported
 
@@ -517,6 +521,17 @@ class Pipeline:
 
     # ---------------- the hot step ----------------
 
+    def _linked(self, d: jnp.ndarray, transposed: bool) -> jnp.ndarray:
+        """Apply the ``agc_link_group`` group-min to the desired-gain signal
+        (`ops.agc.link_desired`) — identity at group 1.  `transposed`:
+        the exact-TPU chain hands `d` time-major [T, B]."""
+        G = self.cfg.agc_link_group
+        if G == 1:
+            return d
+        from ..ops.agc import link_desired
+
+        return link_desired(d, G, batch_axis=1 if transposed else 0)
+
     def _step_impl(self, params: DeviceParams, state: StreamState,
                    block: jnp.ndarray):
         cfg = self.cfg
@@ -625,9 +640,11 @@ class Pipeline:
                         interpret=self._pl_interpret,
                         transposed=exact_tpu,
                     )
+                    d = self._linked(d, transposed=exact_tpu)
                 else:
                     rms = moving_rms(x, self.agc.window_size)
                     d = desired_gain(rms, params.agc_target, params.agc_max_gain)
+                    d = self._linked(d, transposed=False)
                 carry = agc_gain if cfg.agc_carry else None
                 if exact_tpu and self._rms_band is not None and self._agc_fused_apply:
                     # fully fused back half: scan + clip + apply + carry in one
@@ -1121,6 +1138,7 @@ class Pipeline:
                     interpret=self._pl_interpret,
                     transposed=True, ring_idx=idx,
                 )
+                d = self._linked(d, transposed=True)
                 (xh, xl), agc_gain = smooth_gain_apply_pallas(
                     d, ring_hi, params.agc_a_att, params.agc_a_rel,
                     params.agc_max_gain, init=carry, out_clip=0.99,

@@ -33,9 +33,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["agc_alphas", "moving_rms", "desired_gain", "smooth_gain_scan",
-           "smooth_gain_parallel", "smooth_gain_blockwise", "apply_agc",
-           "AGCParams"]
+__all__ = ["agc_alphas", "moving_rms", "desired_gain", "link_desired",
+           "smooth_gain_scan", "smooth_gain_parallel",
+           "smooth_gain_blockwise", "apply_agc", "AGCParams"]
 
 
 def agc_alphas(window_size: int, attack: float = 0.01, release: float = 0.1):
@@ -72,6 +72,36 @@ def moving_rms(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
 
 def desired_gain(rms: jnp.ndarray, target_level: float, max_gain: float) -> jnp.ndarray:
     return jnp.clip(target_level / (rms + 1e-10), 0.0, max_gain)
+
+
+def link_desired(d: jnp.ndarray, group: int, batch_axis: int = 0) -> jnp.ndarray:
+    """Link the AGC across groups of `group` ADJACENT streams: every stream
+    in a group gets the group's MINIMUM desired gain — equivalently the gain
+    its loudest member's RMS demands (``desired_gain`` is monotone
+    non-increasing in RMS and ``clip`` is monotone, so the group-min of
+    ``clip(target/(rms+ε))`` IS ``clip(target/(max_rms+ε))``).  The standard
+    stereo/multichannel link: with independent per-channel gains a stereo
+    pair's image wanders toward the quieter channel; linking pins the
+    inter-channel balance while the loudest channel drives the recurrence
+    (identical desired rows ⇒ the attack/release recurrence yields identical
+    gains, so no kernel changes downstream).
+
+    The reference never faces this — it is mono (CHANNELS = 1,
+    `/root/reference/stream_process.py:22`; the AGC variant inherits it).
+
+    `d`: desired-gain signal, stream axis at `batch_axis` (size a multiple
+    of `group`; groups are adjacent rows, e.g. one file's channels).
+    `group=1` is the identity.
+    """
+    if group == 1:
+        return d
+    b = d.shape[batch_axis]
+    if b % group:
+        raise ValueError(f"batch {b} is not a multiple of link group {group}")
+    ax = batch_axis % d.ndim
+    shape = d.shape[:ax] + (b // group, group) + d.shape[ax + 1:]
+    dg = jnp.min(d.reshape(shape), axis=ax + 1, keepdims=True)
+    return jnp.broadcast_to(dg, shape).reshape(d.shape)
 
 
 def smooth_gain_scan(desired: jnp.ndarray, a_att: float, a_rel: float,

@@ -240,3 +240,28 @@ def test_cli_preset_eq_gains_and_errors(tmp_path, rng, capsys):
                  "--preset-store", store] + flat) == 0
     y_ovr, _ = read_wav(dst)
     np.testing.assert_array_equal(y_ovr, y_ref)
+
+
+def test_cli_agc_link_stereo(tmp_path, rng):
+    """--agc-link on a stereo file: one gain per frame, driven by the
+    loudest channel, so the exact 2:1 channel balance survives the AGC;
+    without it the quiet channel is boosted harder and the balance moves."""
+    import pytest
+
+    src, dst = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    x = (0.02 * rng.standard_normal((1, 22050))).astype(np.float32)
+    st = np.concatenate([x, np.float32(0.5) * x], axis=0)
+    write_wav(src, st, 44100, float_format=True)  # lossless ingest
+    args = ["process", src, dst, "--blocksize", "1024", "--upsample", "1",
+            "--numtaps", "65", "--agc", "--dither", "off"]
+    assert main(args + ["--agc-link"]) == 0
+    y, _ = read_wav(dst)
+    # output is 24-bit PCM: each channel quantized independently (LSB 2^-23)
+    assert np.max(np.abs(y[1] - 0.5 * y[0])) < 3 * 2.0 ** -23
+
+    assert main(args) == 0
+    y_un, _ = read_wav(dst)
+    assert np.max(np.abs(y_un[1] - 0.5 * y_un[0])) > 1e-3
+
+    with pytest.raises(SystemExit):  # --agc-link without --agc
+        main(["process", src, dst, "--agc-link", "--dither", "off"])
