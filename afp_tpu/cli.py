@@ -5,10 +5,15 @@ files through the full pipeline (resample → EQ → FIR → AGC → dither) at 
 speed::
 
     python -m afp_tpu process in.wav out.wav --cutoff 11000 --numtaps 301
+    python -m afp_tpu batch 'stems/*.wav' -o filtered/ --agc --agc-link
     python -m afp_tpu devices
     python -m afp_tpu design --cutoff 11000 --numtaps 301 --plot resp.png
     python -m afp_tpu preset save warm --store p.json --eq-gains 2,2,1,1,1,1,1,1,1
     python -m afp_tpu process in.wav out.wav --preset warm --preset-store p.json
+
+``batch`` packs every file's channels into one [Σ channels, max_len]
+array and runs the whole set through a single offline-fold dispatch per
+sample-rate group — the stream-DP deployment shape (SURVEY §2.4).
 
 Presets carry the *sound* (gains + filter settings), never deployment shape
 (samplerate/blocksize/ingest/emit) — the reference's preset semantics
@@ -95,18 +100,12 @@ def _build_config(args, samplerate: int):
     )
 
 
-def cmd_process(args) -> int:
-    from .engine import StreamEngine
-    from .utils import read_wav, read_wav_pcm16, write_wav, write_wav_pcm16
+def _configure(args, rate: int, batch_rows: int, link_group: int):
+    """StreamConfig for ``batch_rows`` rows of ``rate``-Hz audio under the
+    process/batch flags: preset overlay, --agc-link, ingest/emit gating,
+    ASRC wiring.  ``link_group`` is only applied when --agc-link is set."""
+    import dataclasses
 
-    pcm16 = getattr(args, "ingest", "f32") == "pcm16"
-    if pcm16:
-        # raw int16 path: the WAV's PCM samples ride untouched to the
-        # device, which converts exactly (n/32768) — bit-identical output
-        # to the f32 path, half the host→device bytes
-        x, rate = read_wav_pcm16(args.input)
-    else:
-        x, rate = read_wav(args.input)
     sr = args.samplerate or rate
     cfg = _build_config(args, sr)
     if getattr(args, "preset", None):
@@ -120,14 +119,12 @@ def cmd_process(args) -> int:
         # blocksize, ingest, emit, ...) stay the flags' — PresetStore's
         # EXCLUDED_FIELDS contract
         cfg = store.load_preset(args.preset, cfg)
-    import dataclasses
-
-    cfg = dataclasses.replace(cfg, batch=x.shape[0])
+    cfg = dataclasses.replace(cfg, batch=batch_rows)
     if getattr(args, "agc_link", False):
         if not args.agc:
             raise SystemExit("--agc-link requires --agc")
-        cfg = dataclasses.replace(cfg, agc_link_group=x.shape[0])
-    if pcm16:
+        cfg = dataclasses.replace(cfg, agc_link_group=link_group)
+    if getattr(args, "ingest", "f32") == "pcm16":
         if sr != rate:
             raise SystemExit("--ingest pcm16 is incompatible with rate "
                              "conversion (drop --samplerate, or use f32)")
@@ -140,11 +137,20 @@ def cmd_process(args) -> int:
         cfg = dataclasses.replace(cfg, emit="pcm16")
     if sr != rate:
         cfg = dataclasses.replace(cfg, source_samplerate=rate)
+    return cfg
+
+
+def _process_rows(args, cfg, x: np.ndarray, rate: int):
+    """[rows, n] through the engine's offline path; returns ``(out, engine)``
+    with ``out`` trimmed to the (converted) input length."""
+    from .engine import StreamEngine
+
     engine = StreamEngine(cfg)
     if args.eq_gains:
         gains = [float(g) for g in args.eq_gains.split(",")]
         engine.set_eq_gains(gains)
     n_in = x.shape[1]
+    sr = cfg.samplerate
     if engine._asrc_frontend is not None:
         # offline: zero-pad so the resampler tail flushes through the block
         # framing, then trim to the exact converted length
@@ -170,15 +176,118 @@ def cmd_process(args) -> int:
         out = out[:, : -(-n_in * sr // rate)]
     elif out.shape[1] > n_in:
         out = out[:, : n_in]
+    return out, engine
+
+
+def _write_out(path: str, out: np.ndarray, cfg) -> None:
+    from .utils import write_wav, write_wav_pcm16
+
     if cfg.emit == "pcm16":
         # the device already quantized (dither → int16 in the conv store):
         # write the raw samples verbatim — no host float round trip
-        write_wav_pcm16(args.output, out, cfg.samplerate)
+        write_wav_pcm16(path, out, cfg.samplerate)
     else:
-        write_wav(args.output, out, cfg.samplerate, width=3)
+        write_wav(path, out, cfg.samplerate, width=3)
+
+
+def cmd_process(args) -> int:
+    from .utils import read_wav, read_wav_pcm16
+
+    pcm16 = getattr(args, "ingest", "f32") == "pcm16"
+    if pcm16:
+        # raw int16 path: the WAV's PCM samples ride untouched to the
+        # device, which converts exactly (n/32768) — bit-identical output
+        # to the f32 path, half the host→device bytes
+        x, rate = read_wav_pcm16(args.input)
+    else:
+        x, rate = read_wav(args.input)
+    n_in = x.shape[1]
+    cfg = _configure(args, rate, batch_rows=x.shape[0],
+                     link_group=x.shape[0])
+    out, engine = _process_rows(args, cfg, x, rate)
+    _write_out(args.output, out, cfg)
     m = engine.metrics
     print(f"{args.input} → {args.output}: {x.shape[0]} ch × {n_in} samples, "
           f"xRT(busy) {m.xrt_busy(cfg.samplerate):,.0f}", file=sys.stderr)
+    return 0
+
+
+def cmd_batch(args) -> int:
+    """Process MANY WAVs in one batched device dispatch per group.
+
+    The batch axis is the TPU's scaling axis (stream DP — SURVEY §2.4): a
+    single file's channels starve a 256×256 systolic array, so the batch
+    command packs every file's channels into one [Σ channels, max_len]
+    array (zero-padded on the right; the chain is causal and each file is
+    trimmed back to its own length, so padding never reaches the output)
+    and runs the whole directory through ONE offline-fold dispatch.  Files
+    are grouped by sample rate (one engine per rate); with --agc-link the
+    group key adds the channel count and the link group is per-FILE — a
+    quiet file still gets its own gain, only channels within a file share.
+    The reference has no offline/batch surface at all (it is a real-time
+    mono script, `stream_process.py:22`); this is the deployment shape a
+    TPU actually earns its keep on."""
+    import glob as globmod
+
+    from .utils import read_wav, read_wav_pcm16
+
+    pcm16 = args.ingest == "pcm16"
+    paths = []
+    for pat in args.inputs:
+        if any(c in pat for c in "*?["):
+            hits = sorted(globmod.glob(pat))
+            if not hits:
+                raise SystemExit(f"no files match {pat!r}")
+            paths.extend(hits)
+        else:
+            paths.append(pat)
+    seen = set()
+    paths = [p for p in paths if not (p in seen or seen.add(p))]
+    names = [os.path.basename(p) for p in paths]
+    dup = {n for n in names if names.count(n) > 1}
+    if dup:
+        raise SystemExit(
+            f"inputs from different directories share output basenames "
+            f"{sorted(dup)} — rename or batch them separately")
+    reader = read_wav_pcm16 if pcm16 else read_wav
+    files = [(p, *reader(p)) for p in paths]
+
+    # one engine per sample rate; --agc-link additionally needs a uniform
+    # channel count per group (the link group is the per-file channels)
+    groups: dict = {}
+    for p, x, rate in files:
+        key = (rate, x.shape[0] if args.agc_link else 0)
+        groups.setdefault(key, []).append((p, x))
+    os.makedirs(args.out_dir, exist_ok=True)
+    wrote = 0
+    for (rate, ch), members in sorted(groups.items()):
+        xs = [x for _, x in members]
+        rows = sum(x.shape[0] for x in xs)
+        n_max = max(x.shape[1] for x in xs)
+        packed = np.zeros((rows, n_max), np.int16 if pcm16 else np.float32)
+        lens, row0 = [], 0
+        for x in xs:
+            packed[row0:row0 + x.shape[0], : x.shape[1]] = x
+            lens.append(x.shape[1])
+            row0 += x.shape[0]
+        cfg = _configure(args, rate, batch_rows=rows,
+                         link_group=ch if args.agc_link else 1)
+        out, engine = _process_rows(args, cfg, packed, rate)
+        sr = cfg.samplerate
+        row0 = 0
+        for (p, x), n in zip(members, lens):
+            y = out[row0:row0 + x.shape[0]]
+            # per-file trim: the group was trimmed to ITS max length above
+            y = y[:, : -(-n * sr // rate)] if sr != rate else y[:, :n]
+            _write_out(os.path.join(args.out_dir, os.path.basename(p)),
+                       y, cfg)
+            row0 += x.shape[0]
+            wrote += 1
+        m = engine.metrics
+        print(f"{rate} Hz group: {len(members)} files as {rows} rows × "
+              f"{n_max} samples in one dispatch, "
+              f"xRT(busy) {m.xrt_busy(sr):,.0f}", file=sys.stderr)
+    print(f"{wrote} files → {args.out_dir}", file=sys.stderr)
     return 0
 
 
@@ -270,6 +379,20 @@ def main(argv=None) -> int:
     p.add_argument("--preset-store", default="presets.json",
                    help="preset JSON file (default: ./presets.json)")
     p.set_defaults(fn=cmd_process)
+
+    b = sub.add_parser(
+        "batch", help="process many WAVs in one batched device dispatch")
+    b.add_argument("inputs", nargs="+",
+                   help="WAV paths and/or glob patterns (quote globs)")
+    b.add_argument("-o", "--out-dir", required=True,
+                   help="output directory (same basenames)")
+    _add_config_args(b)
+    b.add_argument("--preset", default=None,
+                   help="apply a named preset from --preset-store on top "
+                        "of the flags (sound fields only)")
+    b.add_argument("--preset-store", default="presets.json",
+                   help="preset JSON file (default: ./presets.json)")
+    b.set_defaults(fn=cmd_batch)
 
     pr = sub.add_parser(
         "preset", help="save/list/show/delete sound presets (JSON store)")

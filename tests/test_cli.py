@@ -265,3 +265,87 @@ def test_cli_agc_link_stereo(tmp_path, rng):
 
     with pytest.raises(SystemExit):  # --agc-link without --agc
         main(["process", src, dst, "--agc-link", "--dither", "off"])
+
+
+def test_cli_batch_matches_process(tmp_path, rng):
+    """`batch` over 3 mono files of different lengths ≡ per-file `process`
+    (same flags), each trimmed to its own length — packing files into the
+    batch axis must be inaudible (the batched FFT plan may shift ulps)."""
+    import os
+
+    srcs, lens = [], (1500, 2048, 700)
+    for i, n in enumerate(lens):
+        s = str(tmp_path / f"f{i}.wav")
+        write_wav(s, (0.2 * rng.standard_normal((1, n))).astype(np.float32),
+                  44100, float_format=True)
+        srcs.append(s)
+    flags = ["--blocksize", "512", "--upsample", "2", "--numtaps", "65",
+             "--dither", "off"]
+    out_dir = str(tmp_path / "batched")
+    assert main(["batch", *srcs, "-o", out_dir] + flags) == 0
+    for i, (s, n) in enumerate(zip(srcs, lens)):
+        ref = str(tmp_path / f"ref{i}.wav")
+        assert main(["process", s, ref] + flags) == 0
+        y_ref, _ = read_wav(ref)
+        y, rate = read_wav(os.path.join(out_dir, f"f{i}.wav"))
+        assert rate == 44100 and y.shape == (1, n)
+        np.testing.assert_allclose(y, y_ref, atol=1e-6)
+
+
+def test_cli_batch_agc_link_is_per_file(tmp_path, rng):
+    """--agc-link in batch mode links CHANNELS of one file, never files:
+    each stereo file keeps its own 2:1 image bitwise, while the quiet file
+    gets a stronger gain than the loud one (independent per-file AGC)."""
+    import os
+
+    base = (0.04 * rng.standard_normal((1, 2048))).astype(np.float32)
+    for name, scale in (("loud.wav", 1.0), ("quiet.wav", 0.125)):
+        st = np.concatenate([base, np.float32(0.5) * base], 0) * np.float32(scale)
+        write_wav(str(tmp_path / name), st, 44100, float_format=True)
+    out_dir = str(tmp_path / "out")
+    assert main(["batch", str(tmp_path / "loud.wav"),
+                 str(tmp_path / "quiet.wav"), "-o", out_dir,
+                 "--blocksize", "512", "--upsample", "1", "--numtaps", "65",
+                 "--agc", "--agc-link", "--dither", "off"]) == 0
+    yl, _ = read_wav(os.path.join(out_dir, "loud.wav"))
+    yq, _ = read_wav(os.path.join(out_dir, "quiet.wav"))
+    lsb = 2.0 ** -23  # 24-bit PCM output: per-channel quantization
+    assert np.max(np.abs(yl[1] - 0.5 * yl[0])) < 3 * lsb
+    assert np.max(np.abs(yq[1] - 0.5 * yq[0])) < 3 * lsb
+    # not linked across files: the quiet file is boosted harder
+    assert np.max(np.abs(yq[0])) > 2.0 * 0.125 * np.max(np.abs(yl[0]))
+
+
+def test_cli_batch_groups_and_errors(tmp_path, rng):
+    """Mixed sample rates and (under --agc-link) mixed channel counts run
+    as separate groups; duplicate basenames and empty globs fail loudly."""
+    import os
+
+    a = str(tmp_path / "a.wav")   # 44.1k mono
+    b = str(tmp_path / "b.wav")   # 22.05k mono
+    c = str(tmp_path / "c.wav")   # 44.1k stereo
+    write_wav(a, (0.1 * rng.standard_normal((1, 1024))).astype(np.float32),
+              44100, float_format=True)
+    write_wav(b, (0.1 * rng.standard_normal((1, 800))).astype(np.float32),
+              22050, float_format=True)
+    write_wav(c, (0.02 * rng.standard_normal((2, 1024))).astype(np.float32),
+              44100, float_format=True)
+    out_dir = str(tmp_path / "out")
+    flags = ["-o", out_dir, "--blocksize", "512", "--upsample", "1",
+             "--numtaps", "33", "--dither", "off"]
+    # glob input + mixed rates (a, c @44.1k; b @22.05k) + linked mixed
+    # channel counts (mono group + stereo group)
+    assert main(["batch", str(tmp_path / "[abc].wav")] + flags
+                + ["--agc", "--agc-link"]) == 0
+    for name, n in (("a.wav", 1024), ("b.wav", 800), ("c.wav", 1024)):
+        y, _ = read_wav(os.path.join(out_dir, name))
+        assert y.shape[1] == n and np.all(np.isfinite(y))
+
+    with pytest.raises(SystemExit, match="no files match"):
+        main(["batch", str(tmp_path / "nope*.wav")] + flags)
+    os.makedirs(str(tmp_path / "sub"))
+    dup = str(tmp_path / "sub" / "a.wav")
+    write_wav(dup, (0.1 * rng.standard_normal((1, 512))).astype(np.float32),
+              44100, float_format=True)
+    with pytest.raises(SystemExit, match="basenames"):
+        main(["batch", a, dup] + flags)
