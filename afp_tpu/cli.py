@@ -121,8 +121,12 @@ def _configure(args, rate: int, batch_rows: int, link_group: int):
         cfg = store.load_preset(args.preset, cfg)
     cfg = dataclasses.replace(cfg, batch=batch_rows)
     if getattr(args, "agc_link", False):
-        if not args.agc:
-            raise SystemExit("--agc-link requires --agc")
+        # consult the EFFECTIVE config: agc_enabled is a sound field a
+        # preset may have turned on (then --agc-link alone must work) or
+        # off (then linking would be silently inert — fail loudly instead)
+        if not cfg.agc_enabled:
+            raise SystemExit("--agc-link requires AGC (pass --agc, or a "
+                             "preset that enables it)")
         cfg = dataclasses.replace(cfg, agc_link_group=link_group)
     if getattr(args, "ingest", "f32") == "pcm16":
         if sr != rate:
@@ -259,23 +263,29 @@ def cmd_batch(args) -> int:
         key = (rate, x.shape[0] if args.agc_link else 0)
         groups.setdefault(key, []).append((p, x))
     os.makedirs(args.out_dir, exist_ok=True)
-    wrote = 0
+    # validate EVERY group's config up front — a flag incompatible with one
+    # group (e.g. --ingest pcm16 under rate conversion) must fail before
+    # any other group's files are processed and written
+    plan = []
     for (rate, ch), members in sorted(groups.items()):
-        xs = [x for _, x in members]
-        rows = sum(x.shape[0] for x in xs)
-        n_max = max(x.shape[1] for x in xs)
-        packed = np.zeros((rows, n_max), np.int16 if pcm16 else np.float32)
-        lens, row0 = [], 0
-        for x in xs:
-            packed[row0:row0 + x.shape[0], : x.shape[1]] = x
-            lens.append(x.shape[1])
-            row0 += x.shape[0]
+        rows = sum(x.shape[0] for _, x in members)
         cfg = _configure(args, rate, batch_rows=rows,
                          link_group=ch if args.agc_link else 1)
+        cfg.validate()
+        plan.append((rate, members, rows, cfg))
+    wrote = 0
+    for rate, members, rows, cfg in plan:
+        n_max = max(x.shape[1] for _, x in members)
+        packed = np.zeros((rows, n_max), np.int16 if pcm16 else np.float32)
+        row0 = 0
+        for _, x in members:
+            packed[row0:row0 + x.shape[0], : x.shape[1]] = x
+            row0 += x.shape[0]
         out, engine = _process_rows(args, cfg, packed, rate)
         sr = cfg.samplerate
         row0 = 0
-        for (p, x), n in zip(members, lens):
+        for p, x in members:
+            n = x.shape[1]
             y = out[row0:row0 + x.shape[0]]
             # per-file trim: the group was trimmed to ITS max length above
             y = y[:, : -(-n * sr // rate)] if sr != rate else y[:, :n]

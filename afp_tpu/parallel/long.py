@@ -47,7 +47,8 @@ def _agc_apply_long(pipe: Pipeline, params: DeviceParams, x: jnp.ndarray,
     boundary gain carried ([B] floats per hand-off), clip [0.1, max_gain],
     apply, clip ±0.99.
     """
-    from ..ops.agc import desired_gain, moving_rms, smooth_gain_scan
+    from ..ops.agc import (desired_gain, link_desired, moving_rms,
+                           smooth_gain_scan)
 
     cfg = pipe.cfg
     L = cfg.blocksize
@@ -69,6 +70,11 @@ def _agc_apply_long(pipe: Pipeline, params: DeviceParams, x: jnp.ndarray,
         blk = chunk.reshape(B, nb, L)
         rms = moving_rms(blk, w)
         d = desired_gain(rms, params.agc_target, params.agc_max_gain)
+        # the linked-AGC group-min (`StreamConfig.agc_link_group`), exactly
+        # where the streaming engine applies it — between the RMS and the
+        # recurrence; the batch axis is UNSHARDED here (time-sharding), so
+        # every shard sees whole groups
+        d = link_desired(d, cfg.agc_link_group)
         if not cfg.agc_carry:
             # reference per-block restart (`stream_process_AGC.py:66-67`):
             # the recurrence is block-local → fully parallel, no hand-off

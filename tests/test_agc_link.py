@@ -214,3 +214,35 @@ def test_sharded_linked_matches_unsharded(rng):
     np.testing.assert_allclose(y_sh, y_ref, atol=1e-6)
     # the link property itself is exact WITHIN the sharded run
     np.testing.assert_array_equal(y_sh[1::2], y_sh[0::2] * np.float32(0.5))
+
+
+def test_filter_long_signal_linked_matches_streaming(rng):
+    """Time-sharded long-signal mode (parallel/long.py) honors the link:
+    the group-min rides between its sharded RMS front half and the
+    shard-ordered recurrence, so output ≡ the streaming engine and the
+    within-group image survives (review finding: it silently dropped the
+    link at first)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from afp_tpu.parallel.long import filter_long_signal
+
+    devs = jax.devices()[:8]
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = _ratio_cfg(upsample_factor=2, agc_window_size=256)
+    p = Pipeline(cfg)
+    params = p.device_params(PipelineParams.design(p.cfg))
+    T = 8 * 1024
+    sig = (rng.normal(size=(2, T)) * 0.05).astype(np.float32)
+    sig[1] = np.float32(0.5) * sig[0]
+    _, streamed = p.process_signal(params, p.init_state(), sig)
+
+    tmesh = Mesh(np.asarray(devs), ("time",))
+    sharded = np.asarray(filter_long_signal(p, params, sig, tmesh))
+    np.testing.assert_allclose(sharded, np.asarray(streamed), atol=2e-5)
+    # the link held exactly within the sharded run
+    np.testing.assert_array_equal(sharded[1], sharded[0] * np.float32(0.5))
+    # and the streaming reference itself is linked (guards the oracle)
+    st = np.asarray(streamed)
+    np.testing.assert_array_equal(st[1], st[0] * np.float32(0.5))

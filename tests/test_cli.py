@@ -349,3 +349,28 @@ def test_cli_batch_groups_and_errors(tmp_path, rng):
               44100, float_format=True)
     with pytest.raises(SystemExit, match="basenames"):
         main(["batch", a, dup] + flags)
+
+
+def test_cli_agc_link_respects_preset_agc(tmp_path, rng):
+    """--agc-link consults the EFFECTIVE config: a preset that enables AGC
+    makes --agc-link work without --agc; a preset that disables AGC makes
+    --agc --agc-link fail loudly instead of silently dropping the link."""
+    import pytest
+
+    src, dst = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    x = (0.02 * rng.standard_normal((1, 22050))).astype(np.float32)
+    write_wav(src, np.concatenate([x, np.float32(0.5) * x], axis=0),
+              44100, float_format=True)
+    store = str(tmp_path / "p.json")
+    assert main(["preset", "save", "agcon", "--store", store,
+                 "--agc", "--dither", "off"]) == 0
+    assert main(["preset", "save", "agcoff", "--store", store,
+                 "--dither", "off"]) == 0
+    args = ["process", src, dst, "--blocksize", "1024", "--upsample", "1",
+            "--numtaps", "65", "--dither", "off", "--preset-store", store]
+    assert main(args + ["--preset", "agcon", "--agc-link"]) == 0
+    y, _ = read_wav(dst)
+    assert np.max(np.abs(y[1] - 0.5 * y[0])) < 3 * 2.0 ** -23  # linked
+    assert np.std(y[:, 4096:]) > np.std(x) * 1.5  # and AGC really ran
+    with pytest.raises(SystemExit, match="requires AGC"):
+        main(args + ["--preset", "agcoff", "--agc", "--agc-link"])

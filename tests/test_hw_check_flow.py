@@ -31,7 +31,11 @@ SCRIPT = os.path.join(REPO, "tools", "hw_check.py")
 
 
 def _run(env_extra, timeout):
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    # drop PYTHONPATH (breaks the axon plugin) and any mode flags from the
+    # developer shell — each case must pin its own mode, or an exported
+    # AFP_HW_CHECK_CPU_FLOW=1 would flip the hw-mode case into a rehearsal
+    drop = ("PYTHONPATH", "AFP_HW_CHECK_CPU_FLOW", "AFP_AGC_FUSED_FORCE")
+    env = {k: v for k, v in os.environ.items() if k not in drop}
     env.update(env_extra)
     return subprocess.run(
         [sys.executable, SCRIPT], cwd=REPO, env=env, timeout=timeout,
