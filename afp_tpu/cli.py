@@ -69,6 +69,12 @@ def _add_config_args(ap: argparse.ArgumentParser) -> None:
                          "to int16 PCM in the conv store and the WAV is "
                          "written from the raw samples (half the "
                          "device→host bytes; 16-bit output file)")
+    ap.add_argument("--mesh", type=int, default=1, metavar="N",
+                    help="shard the batch over the first N devices "
+                         "(stream DP via ShardedPipeline — rows are padded "
+                         "to divide, in whole --agc-link groups; silent "
+                         "pad rows are independent streams and never touch "
+                         "real output).  1 = single-device engine path")
 
 
 def _build_config(args, samplerate: int):
@@ -140,6 +146,12 @@ def _configure(args, rate: int, batch_rows: int, link_group: int):
     if getattr(args, "emit", "f32") == "pcm16":
         cfg = dataclasses.replace(cfg, emit="pcm16")
     if sr != rate:
+        if getattr(args, "mesh", 1) > 1:
+            # validated here so `batch --mesh` fails in the up-front plan
+            # pass, before any group is processed and written
+            raise SystemExit("--mesh is incompatible with rate conversion "
+                             "(the ASRC frontend is an engine surface — "
+                             "drop --samplerate or run --mesh 1)")
         cfg = dataclasses.replace(cfg, source_samplerate=rate)
     return cfg
 
@@ -181,6 +193,49 @@ def _process_rows(args, cfg, x: np.ndarray, rate: int):
     elif out.shape[1] > n_in:
         out = out[:, : n_in]
     return out, engine
+
+
+def _process_rows_sharded(args, cfg, x: np.ndarray, rate: int, n_dev: int):
+    """[rows, n] sharded over the first `n_dev` devices (stream DP,
+    `ShardedPipeline.process_signal` — the per-shard offline fold).  Rows
+    pad with silent streams to divide over the mesh in whole link groups;
+    pure DP makes pad rows invisible to real output.  Returns the out
+    array trimmed back to the caller's rows and (padded-time) length."""
+    import dataclasses
+
+    import jax
+
+    from .engine.config import PipelineParams
+    from .parallel import ShardedPipeline, make_mesh
+
+    assert cfg.source_samplerate is None  # _configure rejected --mesh + ASRC
+    if len(jax.devices()) < n_dev:
+        raise SystemExit(f"--mesh {n_dev}: only {len(jax.devices())} "
+                         "devices available")
+    if args.eq_gains:
+        gains = [float(g) for g in args.eq_gains.split(",")]
+        if len(gains) != len(cfg.eq_bands):
+            raise SystemExit(f"--eq-gains needs {len(cfg.eq_bands)} values, "
+                             f"got {len(gains)}")
+        cfg = dataclasses.replace(cfg, eq_bands=tuple(
+            dataclasses.replace(b, gain=g)
+            for b, g in zip(cfg.eq_bands, gains)))
+    rows, n_in = x.shape
+    group = cfg.agc_link_group if cfg.agc_enabled else 1
+    unit = n_dev * group  # every shard holds whole groups
+    if -rows % unit:
+        x = np.concatenate(
+            [x, np.zeros((-rows % unit, n_in), x.dtype)], axis=0)
+    cfg = dataclasses.replace(cfg, batch=x.shape[0])
+    if n_in % cfg.blocksize:
+        rem = cfg.blocksize - n_in % cfg.blocksize
+        x = np.concatenate([x, np.zeros((x.shape[0], rem), x.dtype)], axis=1)
+    sp = ShardedPipeline(cfg, make_mesh(n_dev))
+    params = sp.device_params(PipelineParams.design(sp.cfg))
+    _, out = sp.process_signal(params, sp.init_state(seed=0), x,
+                               fold="prefer")
+    out = np.asarray(out)[:rows]
+    return out[:, :n_in] if out.shape[1] > n_in else out
 
 
 def _write_out(path: str, out: np.ndarray, cfg) -> None:
@@ -252,12 +307,16 @@ def cmd_process(args) -> int:
     n_in = x.shape[1]
     cfg = _configure(args, rate, batch_rows=x.shape[0],
                      link_group=x.shape[0])
-    out, engine = _process_rows(args, cfg, x, rate)
+    if args.mesh > 1:
+        out = _process_rows_sharded(args, cfg, x, rate, args.mesh)
+        tail = f"sharded over {args.mesh} devices"
+    else:
+        out, engine = _process_rows(args, cfg, x, rate)
+        tail = f"xRT(busy) {engine.metrics.xrt_busy(cfg.samplerate):,.0f}"
     _write_out(args.output, out, cfg)
     _viz_outputs(args, out, cfg)
-    m = engine.metrics
     print(f"{args.input} → {args.output}: {x.shape[0]} ch × {n_in} samples, "
-          f"xRT(busy) {m.xrt_busy(cfg.samplerate):,.0f}", file=sys.stderr)
+          f"{tail}", file=sys.stderr)
     return 0
 
 
@@ -326,7 +385,13 @@ def cmd_batch(args) -> int:
         for _, x in members:
             packed[row0:row0 + x.shape[0], : x.shape[1]] = x
             row0 += x.shape[0]
-        out, engine = _process_rows(args, cfg, packed, rate)
+        if args.mesh > 1:
+            out = _process_rows_sharded(args, cfg, packed, rate, args.mesh)
+            tail = f"sharded over {args.mesh} devices"
+        else:
+            out, engine = _process_rows(args, cfg, packed, rate)
+            tail = ("xRT(busy) "
+                    f"{engine.metrics.xrt_busy(cfg.samplerate):,.0f}")
         sr = cfg.samplerate
         row0 = 0
         for p, x in members:
@@ -338,10 +403,8 @@ def cmd_batch(args) -> int:
                        y, cfg)
             row0 += x.shape[0]
             wrote += 1
-        m = engine.metrics
         print(f"{rate} Hz group: {len(members)} files as {rows} rows × "
-              f"{n_max} samples in one dispatch, "
-              f"xRT(busy) {m.xrt_busy(sr):,.0f}", file=sys.stderr)
+              f"{n_max} samples in one dispatch, {tail}", file=sys.stderr)
     print(f"{wrote} files → {args.out_dir}", file=sys.stderr)
     return 0
 

@@ -391,3 +391,48 @@ def test_cli_process_viz_plots(tmp_path, rng):
                  "--dither", "off", "--spectrum-plot", sp,
                  "--waterfall-plot", wf]) == 0
     assert os.path.getsize(sp) > 1000 and os.path.getsize(wf) > 1000
+
+
+def test_cli_mesh_sharded_matches_single_device(tmp_path, rng):
+    """process/batch --mesh N: stream-DP over the virtual mesh — output
+    matches the single-device run (batched-FFT ulps), per-file lengths
+    survive the silent row padding, and --agc-link groups stay shard-local
+    (5 stereo files = 10 rows pad to 16 over 8 shards in whole pairs)."""
+    import os
+
+    srcs = []
+    for i in range(5):
+        s = str(tmp_path / f"m{i}.wav")
+        x = (0.02 * rng.standard_normal((1, 900 + 200 * i))).astype(np.float32)
+        st = np.concatenate([x, np.float32(0.5) * x], axis=0)
+        write_wav(s, st, 44100, float_format=True)
+        srcs.append(s)
+    flags = ["--blocksize", "512", "--upsample", "2", "--numtaps", "65",
+             "--agc", "--agc-link", "--dither", "off"]
+    d1, d8 = str(tmp_path / "one"), str(tmp_path / "eight")
+    assert main(["batch", *srcs, "-o", d1] + flags) == 0
+    assert main(["batch", *srcs, "-o", d8] + flags + ["--mesh", "8"]) == 0
+    for i in range(5):
+        y1, _ = read_wav(os.path.join(d1, f"m{i}.wav"))
+        y8, _ = read_wav(os.path.join(d8, f"m{i}.wav"))
+        assert y8.shape == y1.shape == (2, 900 + 200 * i)
+        np.testing.assert_allclose(y8, y1, atol=1e-6)
+        # the link held inside the sharded run (groups shard-local)
+        assert np.max(np.abs(y8[1] - 0.5 * y8[0])) < 3 * 2.0 ** -23
+
+    # single-file process --mesh, eq gains through the sharded path
+    dst1, dst8 = str(tmp_path / "p1.wav"), str(tmp_path / "p8.wav")
+    pf = ["--blocksize", "512", "--upsample", "2", "--numtaps", "65",
+          "--eq-gains", "1,1,1,2,2,1,1,1,1", "--dither", "off"]
+    assert main(["process", srcs[0], dst1] + pf) == 0
+    assert main(["process", srcs[0], dst8] + pf + ["--mesh", "8"]) == 0
+    y1, _ = read_wav(dst1)
+    y8, _ = read_wav(dst8)
+    np.testing.assert_allclose(y8, y1, atol=1e-6)
+
+    # --mesh + rate conversion fails in the up-front plan (nothing written)
+    d_err = str(tmp_path / "err")
+    with pytest.raises(SystemExit, match="rate conversion"):
+        main(["batch", *srcs, "-o", d_err, "--samplerate", "48000",
+              "--mesh", "8", "--blocksize", "512", "--dither", "off"])
+    assert not os.path.exists(os.path.join(d_err, "m0.wav"))
