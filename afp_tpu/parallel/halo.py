@@ -34,14 +34,28 @@ def _local_causal_conv(chunk_ext: jnp.ndarray, h: jnp.ndarray, n_out: int) -> jn
     return jax.lax.slice_in_dim(y, N - 1, N - 1 + n_out, axis=-1)
 
 
+def batch_axis_of(mesh: Mesh, time_axis: str):
+    """The mesh's stream-DP axis name for 2-D (streams × time) meshes, or
+    None on a pure time mesh — batch rows are independent, so sharding
+    them alongside the halo exchange composes with zero extra collectives
+    (the ppermute stays within each streams row)."""
+    return ("streams" if "streams" in mesh.axis_names
+            and time_axis != "streams" else None)
+
+
 def halo_convolve(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
                   axis: str = "time") -> jnp.ndarray:
     """Causal FIR convolution of a long signal sharded over `axis`.
 
-    `x`: [T] or [B, T] with T divisible by the mesh axis size; `h`: [N].
-    Output matches ``convolve(zero-primed x, h, 'valid')`` == the streaming
-    engine's overlap-save output, but computed as ONE sharded pass with a
-    single neighbor ppermute.
+    `x`: [T] or [B, T] with T divisible by the mesh axis size; `h`: [N]
+    (shared) or [B, N] (per-stream kernels — gain banks).  Output matches
+    ``convolve(zero-primed x, h, 'valid')`` == the streaming engine's
+    overlap-save output, but computed as ONE sharded pass with a single
+    neighbor ppermute.
+
+    On a 2-D (streams × time) mesh the batch rows additionally shard over
+    'streams' — combined stream DP × context parallelism; per-stream
+    kernels shard with their rows.
     """
     h = jnp.asarray(h, dtype=jnp.float32)
     x = jnp.asarray(x, dtype=jnp.float32)
@@ -55,9 +69,14 @@ def halo_convolve(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
     N = h.shape[-1]
     if T // D < N - 1:
         raise ValueError("per-device chunk shorter than the filter halo")
+    bax = batch_axis_of(mesh, axis)
+    if bax and B % mesh.shape[bax]:
+        raise ValueError(
+            f"batch {B} must divide over the {mesh.shape[bax]}-way "
+            f"'{bax}' axis")
 
     def local(chunk, h_rep):
-        # chunk: [B, T/D] local shard
+        # chunk: [B_local, T/D] local shard
         tail = chunk[:, -(N - 1):] if N > 1 else chunk[:, :0]
         D_ = jax.lax.axis_size(axis)
         # push my tail to my right neighbor; shard 0 receives zeros
@@ -67,12 +86,13 @@ def halo_convolve(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
         ext = jnp.concatenate([left_halo, chunk], axis=-1)
         return _local_causal_conv(ext, h_rep, chunk.shape[-1])
 
+    hspec = P(bax, None) if h.ndim == 2 else P()
     out = jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(None, axis), P()),
-            out_specs=P(None, axis),
+            in_specs=(P(bax, axis), hspec),
+            out_specs=P(bax, axis),
             check_vma=False,
         )
     )(x, h)

@@ -50,6 +50,8 @@ def _agc_apply_long(pipe: Pipeline, params: DeviceParams, x: jnp.ndarray,
     from ..ops.agc import (desired_gain, link_desired, moving_rms,
                            smooth_gain_scan)
 
+    from .halo import batch_axis_of
+
     cfg = pipe.cfg
     L = cfg.blocksize
     B, T = x.shape
@@ -60,31 +62,39 @@ def _agc_apply_long(pipe: Pipeline, params: DeviceParams, x: jnp.ndarray,
             f"per-device chunk {C} must be a multiple of blocksize {L} for "
             "AGC (the engine's per-block RMS centering is part of the "
             "reference semantics)")
+    bax = batch_axis_of(mesh, axis)
+    if bax:
+        S = mesh.shape[bax]
+        if B % S or (B // S) % cfg.agc_link_group:
+            raise ValueError(
+                f"batch {B} must divide over the {S}-way '{bax}' axis in "
+                f"whole agc_link_group={cfg.agc_link_group} groups "
+                "(groups are shard-local, like ShardedPipeline)")
 
     w = cfg.agc_window_size
 
     def local_desired(chunk):
-        # chunk [B, C] → per-engine-block RMS ('same' zero-padded per block,
-        # the reference's np.convolve centering) → desired gain
+        # chunk [B_local, C] → per-engine-block RMS ('same' zero-padded per
+        # block, the reference's np.convolve centering) → desired gain
         nb = chunk.shape[-1] // L
-        blk = chunk.reshape(B, nb, L)
+        blk = chunk.reshape(chunk.shape[0], nb, L)
         rms = moving_rms(blk, w)
         d = desired_gain(rms, params.agc_target, params.agc_max_gain)
         # the linked-AGC group-min (`StreamConfig.agc_link_group`), exactly
         # where the streaming engine applies it — between the RMS and the
-        # recurrence; the batch axis is UNSHARDED here (time-sharding), so
-        # every shard sees whole groups
+        # recurrence; groups are shard-local (validated above), so every
+        # shard sees whole groups
         d = link_desired(d, cfg.agc_link_group)
         if not cfg.agc_carry:
             # reference per-block restart (`stream_process_AGC.py:66-67`):
             # the recurrence is block-local → fully parallel, no hand-off
             d = smooth_gain_scan(d, float(pipe.agc.a_att),
                                  float(pipe.agc.a_rel), init=None)
-        return d.reshape(B, -1)
+        return d.reshape(chunk.shape[0], -1)
 
     d = jax.jit(jax.shard_map(
         local_desired, mesh=mesh,
-        in_specs=P(None, axis), out_specs=P(None, axis), check_vma=False,
+        in_specs=P(bax, axis), out_specs=P(bax, axis), check_vma=False,
     ))(x)
 
     if cfg.agc_carry:
@@ -130,6 +140,14 @@ def filter_long_signal(pipe: Pipeline, params: DeviceParams, x: jnp.ndarray,
     `T` must divide over the mesh axis and the per-device chunk must exceed
     the cascade length.  Equivalent to streaming the signal through the
     pipeline (dither-off) block by block.
+
+    On a 2-D (streams × time) mesh — ``make_mesh(8, ('streams', 'time'),
+    shape=(2, 4))`` — the batch rows additionally shard over 'streams'
+    (combined stream DP × context parallelism): rows are independent, so
+    the halo ppermute stays within each streams row and the AGC hand-off
+    still transfers only [B] scalars per time shard.  Per-stream kernel
+    banks shard with their rows; `agc_link_group` groups must be
+    shard-local (batch//S divisible, like ShardedPipeline).
     """
     if not pipe.fused:
         raise ValueError("long-signal mode requires fuse_rate_conversion=True")

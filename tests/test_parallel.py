@@ -560,3 +560,65 @@ def test_state_spec_pair_tail():
     spec = _state_spec(st)
     assert isinstance(spec.conv_tail, tuple) and len(spec.conv_tail) == 2
     assert spec.conv_tail[0] == P("streams", None)
+
+
+def test_filter_long_signal_2d_mesh_matches_streaming(rng):
+    """Combined stream-DP × context parallelism: a 2×4 (streams × time)
+    mesh shards the batch rows AND the time axis in one pass — output ≡
+    the streaming engine, with AGC carry + the stereo link (groups
+    shard-local) and per-stream gain banks sharding with their rows."""
+    from afp_tpu.engine.batch import with_per_stream_gains
+    from afp_tpu.parallel.long import filter_long_signal
+
+    # max_gain 2 keeps the loud rows under the ±0.99 clips — a biting clip
+    # is a real nonlinearity that would break the bitwise ratio check
+    cfg = make_cfg(batch=4, upsample_factor=2, blocksize=512,
+                   dither_kind="off", agc_enabled=True, agc_carry=True,
+                   agc_window_size=256, agc_link_group=2, agc_max_gain=2.0,
+                   output_clip=0.99)
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    gains = np.ones((4, params.eq_gains.shape[-1]), np.float32)
+    gains[2:] *= 0.7
+    params = with_per_stream_gains(pipe, params, gains)
+
+    T = 8 * 1024
+    sig = (rng.normal(size=(4, T)) * 0.05).astype(np.float32)
+    sig[1::2] = np.float32(0.5) * sig[0::2]
+    _, streamed = pipe.process_signal(params, pipe.init_state(), sig)
+
+    mesh2d = make_mesh(8, axis_names=("streams", "time"), shape=(2, 4))
+    sharded = np.asarray(filter_long_signal(pipe, params, sig, mesh2d))
+    np.testing.assert_allclose(sharded, np.asarray(streamed), atol=2e-5)
+    # the link held exactly inside the 2-D sharded run
+    np.testing.assert_array_equal(sharded[1::2],
+                                  sharded[0::2] * np.float32(0.5))
+
+    # shard-straddling link groups are rejected, not silently broken
+    bad = make_cfg(batch=2, blocksize=512, agc_enabled=True,
+                   agc_link_group=2, dither_kind="off")
+    bpipe = Pipeline(bad)
+    bparams = bpipe.device_params(PipelineParams.design(bpipe.cfg))
+    with pytest.raises(ValueError, match="shard-local"):
+        filter_long_signal(bpipe, bparams,
+                           (rng.normal(size=(2, T)) * 0.05).astype(np.float32),
+                           mesh2d)
+
+
+def test_halo_convolve_2d_mesh(rng):
+    """halo_convolve on the 2-D mesh: rows shard over 'streams', the halo
+    ppermute rides the 'time' axis — matches the time-only-mesh result
+    bitwise, incl. per-stream [B, N] kernels; indivisible batch rejected."""
+    mesh2d = make_mesh(8, axis_names=("streams", "time"), shape=(2, 4))
+    tmesh = make_mesh(4, axis_names=("time",))
+    x = (rng.normal(size=(4, 4096)) * 0.3).astype(np.float32)
+    h = (rng.normal(size=65) * 0.1).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(halo_convolve(x, h, mesh2d)),
+        np.asarray(halo_convolve(x, h, tmesh)))
+    hb = (rng.normal(size=(4, 65)) * 0.1).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(halo_convolve(x, hb, mesh2d)),
+        np.asarray(halo_convolve(x, hb, tmesh)))
+    with pytest.raises(ValueError, match="divide over"):
+        halo_convolve(x[:3], h, mesh2d)
