@@ -130,3 +130,67 @@ def test_fuzz_config_invariants(seed, monkeypatch):
                                  - y_sig.astype(np.int64))) <= 1
         else:
             np.testing.assert_allclose(y_fold, y_sig, atol=CPU_ATOL)
+
+
+@pytest.mark.parametrize("seed", range(N_DRAWS))
+def test_fuzz_sharded_matches_unsharded(seed, monkeypatch):
+    """The same config draws, re-shaped to a 4-shard batch: stream-DP over
+    the virtual mesh must reproduce the single-device pipeline (batched-FFT
+    ulps; ±1 LSB for int16 emit).  Dither is forced off — sharded runs use
+    per-shard dither keys by design, so only the noiseless outputs are
+    comparable across layouts."""
+    import jax
+
+    from afp_tpu.parallel import ShardedPipeline, make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    rng = np.random.default_rng(1000 + seed)  # same draws as the main fuzz
+    raw = _draw(rng)
+    try:
+        cfg = dataclasses.replace(
+            raw, batch=4 * raw.agc_link_group,  # whole groups per shard
+            dither_kind="off").validate()
+    except ValueError:
+        return
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    sig = _blocks(rng, cfg)
+
+    def ingest(b):
+        if cfg.ingest == "pair":
+            from afp_tpu.ops.pallas.fir_td import split_bf16
+
+            return split_bf16(jnp.asarray(b))
+        return jnp.asarray(b)
+
+    st = pipe.init_state(seed=3)
+    ref = []
+    for b in sig:
+        st, y = pipe.step(params, st, ingest(b))
+        ref.append(np.asarray(y))
+    ref = np.stack(ref)
+
+    sp = ShardedPipeline(cfg, make_mesh(4))
+    spp = sp.device_params(PipelineParams.design(sp.cfg))
+    sst = sp.init_state(seed=3)
+    got = []
+    for b in sig:
+        sst, y = sp.step(spp, sst, ingest(b))
+        got.append(np.asarray(y))
+    got = np.stack(got)
+    # the approximate AGC modes branch on attack-vs-release per sample/
+    # chunk (`desired > g_prev`); a near-tie can flip when the batch layout
+    # shifts XLA's f32 reassociation by an ulp — both branches give nearly
+    # identical gains at a tie (the ops' documented behavior), observed as
+    # isolated ~1e-6 diffs (seeds 10/14/18: parallel and fast modes).  The
+    # exact mode rides the interpret/Pallas kernels whose per-row math is
+    # batch-independent, and stays at the strict bound.
+    approx_agc = cfg.agc_enabled and cfg.agc_mode != "exact"
+    atol = 1e-4 if approx_agc else 1e-6
+    if got.dtype == np.int16:
+        assert np.max(np.abs(got.astype(np.int64)
+                             - ref.astype(np.int64))) <= 1, raw
+    else:
+        np.testing.assert_allclose(got, ref, atol=atol)
