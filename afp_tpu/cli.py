@@ -77,6 +77,22 @@ def _add_config_args(ap: argparse.ArgumentParser) -> None:
                          "real output).  1 = single-device engine path")
 
 
+def _eq_gains_into(args, cfg):
+    """Fold --eq-gains into ``cfg.eq_bands`` — the single parse/validate
+    point for every path (engine, sharded, preset save)."""
+    if not getattr(args, "eq_gains", None):
+        return cfg
+    import dataclasses
+
+    gains = [float(g) for g in args.eq_gains.split(",")]
+    if len(gains) != len(cfg.eq_bands):
+        raise SystemExit(f"--eq-gains needs {len(cfg.eq_bands)} values, "
+                         f"got {len(gains)}")
+    return dataclasses.replace(cfg, eq_bands=tuple(
+        dataclasses.replace(b, gain=g)
+        for b, g in zip(cfg.eq_bands, gains)))
+
+
 def _build_config(args, samplerate: int):
     from .engine import StreamConfig
 
@@ -108,8 +124,9 @@ def _build_config(args, samplerate: int):
 
 def _configure(args, rate: int, batch_rows: int, link_group: int):
     """StreamConfig for ``batch_rows`` rows of ``rate``-Hz audio under the
-    process/batch flags: preset overlay, --agc-link, ingest/emit gating,
-    ASRC wiring.  ``link_group`` is only applied when --agc-link is set."""
+    process/batch flags: preset overlay, --eq-gains (overrides the
+    preset's), --agc-link, ingest/emit gating, ASRC wiring.
+    ``link_group`` is only applied when --agc-link is set."""
     import dataclasses
 
     sr = args.samplerate or rate
@@ -125,6 +142,7 @@ def _configure(args, rate: int, batch_rows: int, link_group: int):
         # blocksize, ingest, emit, ...) stay the flags' — PresetStore's
         # EXCLUDED_FIELDS contract
         cfg = store.load_preset(args.preset, cfg)
+    cfg = _eq_gains_into(args, cfg)  # after the preset: flags override it
     cfg = dataclasses.replace(cfg, batch=batch_rows)
     if getattr(args, "agc_link", False):
         # consult the EFFECTIVE config: agc_enabled is a sound field a
@@ -161,10 +179,7 @@ def _process_rows(args, cfg, x: np.ndarray, rate: int):
     with ``out`` trimmed to the (converted) input length."""
     from .engine import StreamEngine
 
-    engine = StreamEngine(cfg)
-    if args.eq_gains:
-        gains = [float(g) for g in args.eq_gains.split(",")]
-        engine.set_eq_gains(gains)
+    engine = StreamEngine(cfg)  # --eq-gains already live in cfg.eq_bands
     n_in = x.shape[1]
     sr = cfg.samplerate
     if engine._asrc_frontend is not None:
@@ -195,7 +210,7 @@ def _process_rows(args, cfg, x: np.ndarray, rate: int):
     return out, engine
 
 
-def _process_rows_sharded(args, cfg, x: np.ndarray, rate: int, n_dev: int):
+def _process_rows_sharded(args, cfg, x: np.ndarray, n_dev: int):
     """[rows, n] sharded over the first `n_dev` devices (stream DP,
     `ShardedPipeline.process_signal` — the per-shard offline fold).  Rows
     pad with silent streams to divide over the mesh in whole link groups;
@@ -212,14 +227,6 @@ def _process_rows_sharded(args, cfg, x: np.ndarray, rate: int, n_dev: int):
     if len(jax.devices()) < n_dev:
         raise SystemExit(f"--mesh {n_dev}: only {len(jax.devices())} "
                          "devices available")
-    if args.eq_gains:
-        gains = [float(g) for g in args.eq_gains.split(",")]
-        if len(gains) != len(cfg.eq_bands):
-            raise SystemExit(f"--eq-gains needs {len(cfg.eq_bands)} values, "
-                             f"got {len(gains)}")
-        cfg = dataclasses.replace(cfg, eq_bands=tuple(
-            dataclasses.replace(b, gain=g)
-            for b, g in zip(cfg.eq_bands, gains)))
     rows, n_in = x.shape
     group = cfg.agc_link_group if cfg.agc_enabled else 1
     unit = n_dev * group  # every shard holds whole groups
@@ -231,11 +238,12 @@ def _process_rows_sharded(args, cfg, x: np.ndarray, rate: int, n_dev: int):
         rem = cfg.blocksize - n_in % cfg.blocksize
         x = np.concatenate([x, np.zeros((x.shape[0], rem), x.dtype)], axis=1)
     sp = ShardedPipeline(cfg, make_mesh(n_dev))
-    params = sp.device_params(PipelineParams.design(sp.cfg))
+    design = PipelineParams.design(sp.cfg)
+    params = sp.device_params(design)
     _, out = sp.process_signal(params, sp.init_state(seed=0), x,
                                fold="prefer")
     out = np.asarray(out)[:rows]
-    return out[:, :n_in] if out.shape[1] > n_in else out
+    return (out[:, :n_in] if out.shape[1] > n_in else out), design
 
 
 def _write_out(path: str, out: np.ndarray, cfg) -> None:
@@ -249,11 +257,15 @@ def _write_out(path: str, out: np.ndarray, cfg) -> None:
         write_wav(path, out, cfg.samplerate, width=3)
 
 
-def _viz_outputs(args, out: np.ndarray, cfg) -> None:
+def _viz_outputs(args, out: np.ndarray, cfg, taps=None) -> None:
     """--spectrum-plot / --waterfall-plot: the reference GUIs' observation
     surfaces (`stream_process_EQ_GUI.py:395-411` spectrum overlay,
     `stream_process_GUI_Waterfall.py:312-339` 3-D history) rendered offline
-    from the processed output's first channel, per engine block."""
+    from the processed output's first channel, per engine block.  The
+    spectrum overlay power-means EVERY block; the waterfall shows the last
+    50 (its fixed history depth).  `taps`: the already-designed main
+    kernel (avoids re-running the cold design path); designed here only
+    if absent."""
     sp = getattr(args, "spectrum_plot", None)
     wf = getattr(args, "waterfall_plot", None)
     if not (sp or wf):
@@ -267,17 +279,20 @@ def _viz_outputs(args, out: np.ndarray, cfg) -> None:
     if y.shape[-1] < L:
         y = np.pad(y, (0, L - y.shape[-1]))
     nb = y.shape[-1] // L
-    blk = y[: nb * L].reshape(nb, L)[-WATERFALL_DEPTH:]
-    db = np.asarray(spectrum_db(blk))
+    db = np.asarray(spectrum_db(y[: nb * L].reshape(nb, L)))
     freqs = spectrum_freqs(L, float(cfg.samplerate))
     if sp:
-        from .engine.config import PipelineParams
         from .viz import plot_filter_response
 
-        # power-mean across blocks (a dB mean would bias toward quiet blocks)
+        if taps is None:
+            from .engine.config import PipelineParams
+
+            taps = PipelineParams.design(cfg).main_taps
+        # power-mean across ALL blocks (a dB mean would bias toward quiet
+        # blocks; a tail-only slice would misrepresent long files)
         mean_db = 10.0 * np.log10(np.mean(10.0 ** (db / 10.0), axis=0) + 1e-30)
         plot_filter_response(
-            PipelineParams.design(cfg).main_taps, fs=cfg.upsampled_rate,
+            taps, fs=cfg.upsampled_rate,
             filter_type=cfg.filter_type, save_path=sp,
             spectrum=(freqs, mean_db))
         print(f"spectrum plot: {sp}", file=sys.stderr)
@@ -285,9 +300,10 @@ def _viz_outputs(args, out: np.ndarray, cfg) -> None:
         from .viz import plot_waterfall
 
         # newest-last depth-50 ring, floor-primed — the waterfall_init/push
-        # layout with the file's last `nb` block spectra
+        # layout with the file's last ≤50 block spectra
+        tail = db[-WATERFALL_DEPTH:]
         ring = np.full((WATERFALL_DEPTH, db.shape[-1]), -200.0, np.float32)
-        ring[WATERFALL_DEPTH - db.shape[0]:] = db
+        ring[WATERFALL_DEPTH - tail.shape[0]:] = tail
         plot_waterfall(ring, freqs, block_seconds=L / float(cfg.samplerate),
                        save_path=wf)
         print(f"waterfall plot: {wf}", file=sys.stderr)
@@ -308,13 +324,14 @@ def cmd_process(args) -> int:
     cfg = _configure(args, rate, batch_rows=x.shape[0],
                      link_group=x.shape[0])
     if args.mesh > 1:
-        out = _process_rows_sharded(args, cfg, x, rate, args.mesh)
+        out, design = _process_rows_sharded(args, cfg, x, args.mesh)
         tail = f"sharded over {args.mesh} devices"
     else:
         out, engine = _process_rows(args, cfg, x, rate)
+        design = engine.design
         tail = f"xRT(busy) {engine.metrics.xrt_busy(cfg.samplerate):,.0f}"
     _write_out(args.output, out, cfg)
-    _viz_outputs(args, out, cfg)
+    _viz_outputs(args, out, cfg, taps=design.main_taps)
     print(f"{args.input} → {args.output}: {x.shape[0]} ch × {n_in} samples, "
           f"{tail}", file=sys.stderr)
     return 0
@@ -386,7 +403,7 @@ def cmd_batch(args) -> int:
             packed[row0:row0 + x.shape[0], : x.shape[1]] = x
             row0 += x.shape[0]
         if args.mesh > 1:
-            out = _process_rows_sharded(args, cfg, packed, rate, args.mesh)
+            out, _ = _process_rows_sharded(args, cfg, packed, args.mesh)
             tail = f"sharded over {args.mesh} devices"
         else:
             out, engine = _process_rows(args, cfg, packed, rate)
@@ -435,17 +452,7 @@ def cmd_preset(args) -> int:
             raise SystemExit(f"unknown preset {args.name!r} in {args.store}")
         return 0
     # save: snapshot the sound the design/EQ/AGC flags describe
-    import dataclasses
-
-    cfg = _build_config(args, args.samplerate or 44100)
-    if args.eq_gains:
-        gains = [float(g) for g in args.eq_gains.split(",")]
-        if len(gains) != len(cfg.eq_bands):
-            raise SystemExit(f"--eq-gains needs {len(cfg.eq_bands)} values, "
-                             f"got {len(gains)}")
-        cfg = dataclasses.replace(cfg, eq_bands=tuple(
-            dataclasses.replace(b, gain=g)
-            for b, g in zip(cfg.eq_bands, gains)))
+    cfg = _eq_gains_into(args, _build_config(args, args.samplerate or 44100))
     store.save_preset(args.name, cfg.validate())
     print(f"saved preset {args.name!r} → {args.store}", file=sys.stderr)
     return 0

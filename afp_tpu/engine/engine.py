@@ -93,6 +93,10 @@ class StreamEngine:
             design = _fallback_params(
                 self.cfg, self.pipeline.n_kernel, len(self.cfg.eq_bands)
             )
+        #: the host-side design (raw taps) behind :attr:`params` — for
+        #: observation surfaces (response plots) that need the kernels
+        #: without re-running the cold design path
+        self.design: PipelineParams = design
         self.params: DeviceParams = self.pipeline.device_params(design)
         self.state: StreamState = self.pipeline.init_state(seed=self._seed)
         # block-exact host ASRC (asrc_mode='exact'): the frontend regroups
@@ -163,6 +167,7 @@ class StreamEngine:
             # attribute stores only)
             with self._swap_lock:
                 self.pipeline.refresh_dynamic(new_cfg)
+                self.design = design
                 self.params = params
                 self.cfg = new_cfg
                 self._block_seconds = new_cfg.blocksize / new_cfg.samplerate

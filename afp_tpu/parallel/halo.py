@@ -70,6 +70,8 @@ def halo_convolve(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
     if T // D < N - 1:
         raise ValueError("per-device chunk shorter than the filter halo")
     bax = batch_axis_of(mesh, axis)
+    if bax and B == 1:
+        bax = None  # mono signal on a 2-D mesh: replicate the row
     if bax and B % mesh.shape[bax]:
         raise ValueError(
             f"batch {B} must divide over the {mesh.shape[bax]}-way "
@@ -102,6 +104,17 @@ def halo_convolve(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
 def halo_convolve_sharded(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
                           axis: str = "time") -> jnp.ndarray:
     """Like :func:`halo_convolve` but placing the input sharded first (for
-    HBM-resident long signals already distributed across the mesh)."""
-    sharding = NamedSharding(mesh, P(None, axis) if x.ndim == 2 else P(axis))
-    return halo_convolve(jax.device_put(x, sharding), h, mesh, axis)
+    HBM-resident long signals already distributed across the mesh) — on a
+    2-D mesh the placement matches halo_convolve's (streams × time) specs,
+    so the dispatch resharding it exists to avoid stays avoided."""
+    if x.ndim == 2:
+        bax = batch_axis_of(mesh, axis)
+        # mirror halo_convolve's row handling: mono replicates; an
+        # indivisible batch will raise there, so don't pre-shard it
+        if bax and (x.shape[0] == 1 or x.shape[0] % mesh.shape[bax]):
+            bax = None
+        spec = P(bax, axis)
+    else:
+        spec = P(axis)
+    return halo_convolve(jax.device_put(x, NamedSharding(mesh, spec)),
+                         h, mesh, axis)

@@ -63,6 +63,8 @@ def _agc_apply_long(pipe: Pipeline, params: DeviceParams, x: jnp.ndarray,
             "AGC (the engine's per-block RMS centering is part of the "
             "reference semantics)")
     bax = batch_axis_of(mesh, axis)
+    if bax and B == 1:
+        bax = None  # mono signal on a 2-D mesh: replicate the row
     if bax:
         S = mesh.shape[bax]
         if B % S or (B // S) % cfg.agc_link_group:

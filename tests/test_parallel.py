@@ -622,3 +622,38 @@ def test_halo_convolve_2d_mesh(rng):
         np.asarray(halo_convolve(x, hb, tmesh)))
     with pytest.raises(ValueError, match="divide over"):
         halo_convolve(x[:3], h, mesh2d)
+
+
+def test_halo_2d_mesh_mono_replicates(rng):
+    """A mono ([T] or [1, T]) signal on a 2-D (streams × time) mesh
+    replicates the row instead of failing divisibility — the documented
+    1-D input keeps working; halo_convolve_sharded pre-places with the
+    same spec halo_convolve shard_maps with (no silent reshard)."""
+    from afp_tpu.parallel import halo_convolve_sharded
+    from afp_tpu.parallel.long import filter_long_signal
+
+    mesh2d = make_mesh(8, axis_names=("streams", "time"), shape=(2, 4))
+    tmesh = make_mesh(4, axis_names=("time",))
+    x = (rng.normal(size=4096) * 0.3).astype(np.float32)
+    h = (rng.normal(size=65) * 0.1).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(halo_convolve(x, h, mesh2d)),
+        np.asarray(halo_convolve(x, h, tmesh)))
+    np.testing.assert_array_equal(
+        np.asarray(halo_convolve_sharded(x[None], h, mesh2d)),
+        np.asarray(halo_convolve(x, h, tmesh))[None])
+    # 2-row batch pre-placed sharded: matches the unsharded-entry result
+    x2 = (rng.normal(size=(2, 4096)) * 0.3).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(halo_convolve_sharded(x2, h, mesh2d)),
+        np.asarray(halo_convolve(x2, h, tmesh)))
+
+    cfg = make_cfg(batch=1, upsample_factor=2, blocksize=512,
+                   dither_kind="off", agc_enabled=True, agc_carry=True,
+                   agc_window_size=256, agc_max_gain=2.0)
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    sig = (rng.normal(size=8 * 1024) * 0.05).astype(np.float32)
+    _, streamed = pipe.process_signal(params, pipe.init_state(), sig[None])
+    mono = np.asarray(filter_long_signal(pipe, params, sig, mesh2d))
+    np.testing.assert_allclose(mono, np.asarray(streamed)[0], atol=2e-5)
