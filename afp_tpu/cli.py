@@ -6,6 +6,8 @@ speed::
 
     python -m afp_tpu process in.wav out.wav --cutoff 11000 --numtaps 301
     python -m afp_tpu batch 'stems/*.wav' -o filtered/ --agc --agc-link
+    python -m afp_tpu stream in.wav --seconds 5          # paced live stream
+    python -m afp_tpu stream --audio --seconds 10        # real sound card
     python -m afp_tpu devices
     python -m afp_tpu design --cutoff 11000 --numtaps 301 --plot resp.png
     python -m afp_tpu preset save warm --store p.json --eq-gains 2,2,1,1,1,1,1,1,1
@@ -426,6 +428,166 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Live streaming from the CLI — the reference's deployment shape (its
+    scripts run a paced duplex stream until interrupted,
+    `/root/reference/stream_process.py:100-130`), previously reachable only
+    through the example scripts.
+
+    Default backend is the hardware-free
+    :class:`~afp_tpu.runtime.dispatcher.SimulatedStream`: the native
+    monotonic pacer enforces the true block rate, so underruns/overruns
+    and engine load are real measurements.  ``--lockstep`` drops the
+    pacing (1-in-1-out, no priming silence, nothing dropped) — the mode
+    to use with ``-o`` captures.  ``--audio`` opens the PortAudio duplex
+    bridge on hosts with a sound card (mic → engine → speakers; no input
+    file).  ``--fault-*`` inject driver faults to exercise the
+    degradation ladder (§5.3).  Exit prints ONE JSON metrics line
+    (blocks, underruns, overruns, drops, ladder counters, xrt_busy, ring
+    stats) to stdout."""
+    import json
+    import math
+    import time as timemod
+
+    from .engine import StreamEngine
+
+    if args.mesh > 1:
+        raise SystemExit("stream runs the single-device dispatcher; "
+                         "--mesh applies to process/batch")
+    pcm16 = args.ingest == "pcm16"
+
+    # ---- source material ----
+    if args.audio:
+        if args.input or args.tone is not None:
+            raise SystemExit("--audio streams the sound card's own input; "
+                             "drop the input file/--tone")
+        rate = args.samplerate or 44100
+        batch = 1
+        x = None
+    elif args.input:
+        from .utils import read_wav, read_wav_pcm16
+
+        x, rate = (read_wav_pcm16 if pcm16 else read_wav)(args.input)
+        batch = x.shape[0]
+    elif args.tone is not None:
+        if pcm16:
+            raise SystemExit("--tone generates float samples; use f32 "
+                             "ingest (or stream a 16-bit WAV)")
+        rate = args.samplerate or 44100
+        if args.tone <= 0 or args.tone >= rate / 2:
+            raise SystemExit(f"--tone must be in (0, {rate // 2}) Hz")
+        batch = 1
+        x = None  # generated per block below (needs cfg.blocksize first)
+    else:
+        raise SystemExit("stream needs a source: an input WAV, --tone HZ, "
+                         "or --audio")
+
+    cfg = _configure(args, rate, batch_rows=batch, link_group=batch)
+    L = cfg.blocksize
+
+    # ---- duration ----
+    nb_file = None
+    if x is not None:
+        n_in = x.shape[1]
+        if n_in % L:  # zero-pad the final partial block, in the ingest dtype
+            x = np.concatenate(
+                [x, np.zeros((batch, L - n_in % L), x.dtype)], axis=1)
+        nb_file = x.shape[1] // L
+    if args.blocks is not None:
+        n_blocks = args.blocks
+    elif args.seconds is not None:
+        n_blocks = max(1, math.ceil(args.seconds * rate / L))
+    elif nb_file is not None and not args.loop:
+        n_blocks = nb_file
+    elif args.audio:
+        n_blocks = None  # until Ctrl-C
+    else:
+        raise SystemExit("--tone/--loop streams need --seconds or --blocks")
+    if args.loop and nb_file is None:
+        raise SystemExit("--loop needs an input WAV")
+
+    engine = StreamEngine(cfg)
+
+    # ---- real sound card (PortAudio duplex) ----
+    if args.audio:
+        from .runtime.audio import AudioStream
+
+        device = None
+        if args.device is not None:
+            parts = args.device.split(",")
+            device = (int(parts[0]), int(parts[-1]))
+        stream = AudioStream(engine, device=device)
+        stream.start()
+        try:
+            if args.seconds is not None:
+                timemod.sleep(args.seconds)
+            else:
+                print("streaming (Ctrl-C to stop)…", file=sys.stderr)
+                while True:
+                    timemod.sleep(1.0)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            stream.stop()
+            snap = engine.metrics.snapshot()
+            snap["cpu_load"] = round(stream.cpu_load, 4)
+            stream.close()
+        snap["xrt_busy"] = round(engine.metrics.xrt_busy(cfg.samplerate), 1)
+        print(json.dumps(snap))
+        return 0
+
+    # ---- simulated paced stream ----
+    from .runtime.dispatcher import FaultInjector, SimulatedStream
+
+    if x is not None:
+        def source(i: int):
+            j = i % nb_file if args.loop else i
+            if j >= nb_file:
+                return np.zeros((batch, L), x.dtype)  # past EOF (--seconds)
+            return x[:, j * L:(j + 1) * L]
+    else:  # --tone
+        t = np.arange(L, dtype=np.float64) / rate
+        omega = 2.0 * np.pi * args.tone
+
+        def source(i: int):
+            ph = omega * (i * L / rate + t)
+            return (0.3 * np.sin(ph)).astype(np.float32)[None, :]
+
+    faults = None
+    if args.fault_drop or args.fault_late or args.fault_corrupt:
+        faults = FaultInjector(
+            drop_every=args.fault_drop or None,
+            late_every=args.fault_late or None,
+            late_seconds=args.fault_late_ms / 1000.0,
+            corrupt_every=args.fault_corrupt or None)
+
+    captured = [] if (args.output or args.spectrum_plot
+                      or args.waterfall_plot) else None
+    sink = captured.append if captured is not None else None
+    stream = SimulatedStream(engine, source, sink=sink, faults=faults,
+                             realtime=not args.lockstep)
+    snap = stream.run(n_blocks=n_blocks)
+
+    if captured is not None and captured:
+        out = np.concatenate(captured, axis=1)
+        # trim the final block's zero pad back off a non-looped file run
+        # (no ASRC: the chain is causal, so the pad never alters real
+        # samples; under ASRC the stream keeps whole converted blocks)
+        if (nb_file is not None and not args.loop
+                and cfg.source_samplerate is None
+                and n_blocks == nb_file and out.shape[1] > n_in):
+            out = out[:, :n_in]
+        if args.output:
+            _write_out(args.output, out, cfg)
+            print(f"captured {out.shape[1]} samples × {out.shape[0]} ch "
+                  f"→ {args.output}", file=sys.stderr)
+        _viz_outputs(args, out, cfg, taps=engine.design.main_taps)
+    snap["xrt_busy"] = round(engine.metrics.xrt_busy(cfg.samplerate), 1)
+    snap["realtime"] = not args.lockstep
+    print(json.dumps(snap))
+    return 0
+
+
 def cmd_preset(args) -> int:
     """Preset store CRUD — the reference GUI's save/load/delete combobox
     (`stream_process_GUI_Presets.py:143-195`) as a scriptable surface."""
@@ -525,6 +687,52 @@ def main(argv=None) -> int:
     b.add_argument("--preset-store", default="presets.json",
                    help="preset JSON file (default: ./presets.json)")
     b.set_defaults(fn=cmd_batch)
+
+    st = sub.add_parser(
+        "stream",
+        help="live paced streaming (simulated pacer or real sound card)")
+    st.add_argument("input", nargs="?", default=None,
+                    help="WAV source (omit with --tone or --audio)")
+    st.add_argument("-o", "--output", default=None,
+                    help="capture the processed stream to a WAV (use "
+                         "--lockstep: realtime captures include the "
+                         "output ring's priming silence)")
+    _add_config_args(st)
+    st.add_argument("--preset", default=None,
+                    help="apply a named preset from --preset-store (sound "
+                         "fields only)")
+    st.add_argument("--preset-store", default="presets.json")
+    st.add_argument("--seconds", type=float, default=None,
+                    help="stream duration (default: the input file's length)")
+    st.add_argument("--blocks", type=int, default=None,
+                    help="stream duration in engine blocks (wins over "
+                         "--seconds)")
+    st.add_argument("--loop", action="store_true",
+                    help="loop the input WAV (needs --seconds/--blocks)")
+    st.add_argument("--tone", type=float, default=None, metavar="HZ",
+                    help="stream a generated sine instead of a file")
+    st.add_argument("--lockstep", action="store_true",
+                    help="no pacing: 1-in-1-out as fast as possible (the "
+                         "offline capture mode; default paces at the true "
+                         "block rate off the native monotonic pacer)")
+    st.add_argument("--audio", action="store_true",
+                    help="real PortAudio duplex stream (mic → engine → "
+                         "speakers); requires the sounddevice backend")
+    st.add_argument("--device", default=None,
+                    help="--audio device index or 'in,out' pair")
+    st.add_argument("--fault-drop", type=int, default=0, metavar="N",
+                    help="drop every Nth input block (ladder demo)")
+    st.add_argument("--fault-late", type=int, default=0, metavar="N",
+                    help="delay every Nth input block by --fault-late-ms")
+    st.add_argument("--fault-late-ms", type=float, default=5.0)
+    st.add_argument("--fault-corrupt", type=int, default=0, metavar="N",
+                    help="NaN-poison every Nth input block (full-scale "
+                         "click under pcm16 ingest)")
+    st.add_argument("--spectrum-plot", default=None, metavar="PNG",
+                    help="save the response + captured-output spectrum")
+    st.add_argument("--waterfall-plot", default=None, metavar="PNG",
+                    help="save the captured output's 3-D waterfall")
+    st.set_defaults(fn=cmd_stream)
 
     pr = sub.add_parser(
         "preset", help="save/list/show/delete sound presets (JSON store)")

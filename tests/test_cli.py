@@ -436,3 +436,133 @@ def test_cli_mesh_sharded_matches_single_device(tmp_path, rng):
         main(["batch", *srcs, "-o", d_err, "--samplerate", "48000",
               "--mesh", "8", "--blocksize", "512", "--dither", "off"])
     assert not os.path.exists(os.path.join(d_err, "m0.wav"))
+
+
+# ---------------------------------------------------------------- stream
+
+def test_cli_stream_lockstep_matches_process(tmp_path, rng, capsys):
+    """`stream --lockstep -o` captures the paced surface's output; with
+    dither off it is bit-identical to the offline `process` path (the
+    dispatcher is 1-in-1-out in lockstep: no priming, no drops)."""
+    import json
+
+    src = str(tmp_path / "in.wav")
+    cap = str(tmp_path / "cap.wav")
+    ref = str(tmp_path / "ref.wav")
+    x = (0.3 * rng.standard_normal((2, 5000))).astype(np.float32).clip(-1, 1)
+    write_wav(src, x, 44100)
+    flags = ["--blocksize", "1024", "--upsample", "2", "--numtaps", "65",
+             "--dither", "off"]
+    assert main(["stream", src, "-o", cap, "--lockstep"] + flags) == 0
+    snap = json.loads(capsys.readouterr().out)
+    assert snap["blocks"] == 5 and snap["realtime"] is False
+    assert snap["drops"] == 0 and snap["fallback_silence"] == 0
+    assert main(["process", src, ref] + flags) == 0
+    y, rate = read_wav(cap)
+    z, _ = read_wav(ref)
+    assert rate == 44100 and y.shape == (2, 5000)
+    np.testing.assert_array_equal(y, z[:, : y.shape[1]])
+
+
+def test_cli_stream_tone_and_viz(tmp_path, capsys):
+    """--tone generates the source; the spectrum plot renders from the
+    captured output and the metrics line is valid JSON."""
+    import json
+    import os
+
+    plot = str(tmp_path / "spec.png")
+    rc = main(["stream", "--tone", "1000", "--blocks", "4", "--lockstep",
+               "--blocksize", "512", "--upsample", "1", "--numtaps", "33",
+               "--dither", "off", "--spectrum-plot", plot])
+    assert rc == 0
+    snap = json.loads(capsys.readouterr().out)
+    assert snap["blocks"] == 4
+    assert os.path.getsize(plot) > 1000
+
+
+def test_cli_stream_fault_ladder(tmp_path, rng, capsys):
+    """--fault-corrupt exercises the degradation ladder from the CLI: the
+    corrupted blocks are replaced (replay rung), the stream completes, and
+    the captured output stays finite."""
+    import json
+
+    src = str(tmp_path / "in.wav")
+    cap = str(tmp_path / "cap.wav")
+    write_wav(src, (0.2 * rng.standard_normal((1, 8192))).astype(np.float32),
+              44100)
+    rc = main(["stream", src, "-o", cap, "--lockstep", "--blocksize", "1024",
+               "--upsample", "1", "--numtaps", "33", "--dither", "off",
+               "--fault-corrupt", "3"])
+    assert rc == 0
+    snap = json.loads(capsys.readouterr().out)
+    assert snap["fallback_replays"] >= 2  # blocks 3 and 6 of 8
+    y, _ = read_wav(cap)
+    assert y.shape == (1, 8192) and np.all(np.isfinite(y))
+
+
+def test_cli_stream_pcm16_io(tmp_path, rng, capsys):
+    """int16 in both directions through the paced surface: --ingest pcm16
+    + --emit pcm16 captures raw int16 PCM matching the offline process
+    path under the same flags.  ±1 LSB: `process` runs the time-folded
+    path (fold='prefer'), whose host GEMMs reassociate at ~1e-7 in CPU
+    interpret mode (bit-exact on TPU — tests/test_fold.py's documented
+    numerics), and the emit16 quantizer rounds that onto the odd LSB."""
+    from afp_tpu.utils import read_wav_pcm16, write_wav_pcm16
+
+    src = str(tmp_path / "in16.wav")
+    cap = str(tmp_path / "cap16.wav")
+    ref = str(tmp_path / "ref16.wav")
+    q = (rng.standard_normal((1, 4096)) * 8000).astype(np.int16)
+    write_wav_pcm16(src, q, 44100)
+    flags = ["--blocksize", "1024", "--upsample", "2", "--numtaps", "65",
+             "--ingest", "pcm16", "--emit", "pcm16", "--dither", "off"]
+    assert main(["stream", src, "-o", cap, "--lockstep"] + flags) == 0
+    capsys.readouterr()
+    assert main(["process", src, ref] + flags) == 0
+    y, _ = read_wav_pcm16(cap)
+    z, _ = read_wav_pcm16(ref)
+    assert y.dtype == np.int16
+    diff = np.abs(y.astype(np.int32) - z[:, : y.shape[1]].astype(np.int32))
+    assert diff.max() <= 1 and (diff != 0).mean() < 0.01
+
+
+def test_cli_stream_errors(tmp_path, rng):
+    src = str(tmp_path / "in.wav")
+    write_wav(src, np.zeros((1, 2048), np.float32), 44100)
+    with pytest.raises(SystemExit, match="needs a source"):
+        main(["stream"])
+    with pytest.raises(SystemExit, match="--seconds or --blocks"):
+        main(["stream", "--tone", "440"])
+    with pytest.raises(SystemExit, match="--seconds or --blocks"):
+        main(["stream", src, "--loop"])
+    with pytest.raises(SystemExit, match="single-device dispatcher"):
+        main(["stream", src, "--mesh", "2"])
+    with pytest.raises(SystemExit, match="must be in"):
+        main(["stream", "--tone", "99999", "--blocks", "1"])
+    with pytest.raises(SystemExit, match="float samples"):
+        main(["stream", "--tone", "440", "--blocks", "1",
+              "--ingest", "pcm16"])
+    with pytest.raises(SystemExit, match="sound card's own input"):
+        main(["stream", src, "--audio"])
+
+
+def test_cli_stream_realtime_paced(tmp_path, rng, capsys):
+    """The default (paced) mode runs the native monotonic pacer: the run
+    takes at least (n_blocks-1) block periods of wall time and reports
+    realtime=true.  Small shapes keep the engine comfortably under the
+    block budget even on a loaded CI box."""
+    import json
+    import time
+
+    src = str(tmp_path / "in.wav")
+    write_wav(src, (0.1 * rng.standard_normal((1, 4 * 2048))
+                    ).astype(np.float32), 8000)
+    t0 = time.monotonic()
+    rc = main(["stream", src, "--blocksize", "2048", "--upsample", "1",
+               "--numtaps", "17", "--dither", "off"])
+    wall = time.monotonic() - t0
+    assert rc == 0
+    snap = json.loads(capsys.readouterr().out)
+    assert snap["realtime"] is True
+    # 4 blocks at 2048/8000 s each: ≥ 3 inter-block waits of wall time
+    assert wall >= 3 * (2048 / 8000) * 0.9
