@@ -482,7 +482,31 @@ def cmd_stream(args) -> int:
         raise SystemExit("stream needs a source: an input WAV, --tone HZ, "
                          "or --audio")
 
-    cfg = _configure(args, rate, batch_rows=batch, link_group=batch)
+    if args.resume:
+        # restore the checkpointed engine VERBATIM (§5.4: bit-exact
+        # mid-stream resume) — the checkpoint's config governs; design/
+        # deployment flags on the command line are ignored, except the
+        # transport flags, which must agree with how the source is read
+        from .engine.checkpoint import load_checkpoint
+
+        engine = load_checkpoint(args.resume)
+        cfg = engine.cfg
+        if (cfg.ingest == "pcm16") != pcm16:
+            raise SystemExit(f"--resume: checkpoint has ingest="
+                             f"{cfg.ingest!r}; pass matching --ingest")
+        if x is not None and x.shape[0] != cfg.batch:
+            raise SystemExit(f"--resume: checkpoint expects {cfg.batch} "
+                             f"channels, input has {x.shape[0]}")
+        if args.tone is not None and cfg.batch != 1:
+            raise SystemExit("--resume: checkpoint expects "
+                             f"{cfg.batch} channels; --tone generates 1")
+        src_rate = cfg.source_samplerate or cfg.samplerate
+        if rate != src_rate and not args.audio:
+            raise SystemExit(f"--resume: checkpoint expects {src_rate} Hz "
+                             f"input, source is {rate} Hz")
+    else:
+        cfg = _configure(args, rate, batch_rows=batch, link_group=batch)
+        engine = None  # built after duration validation
     L = cfg.blocksize
 
     # ---- duration ----
@@ -493,6 +517,17 @@ def cmd_stream(args) -> int:
             x = np.concatenate(
                 [x, np.zeros((batch, L - n_in % L), x.dtype)], axis=1)
         nb_file = x.shape[1] // L
+        if args.skip_blocks:
+            # resume workflows: run 1 streams blocks [0, K) and
+            # checkpoints; run 2 streams [K, …) with --resume
+            if args.skip_blocks >= nb_file:
+                raise SystemExit(f"--skip-blocks {args.skip_blocks}: the "
+                                 f"input only has {nb_file} blocks")
+            x = x[:, args.skip_blocks * L:]
+            n_in = max(0, n_in - args.skip_blocks * L)
+            nb_file -= args.skip_blocks
+    elif args.skip_blocks:
+        raise SystemExit("--skip-blocks needs an input WAV")
     if args.blocks is not None:
         n_blocks = args.blocks
     elif args.seconds is not None:
@@ -506,7 +541,8 @@ def cmd_stream(args) -> int:
     if args.loop and nb_file is None:
         raise SystemExit("--loop needs an input WAV")
 
-    engine = StreamEngine(cfg)
+    if engine is None:
+        engine = StreamEngine(cfg)
 
     # ---- real sound card (PortAudio duplex) ----
     if args.audio:
@@ -533,6 +569,11 @@ def cmd_stream(args) -> int:
             snap["cpu_load"] = round(stream.cpu_load, 4)
             stream.close()
         snap["xrt_busy"] = round(engine.metrics.xrt_busy(cfg.samplerate), 1)
+        if args.checkpoint_out:
+            from .engine.checkpoint import save_checkpoint
+
+            save_checkpoint(args.checkpoint_out, engine)
+            print(f"checkpoint → {args.checkpoint_out}", file=sys.stderr)
         print(json.dumps(snap))
         return 0
 
@@ -582,6 +623,11 @@ def cmd_stream(args) -> int:
             print(f"captured {out.shape[1]} samples × {out.shape[0]} ch "
                   f"→ {args.output}", file=sys.stderr)
         _viz_outputs(args, out, cfg, taps=engine.design.main_taps)
+    if args.checkpoint_out:
+        from .engine.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint_out, engine)
+        print(f"checkpoint → {args.checkpoint_out}", file=sys.stderr)
     snap["xrt_busy"] = round(engine.metrics.xrt_busy(cfg.samplerate), 1)
     snap["realtime"] = not args.lockstep
     print(json.dumps(snap))
@@ -728,6 +774,17 @@ def main(argv=None) -> int:
     st.add_argument("--fault-corrupt", type=int, default=0, metavar="N",
                     help="NaN-poison every Nth input block (full-scale "
                          "click under pcm16 ingest)")
+    st.add_argument("--checkpoint-out", default=None, metavar="NPZ",
+                    help="save a bit-exact engine checkpoint at stream end "
+                         "(§5.4 — resume later with --resume)")
+    st.add_argument("--resume", default=None, metavar="NPZ",
+                    help="restore the engine from a checkpoint and continue "
+                         "the stream bit-exactly; the checkpoint's config "
+                         "governs (design flags on this command line are "
+                         "ignored).  Pair with --skip-blocks to continue "
+                         "an input file where the first run stopped")
+    st.add_argument("--skip-blocks", type=int, default=0, metavar="K",
+                    help="start the input WAV K engine blocks in")
     st.add_argument("--spectrum-plot", default=None, metavar="PNG",
                     help="save the response + captured-output spectrum")
     st.add_argument("--waterfall-plot", default=None, metavar="PNG",

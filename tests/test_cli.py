@@ -566,3 +566,51 @@ def test_cli_stream_realtime_paced(tmp_path, rng, capsys):
     assert snap["realtime"] is True
     # 4 blocks at 2048/8000 s each: ≥ 3 inter-block waits of wall time
     assert wall >= 3 * (2048 / 8000) * 0.9
+
+
+def test_cli_stream_checkpoint_resume(tmp_path, rng):
+    """Mid-stream checkpoint/resume from the CLI (§5.4): run 1 streams the
+    first 5 blocks and checkpoints; run 2 resumes with --skip-blocks; the
+    joined captures are bit-identical (at the 24-bit WAV grid) to a single
+    full run — WITH dither on (the keyed dither walk rides the state)."""
+    src = str(tmp_path / "in.wav")
+    x = (0.3 * rng.standard_normal((2, 10000))).astype(np.float32).clip(-1, 1)
+    write_wav(src, x, 44100)
+    full, h1, h2 = (str(tmp_path / n) for n in ("f.wav", "1.wav", "2.wav"))
+    ck = str(tmp_path / "ck.npz")
+    flags = ["--lockstep", "--blocksize", "1024", "--upsample", "2",
+             "--numtaps", "65"]
+    assert main(["stream", src, "-o", full] + flags) == 0
+    assert main(["stream", src, "-o", h1, "--blocks", "5",
+                 "--checkpoint-out", ck] + flags) == 0
+    assert main(["stream", src, "-o", h2, "--skip-blocks", "5",
+                 "--resume", ck, "--lockstep"]) == 0
+    f, _ = read_wav(full)
+    j = np.concatenate([read_wav(h1)[0], read_wav(h2)[0]], axis=1)
+    np.testing.assert_array_equal(f, j[:, : f.shape[1]])
+
+
+def test_cli_stream_resume_errors(tmp_path, rng):
+    src = str(tmp_path / "in.wav")
+    write_wav(src, np.zeros((2, 4096), np.float32), 44100)
+    ck = str(tmp_path / "ck.npz")
+    assert main(["stream", src, "--lockstep", "--blocksize", "1024",
+                 "--upsample", "1", "--numtaps", "33", "--dither", "off",
+                 "--checkpoint-out", ck]) == 0
+    mono = str(tmp_path / "mono.wav")
+    write_wav(mono, np.zeros((1, 2048), np.float32), 44100)
+    with pytest.raises(SystemExit, match="expects 2 channels"):
+        main(["stream", mono, "--resume", ck, "--lockstep"])
+    with pytest.raises(SystemExit, match="expects 2 channels"):
+        main(["stream", "--tone", "440", "--blocks", "2", "--resume", ck])
+    wrong_rate = str(tmp_path / "r48.wav")
+    write_wav(wrong_rate, np.zeros((2, 2048), np.float32), 48000)
+    with pytest.raises(SystemExit, match="48000 Hz"):
+        main(["stream", wrong_rate, "--resume", ck, "--lockstep"])
+    with pytest.raises(SystemExit, match="only has 4 blocks"):
+        main(["stream", src, "--lockstep", "--blocksize", "1024",
+              "--upsample", "1", "--numtaps", "33", "--dither", "off",
+              "--skip-blocks", "9"])
+    with pytest.raises(SystemExit, match="needs an input WAV"):
+        main(["stream", "--tone", "440", "--blocks", "2",
+              "--skip-blocks", "1"])
