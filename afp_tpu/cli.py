@@ -66,6 +66,13 @@ def _add_config_args(ap: argparse.ArgumentParser) -> None:
                          "n/32768 conversion, half the transfer bytes; "
                          "forces the td_mxu strategy, no resample; --agc "
                          "works — the AGC kernels read the raw int16)")
+    ap.add_argument("--output-rate", default="base",
+                    choices=["base", "upsampled"],
+                    help="'upsampled': keep the high-rate signal after the "
+                         "FIR instead of decimating back — the output WAV "
+                         "is at samplerate×upsample (the reference's DAC "
+                         "path made explicit; disables the offline fold, "
+                         "which only covers the fused single-rate chain)")
     ap.add_argument("--emit", default="f32", choices=["f32", "pcm16"],
                     help="pcm16: the device quantizes the dithered output "
                          "to int16 PCM in the conv store and the WAV is "
@@ -121,6 +128,7 @@ def _build_config(args, samplerate: int):
         dither_kind=args.dither,
         downsample_mode="resample",
         output_clip=0.99 if args.agc else None,
+        output_rate=getattr(args, "output_rate", "base"),
     )
 
 
@@ -174,6 +182,25 @@ def _configure(args, rate: int, batch_rows: int, link_group: int):
                              "drop --samplerate or run --mesh 1)")
         cfg = dataclasses.replace(cfg, source_samplerate=rate)
     return cfg
+
+
+def _out_rate(cfg) -> int:
+    """The produced stream's sample rate (upsampled output keeps the
+    high-rate grid)."""
+    return (cfg.upsampled_rate if cfg.output_rate == "upsampled"
+            else cfg.samplerate)
+
+
+def _out_samples(cfg, n_in: int, rate: int) -> int:
+    """Exact output length for `n_in` input samples read at `rate` Hz:
+    CEIL under the ASRC (the resample_poly convention — integer
+    arithmetic; float division could round an exact product down and
+    drop the final sample), ×upsample_factor when the output keeps the
+    upsampled grid."""
+    n = -(-n_in * cfg.samplerate // rate) if cfg.samplerate != rate else n_in
+    if cfg.output_rate == "upsampled":
+        n *= cfg.upsample_factor
+    return n
 
 
 def _process_rows(args, cfg, x: np.ndarray, rate: int):

@@ -36,7 +36,8 @@ def _logger():
 #: *sound*, not where/how it runs (a pair-ingest preset re-applied on an
 #: f32 deployment would otherwise change the engine's input contract).
 EXCLUDED_FIELDS = ("samplerate", "blocksize", "batch", "source_samplerate",
-                   "ingest", "emit", "conv_strategy", "agc_link_group")
+                   "ingest", "emit", "conv_strategy", "agc_link_group",
+                   "output_rate")
 
 #: on-disk schema version this build writes
 FORMAT_VERSION = 1
