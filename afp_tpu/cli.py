@@ -166,6 +166,12 @@ def _configure(args, rate: int, batch_rows: int, link_group: int):
         if sr != rate:
             raise SystemExit("--ingest pcm16 is incompatible with rate "
                              "conversion (drop --samplerate, or use f32)")
+        if cfg.output_rate == "upsampled":
+            # StreamConfig.validate would reject the combination with a raw
+            # ValueError; fail in CLI style instead
+            raise SystemExit("--ingest pcm16 is incompatible with "
+                             "--output-rate upsampled (pcm16 rides the "
+                             "fused td_mxu path, which is base-rate only)")
         # td_mxu folds the whole multirate chain either downsample mode —
         # only the strategy changes; the filter chain (and so the output,
         # to the strategies' documented numerics class) stays the CLI's
@@ -229,13 +235,12 @@ def _process_rows(args, cfg, x: np.ndarray, rate: int):
     # streaming (same keyed TPDF distribution), which a file-processing
     # run never observes
     out = engine.process_signal(x, fold="prefer")
-    if engine._asrc_frontend is not None:
-        # exact converted length is CEIL(n·up/down) — the resample_poly
-        # convention; integer arithmetic (float division could also round
-        # an exact product down and drop the final sample)
-        out = out[:, : -(-n_in * sr // rate)]
-    elif out.shape[1] > n_in:
-        out = out[:, : n_in]
+    # exact output length for the input (CEIL under ASRC — the
+    # resample_poly convention; ×upf when the output keeps the upsampled
+    # grid) — _out_samples is the single definition
+    n_out = _out_samples(cfg, n_in, rate)
+    if engine._asrc_frontend is not None or out.shape[1] > n_out:
+        out = out[:, :n_out]
     return out, engine
 
 
@@ -272,18 +277,22 @@ def _process_rows_sharded(args, cfg, x: np.ndarray, n_dev: int):
     _, out = sp.process_signal(params, sp.init_state(seed=0), x,
                                fold="prefer")
     out = np.asarray(out)[:rows]
-    return (out[:, :n_in] if out.shape[1] > n_in else out), design
+    # no ASRC here (rejected above), so rate == cfg.samplerate; the trim
+    # still honors output_rate='upsampled' (n_in × upf output samples)
+    n_out = _out_samples(cfg, n_in, cfg.samplerate)
+    return (out[:, :n_out] if out.shape[1] > n_out else out), design
 
 
 def _write_out(path: str, out: np.ndarray, cfg) -> None:
     from .utils import write_wav, write_wav_pcm16
 
+    rate = _out_rate(cfg)  # the upsampled grid when output_rate='upsampled'
     if cfg.emit == "pcm16":
         # the device already quantized (dither → int16 in the conv store):
         # write the raw samples verbatim — no host float round trip
-        write_wav_pcm16(path, out, cfg.samplerate)
+        write_wav_pcm16(path, out, rate)
     else:
-        write_wav(path, out, cfg.samplerate, width=3)
+        write_wav(path, out, rate, width=3)
 
 
 def _viz_outputs(args, out: np.ndarray, cfg, taps=None) -> None:
@@ -304,12 +313,16 @@ def _viz_outputs(args, out: np.ndarray, cfg, taps=None) -> None:
     y = np.asarray(out[0], dtype=np.float32)
     if out.dtype == np.int16:
         y = y / np.float32(32768.0)
-    L = cfg.blocksize
+    # the output lives on the emitted grid: blocksize·upf samples per engine
+    # block at the upsampled rate when output_rate='upsampled'
+    L = (cfg.upsampled_block if cfg.output_rate == "upsampled"
+         else cfg.blocksize)
+    out_rate = _out_rate(cfg)
     if y.shape[-1] < L:
         y = np.pad(y, (0, L - y.shape[-1]))
     nb = y.shape[-1] // L
     db = np.asarray(spectrum_db(y[: nb * L].reshape(nb, L)))
-    freqs = spectrum_freqs(L, float(cfg.samplerate))
+    freqs = spectrum_freqs(L, float(out_rate))
     if sp:
         from .viz import plot_filter_response
 
@@ -333,7 +346,7 @@ def _viz_outputs(args, out: np.ndarray, cfg, taps=None) -> None:
         tail = db[-WATERFALL_DEPTH:]
         ring = np.full((WATERFALL_DEPTH, db.shape[-1]), -200.0, np.float32)
         ring[WATERFALL_DEPTH - tail.shape[0]:] = tail
-        plot_waterfall(ring, freqs, block_seconds=L / float(cfg.samplerate),
+        plot_waterfall(ring, freqs, block_seconds=L / float(out_rate),
                        save_path=wf)
         print(f"waterfall plot: {wf}", file=sys.stderr)
 
@@ -438,13 +451,13 @@ def cmd_batch(args) -> int:
             out, engine = _process_rows(args, cfg, packed, rate)
             tail = ("xRT(busy) "
                     f"{engine.metrics.xrt_busy(cfg.samplerate):,.0f}")
-        sr = cfg.samplerate
         row0 = 0
         for p, x in members:
             n = x.shape[1]
             y = out[row0:row0 + x.shape[0]]
-            # per-file trim: the group was trimmed to ITS max length above
-            y = y[:, : -(-n * sr // rate)] if sr != rate else y[:, :n]
+            # per-file trim: the group was trimmed to ITS max length above;
+            # _out_samples covers ASRC ceil AND the upsampled output grid
+            y = y[:, : _out_samples(cfg, n, rate)]
             _write_out(os.path.join(args.out_dir, os.path.basename(p)),
                        y, cfg)
             row0 += x.shape[0]
@@ -488,6 +501,27 @@ def cmd_stream(args) -> int:
         if args.input or args.tone is not None:
             raise SystemExit("--audio streams the sound card's own input; "
                              "drop the input file/--tone")
+        # the PortAudio path has no capture sink, no block source to fault,
+        # and no offline viz buffer — reject the flags loudly instead of
+        # silently ignoring them (matching the command's other strict checks)
+        for flag, val in (("-o/--output", args.output),
+                          ("--loop", args.loop),
+                          ("--spectrum-plot", args.spectrum_plot),
+                          ("--waterfall-plot", args.waterfall_plot),
+                          ("--fault-drop", args.fault_drop),
+                          ("--fault-late", args.fault_late),
+                          ("--fault-corrupt", args.fault_corrupt),
+                          ("--lockstep", args.lockstep)):
+            if val:
+                raise SystemExit(f"{flag} is not supported with --audio "
+                                 "(the PortAudio duplex path has no "
+                                 "simulated source/sink)")
+        if args.output_rate == "upsampled":
+            # AudioStream's duplex contract is base-rate (runtime/audio.py
+            # rejects it with a raw ValueError) — fail in CLI style
+            raise SystemExit("--output-rate upsampled is not supported with "
+                             "--audio (the duplex callback is base-rate "
+                             "1-in-1-out)")
         rate = args.samplerate or 44100
         batch = 1
         x = None
@@ -582,7 +616,12 @@ def cmd_stream(args) -> int:
         stream = AudioStream(engine, device=device)
         stream.start()
         try:
-            if args.seconds is not None:
+            if args.blocks is not None:
+                # no simulated tick to count — poll the engine's own block
+                # counter until the requested number has been processed
+                while engine.metrics.blocks_processed < args.blocks:
+                    timemod.sleep(min(0.05, L / rate))
+            elif args.seconds is not None:
                 timemod.sleep(args.seconds)
             else:
                 print("streaming (Ctrl-C to stop)…", file=sys.stderr)
@@ -640,11 +679,14 @@ def cmd_stream(args) -> int:
         out = np.concatenate(captured, axis=1)
         # trim the final block's zero pad back off a non-looped file run
         # (no ASRC: the chain is causal, so the pad never alters real
-        # samples; under ASRC the stream keeps whole converted blocks)
+        # samples; under ASRC the stream keeps whole converted blocks).
+        # _out_samples maps n_in to the output grid (×upf for upsampled)
         if (nb_file is not None and not args.loop
                 and cfg.source_samplerate is None
-                and n_blocks == nb_file and out.shape[1] > n_in):
-            out = out[:, :n_in]
+                and n_blocks == nb_file):
+            n_out = _out_samples(cfg, n_in, rate)
+            if out.shape[1] > n_out:
+                out = out[:, :n_out]
         if args.output:
             _write_out(args.output, out, cfg)
             print(f"captured {out.shape[1]} samples × {out.shape[0]} ch "

@@ -203,6 +203,21 @@ class StreamEngine:
         self._asrc_drain(block)
         return self._asrc_outq.popleft() if self._asrc_outq else None
 
+    def drain_source_blocks(self, block: np.ndarray) -> list:
+        """Push one source-rate block and return EVERY engine block it
+        completes — none, one, or several (up-conversion produces more
+        engine blocks than source blocks).  This is the lockstep-streaming
+        ASRC surface: an output exists exactly when a full converted block
+        does, so no underrun blend or fabricated silence is ever
+        interleaved into the stream (that padding is the REALTIME
+        contract's job).  Without ASRC: one block in, one block out."""
+        if self._asrc_frontend is None:
+            return [self.process_block(block)]
+        self._asrc_drain(block)
+        outs = list(self._asrc_outq)
+        self._asrc_outq.clear()
+        return outs
+
     def _asrc_drain(self, block: np.ndarray) -> None:
         """Push a source-rate block (any length; batch coerced — the
         never-raises contract) and process EVERY completed engine block into

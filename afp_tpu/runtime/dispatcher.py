@@ -224,7 +224,16 @@ class SimulatedStream:
         `stream_process_EQ_GUI.py:454-457`).
         """
         self._stop.clear()
-        self.dispatcher.start()
+        # lockstep + exact-mode ASRC: the source and engine block grids
+        # disagree (a source block completes 0, 1, or 2 engine blocks), so
+        # a threaded 1-in-1-out handoff would interleave underrun blends
+        # into the capture.  Drive the engine synchronously instead —
+        # outputs are emitted exactly when a full converted block exists
+        # (engine.drain_source_blocks), nothing fabricated, nothing lost.
+        lockstep_asrc = (not self.realtime
+                        and self.engine._asrc_frontend is not None)
+        if not lockstep_asrc:
+            self.dispatcher.start()
         pacer = Pacer(self.block_seconds) if self.realtime else None
         warned_load = False
         try:
@@ -248,6 +257,12 @@ class SimulatedStream:
                 blk = self.source(i)
                 if self.faults is not None:
                     blk = self.faults.apply(blk)
+                if lockstep_asrc:
+                    if blk is not None:
+                        for out in self.engine.drain_source_blocks(blk):
+                            if self.sink is not None:
+                                self.sink(out)
+                    continue
                 if blk is not None:
                     self.dispatcher.submit(blk)
                 elif not self.realtime:

@@ -614,3 +614,119 @@ def test_cli_stream_resume_errors(tmp_path, rng):
     with pytest.raises(SystemExit, match="needs an input WAV"):
         main(["stream", "--tone", "440", "--blocks", "2",
               "--skip-blocks", "1"])
+
+
+def test_cli_process_output_rate_upsampled(tmp_path, rng):
+    """--output-rate upsampled writes the high-rate grid: upf× the input
+    length at upf× the header rate (ADVICE r3 high: the trim sites and
+    _write_out used to cut the output back to the base grid — half the
+    audio dropped, wrong header rate)."""
+    src, dst = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    n_in = 4096
+    x = (0.3 * rng.standard_normal((1, n_in))).astype(np.float32).clip(-1, 1)
+    write_wav(src, x, 44100)
+    rc = main(["process", src, dst, "--blocksize", "1024", "--upsample", "2",
+               "--numtaps", "65", "--cutoff", "10000", "--dither", "off",
+               "--output-rate", "upsampled"])
+    assert rc == 0
+    y, rate = read_wav(dst)
+    assert rate == 88200
+    assert y.shape == (1, 2 * n_in)
+    assert np.all(np.isfinite(y))
+    # real audio must fill the WHOLE length (the old trim dropped the
+    # second half entirely)
+    assert np.std(y[:, n_in:]) > 0.01
+
+
+def test_cli_process_output_rate_upsampled_asrc(tmp_path, rng):
+    """ASRC (--samplerate ≠ file rate) composed with upsampled output:
+    length is CEIL(n·sr/rate)·upf at samplerate·upf Hz."""
+    src, dst = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    n_in = 1001
+    x = (0.3 * rng.standard_normal((1, n_in))).astype(np.float32).clip(-1, 1)
+    write_wav(src, x, 44100)
+    rc = main(["process", src, dst, "--samplerate", "48000",
+               "--blocksize", "512", "--upsample", "2", "--numtaps", "65",
+               "--cutoff", "10000", "--dither", "off",
+               "--output-rate", "upsampled"])
+    assert rc == 0
+    y, rate = read_wav(dst)
+    assert rate == 96000
+    assert y.shape[1] == 2 * -(-n_in * 48000 // 44100)
+    assert np.all(np.isfinite(y))
+
+
+def test_cli_stream_output_rate_upsampled_capture(tmp_path, rng, capsys):
+    """stream --lockstep -o with upsampled output captures the full
+    high-rate stream and matches the offline process path."""
+    import json
+
+    src = str(tmp_path / "in.wav")
+    cap, ref = str(tmp_path / "cap.wav"), str(tmp_path / "ref.wav")
+    x = (0.3 * rng.standard_normal((2, 5000))).astype(np.float32).clip(-1, 1)
+    write_wav(src, x, 44100)
+    flags = ["--blocksize", "1024", "--upsample", "2", "--numtaps", "65",
+             "--dither", "off", "--output-rate", "upsampled"]
+    assert main(["stream", src, "-o", cap, "--lockstep"] + flags) == 0
+    snap = json.loads(capsys.readouterr().out)
+    assert snap["blocks"] == 5 and snap["fallback_silence"] == 0
+    assert main(["process", src, ref] + flags) == 0
+    y, rate = read_wav(cap)
+    z, zrate = read_wav(ref)
+    assert rate == 88200 and zrate == 88200
+    assert y.shape == (2, 10000) and z.shape == (2, 10000)
+    np.testing.assert_array_equal(y, z)
+
+
+def test_cli_stream_lockstep_asrc_capture(tmp_path, rng, capsys):
+    """stream --lockstep with --samplerate ≠ file rate (ASRC) captures
+    honestly (ADVICE r3 medium: the threaded 1-in-1-out handoff used to
+    interleave underrun blends/fabricated silence into the capture): the
+    synchronous drain emits a block exactly when a full converted block
+    exists — zero underruns, zero fabricated silence, and the capture is
+    the offline process output's whole-block prefix."""
+    import json
+
+    src = str(tmp_path / "in.wav")
+    cap, ref = str(tmp_path / "cap.wav"), str(tmp_path / "ref.wav")
+    n_in = 16 * 1024  # 16 source blocks at 48 kHz → ~15052 samples at 44.1 k
+    x = (0.3 * rng.standard_normal((1, n_in))).astype(np.float32).clip(-1, 1)
+    write_wav(src, x, 48000)
+    flags = ["--samplerate", "44100", "--blocksize", "1024",
+             "--upsample", "1", "--numtaps", "65", "--dither", "off"]
+    assert main(["stream", src, "-o", cap, "--lockstep"] + flags) == 0
+    snap = json.loads(capsys.readouterr().out)
+    assert snap["underruns"] == 0 and snap["fallback_silence"] == 0
+    assert snap["drops"] == 0
+    y, rate = read_wav(cap)
+    assert rate == 44100
+    # whole converted blocks only — nothing fabricated, nothing stretched.
+    # The frontend converts in 4160-source-sample super-blocks (l_dev for
+    # the 147/160 ratio): 16384 in → 3 chunks × 3822 engine samples =
+    # 11466 buffered → 11 whole 1024-blocks; the rest is streaming latency
+    # (residual super-block + group delay), flushed only offline
+    assert y.shape[1] == 11 * 1024
+    assert main(["process", src, ref] + flags) == 0
+    z, _ = read_wav(ref)
+    np.testing.assert_allclose(y, z[:, : y.shape[1]], atol=2e-6)
+
+
+def test_cli_output_rate_and_audio_gates(tmp_path, rng):
+    """Conflicting-flag combinations exit in CLI style (SystemExit with a
+    message), never as raw tracebacks (ADVICE r3 low ×2)."""
+    src, dst = str(tmp_path / "in16.wav"), str(tmp_path / "out.wav")
+    q = (rng.standard_normal((1, 2048)) * 8000).astype(np.int16)
+    from afp_tpu.utils import write_wav_pcm16
+
+    write_wav_pcm16(src, q, 44100)
+    with pytest.raises(SystemExit, match="output-rate upsampled"):
+        main(["process", src, dst, "--ingest", "pcm16",
+              "--output-rate", "upsampled"])
+    with pytest.raises(SystemExit, match="not supported with --audio"):
+        main(["stream", "--audio", "--output-rate", "upsampled"])
+    with pytest.raises(SystemExit, match="not supported with --audio"):
+        main(["stream", "--audio", "-o", dst])
+    with pytest.raises(SystemExit, match="not supported with --audio"):
+        main(["stream", "--audio", "--fault-drop", "3"])
+    with pytest.raises(SystemExit, match="not supported with --audio"):
+        main(["stream", "--audio", "--lockstep"])
