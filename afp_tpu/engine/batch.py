@@ -93,18 +93,34 @@ def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict]
     * one variant per stream (len == batch),
     * overrides must be shape-preserving (numtaps/blocksize/… are static —
       change them per stream and the batch no longer shares one program),
-    * requires ``conv_strategy='fft'`` (per-stream taps have no shared MXU
-      matmul operand) and ``eq_enabled=False`` (per-band × per-stream
-      cascade banks would be [B, n_bands, F] — design per-stream EQ by
-      folding band gains into the per-stream kernel instead).
+    * ``eq_enabled=False`` (per-band × per-stream cascade banks would be
+      [B, n_bands, F] — design per-stream EQ by folding band gains into
+      the per-stream kernel instead).
+
+    Both conv strategies are supported.  The FFT path carries a [B, F]
+    response bank (true per-stream granularity).  The **td_mxu** path
+    (SURVEY §7.5 on the fast strategy — VERDICT r3 #3) deduplicates the
+    variants into a [D, n_casc] cascade bank plus a per-tile design
+    assignment consumed by the BANKED Pallas kernels
+    (`ops.pallas.fir_td.fir_td_mxu_banked` and the f32/pcm16 serving-ring
+    forms): each batch tile's band matrix is selected by scalar-prefetch
+    ADDRESSING, so per-stream designs run at the shared-kernel dot cost.
+    The price is granularity: streams sharing a design must occupy whole
+    batch-tile row groups (the kernel's tile ladder, ≥ 8 rows, larger
+    when VMEM allows) — group identical designs contiguously, or use the
+    fft strategy for row-level banks.  td_mxu banks additionally require
+    ``ingest='f32'`` (the pair/pcm16 staged steps hand the conv a
+    pre-split block the banked kernel does not consume) and keep the
+    offline fold disabled (scan path; `Pipeline._fold_decision`).
     """
     cfg = pipe.cfg
     if len(variants) != pipe.batch:
         raise ValueError(f"need {pipe.batch} variants, got {len(variants)}")
-    if pipe._use_td:
-        raise NotImplementedError(
-            "per-stream filter banks require conv_strategy='fft'"
-        )
+    if pipe._use_td and cfg.ingest != "f32":
+        raise ValueError(
+            "per-stream filter banks on td_mxu require ingest='f32' "
+            "(pair/pcm16 staged ingest pre-splits the block for the "
+            "shared-band kernels)")
     if cfg.eq_enabled and len(cfg.eq_bands):
         raise NotImplementedError(
             "per-stream filter banks require eq_enabled=False "
@@ -152,4 +168,52 @@ def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict]
     # depends only on the shared cfg — re-designing the base filter here
     # would double the cold bank-build cost for nothing)
     params = pipe.device_params(design0)
-    return params._replace(H_main=H_main)
+    if not pipe._use_td:
+        return params._replace(H_main=H_main)
+
+    # ---- td_mxu: deduplicated design bank + tile-constant assignment ----
+    uniq: dict = {}
+    assign = np.empty(pipe.batch, dtype=np.int32)
+    for b in range(pipe.batch):
+        key = bank[b].tobytes()
+        if key not in uniq:
+            uniq[key] = len(uniq)
+        assign[b] = uniq[key]
+    designs = np.empty((len(uniq), pipe.n_casc))
+    for b in range(pipe.batch):
+        designs[assign[b]] = bank[b]
+    bt = _banked_tile(pipe, assign)
+    return params._replace(
+        H_main=H_main,
+        casc_bank=jnp.asarray(designs, jnp.float32),
+        casc_assign=jnp.asarray(assign[::bt], jnp.int32),
+    )
+
+
+def _banked_tile(pipe: Pipeline, assign: np.ndarray) -> int:
+    """The batch tile the banked kernels will run at: the largest ladder
+    value that divides the batch, sits at or below BOTH kernels' VMEM
+    picks (staged + ring — a smaller tile always fits), and within which
+    the design assignment is CONSTANT.  Raises with guidance when the
+    assignment is too fine (the MXU tile floor is 8 rows)."""
+    from ..ops.pallas.fir_td import (LANE, _pick_b_tile, _pick_b_tile_b3t_f32)
+
+    B = pipe.batch
+    n_casc = pipe.n_casc
+    k_pad = -(-max(n_casc - 1, 1) // LANE) * LANE
+    text = pipe.block + n_casc - 1
+    cap = min(_pick_b_tile(B, text, pipe.block),
+              _pick_b_tile_b3t_f32(B, k_pad, pipe.block))
+    for bt in (256, 128, 64, 32, 16, 8):
+        if bt > cap or B % bt:
+            continue
+        groups = assign.reshape(B // bt, bt)
+        if np.all(groups == groups[:, :1]):
+            return bt
+    if B <= 8 and np.all(assign == assign[0]):
+        return B
+    raise ValueError(
+        "per-stream designs must be constant within aligned batch-tile "
+        "row groups (multiples of 8 rows; the MXU tile floor) — group "
+        "streams with identical designs contiguously, or use "
+        "conv_strategy='fft' for row-level banks")

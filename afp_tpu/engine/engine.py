@@ -24,6 +24,7 @@ from __future__ import annotations
 import threading
 import time
 from collections import deque
+from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -456,8 +457,40 @@ class StreamEngine:
         t0 = time.monotonic()
         with self._swap_lock:
             pipeline, params, state_in = self.pipeline, self.params, self.state
-        state, out = pipeline.process_signal(params, state_in, signal,
-                                             fold=fold)
+        chunk = self._stage_chunk_blocks(signal)
+        if chunk is not None:
+            # double-buffered host→device staging (VERDICT r3 #6): upload
+            # chunk k+1 (async device_put) while chunk k computes, so the
+            # H2D link and the device overlap instead of serializing.
+            # Chunk boundaries sit on block multiples and the state threads
+            # through, so the result is exactly the unchunked scan's; the
+            # fold runs per chunk (same bit-exact-vs-scan class — with
+            # dither on, the noise realization differs per chunking, the
+            # documented fold caveat).
+            L = pipeline.block
+            nb = signal.shape[-1] // L
+            bounds = [(i * L, min(nb, i + chunk) * L)
+                      for i in range(0, nb, chunk)]
+            tail_rem = signal[:, nb * L:]
+            dev = jax.device_put(signal[:, bounds[0][0]:bounds[0][1]])
+            outs = []
+            state = state_in
+            for j, (lo, hi) in enumerate(bounds):
+                nxt = (jax.device_put(
+                    signal[:, bounds[j + 1][0]:bounds[j + 1][1]])
+                    if j + 1 < len(bounds) else None)
+                state, y = pipeline.process_signal(params, state, dev,
+                                                   fold=fold)
+                outs.append(y)
+                dev = nxt
+            if tail_rem.shape[-1]:
+                state, y = pipeline.process_signal(params, state, tail_rem,
+                                                   fold=fold)
+                outs.append(y)
+            out = jnp.concatenate(outs, axis=-1)
+        else:
+            state, out = pipeline.process_signal(params, state_in, signal,
+                                                 fold=fold)
         out = np.asarray(jax.block_until_ready(out))
         with self._swap_lock:
             if self.pipeline is pipeline:
@@ -466,3 +499,20 @@ class StreamEngine:
         n = out.shape[-1]
         self.metrics.record_block(n, busy, n / self.cfg.samplerate)
         return out
+
+    def _stage_chunk_blocks(self, signal) -> Optional[int]:
+        """Blocks per staging chunk for the double-buffered upload path, or
+        None to stage the whole signal in one piece (small signals — the
+        overlap isn't worth the extra dispatches; and int16 ingest, whose
+        transfers are half-size and usually fit one piece).  Override via
+        ``AFP_STAGE_CHUNK_MB`` (0 disables)."""
+        import os
+
+        mb = float(os.environ.get("AFP_STAGE_CHUNK_MB", "64"))
+        if mb <= 0:
+            return None
+        nbytes = signal.size * signal.dtype.itemsize
+        if nbytes <= 2 * mb * 2 ** 20:  # <2 chunks: nothing to overlap
+            return None
+        row_bytes = signal.shape[0] * self.cfg.blocksize * signal.dtype.itemsize
+        return max(1, int(mb * 2 ** 20 / max(row_bytes, 1)))

@@ -65,6 +65,14 @@ class DeviceParams(NamedTuple):
     #: precomputed wide band matrix for per-stream td mixing (rebuilt at
     #: parameter-swap time, not per block — r2 review finding)
     casc_wide: Optional[jnp.ndarray] = None  # [n_casc-1+128, n_bands*128]
+    #: per-stream FILTER banks on td_mxu (`engine.batch
+    #: .with_per_stream_filters`): the deduplicated design bank and the
+    #: PER-TILE design assignment (length B/bt — bt is recovered
+    #: statically from the shape, so it needs no extra field).  The banked
+    #: conv kernels select each batch tile's band matrix by scalar-prefetch
+    #: addressing — per-stream filters at the shared-kernel dot cost.
+    casc_bank: Optional[jnp.ndarray] = None  # [D, n_casc]
+    casc_assign: Optional[jnp.ndarray] = None  # [B // bt] int32
 
     def combined_response(self, eq_enabled: bool,
                           premultiplied: bool = False) -> jnp.ndarray:
@@ -247,6 +255,7 @@ class Pipeline:
         self._agc_one_kernel = False
         if (self._rms_band is not None and self._agc_fused_apply
                 and cfg.agc_link_group == 1
+                and cfg.agc_mode not in ("fast", "parallel")
                 and os.environ.get("AFP_AGC_ONE_KERNEL", "0") == "1"):
             from ..ops.pallas.agc_fused import fused_rms_supported
 
@@ -269,10 +278,16 @@ class Pipeline:
         #: `_conv_pair` below, which is also set by pair/pcm16 ingest —
         #: the ring step's AGC branch and the pcm16 raw-x handoff key on
         #: THIS flag (exact-mode fused semantics), not on `_conv_pair`.
+        #: 'fast' mode's fused blockwise recurrence (chunk-32 attack/release
+        #: + in-kernel interpolation — smooth_gain_apply_pallas(blockwise=))
+        #: rides the SAME fused-apply/ring chain as 'exact'; only
+        #: 'parallel' (the associative-scan solver, an XLA composition)
+        #: stays on the unfused path.
+        self._agc_blockwise = 32 if cfg.agc_mode == "fast" else None
         self._agc_chain_pair = (
             self._agc_fused_apply and self._use_td
             and _td_prec in ("B3", "B3F", "B3C")
-            and cfg.agc_mode not in ("fast", "parallel")
+            and cfg.agc_mode != "parallel"
             and (not self._pl_interpret or self._force_fused)
         )
         self._conv_pair = self._agc_chain_pair
@@ -521,6 +536,17 @@ class Pipeline:
 
     # ---------------- the hot step ----------------
 
+
+    def _banked_operands(self, params: DeviceParams):
+        """(band_stack [D, rows, LANE], per-stream assign [B], bt) for the
+        banked per-stream-filter kernels, from the params bank (bt is
+        recovered statically from the per-tile assignment's length)."""
+        band = jax.vmap(lambda k: jnp.where(
+            self._band_mask, jnp.take(k, self._band_idx), 0.0
+        ))(params.casc_bank)
+        bt = self.batch // params.casc_assign.shape[0]
+        return band, jnp.repeat(params.casc_assign, bt), bt
+
     def _linked(self, d: jnp.ndarray, transposed: bool) -> jnp.ndarray:
         """Apply the ``agc_link_group`` group-min to the desired-gain signal
         (`ops.agc.link_desired`) — identity at group 1.  `transposed`:
@@ -607,6 +633,14 @@ class Pipeline:
             # reads it without its input transpose (one array round trip)
             exact_tpu = cfg.agc_mode not in ("fast", "parallel") and (
                 not self._pl_interpret or self._force_fused)
+            # 'fast' on TPU fuses too (blockwise recurrence inside the
+            # apply kernel) when the fused back half is tileable — the d
+            # array then also rides time-major
+            fast_fused = (cfg.agc_mode == "fast"
+                          and (not self._pl_interpret or self._force_fused)
+                          and self._rms_band is not None
+                          and self._agc_fused_apply)
+            d_tm = exact_tpu or fast_fused
             if exact_tpu and self._agc_one_kernel:
                 # single-kernel AGC: RMS + desired + scan + clip + apply
                 # (+ pair split) in one pass — d never exists in HBM and
@@ -615,8 +649,10 @@ class Pipeline:
                 from ..ops.pallas.agc_fused import agc_rms_apply_pallas
 
                 carry = agc_gain if cfg.agc_carry else None
-                emit = self._conv_pair and not (
-                    cfg.eq_enabled and params.eq_gains.ndim == 2)
+                emit = (self._conv_pair
+                        and not (cfg.eq_enabled
+                                 and params.eq_gains.ndim == 2)
+                        and params.casc_bank is None)
                 x, agc_gain = agc_rms_apply_pallas(
                     x, self.agc.window_size,
                     params.agc_a_att, params.agc_a_rel,
@@ -638,28 +674,34 @@ class Pipeline:
                         params.agc_target, params.agc_max_gain,
                         exact_band=self._rms_exact,
                         interpret=self._pl_interpret,
-                        transposed=exact_tpu,
+                        transposed=d_tm,
                     )
-                    d = self._linked(d, transposed=exact_tpu)
+                    d = self._linked(d, transposed=d_tm)
                 else:
                     rms = moving_rms(x, self.agc.window_size)
                     d = desired_gain(rms, params.agc_target, params.agc_max_gain)
                     d = self._linked(d, transposed=False)
                 carry = agc_gain if cfg.agc_carry else None
-                if exact_tpu and self._rms_band is not None and self._agc_fused_apply:
+                if (exact_tpu or fast_fused) and (
+                        self._rms_band is not None and self._agc_fused_apply):
                     # fully fused back half: scan + clip + apply + carry in one
-                    # kernel — the per-sample gain never round-trips through HBM
+                    # kernel — the per-sample gain never round-trips through
+                    # HBM.  'fast' mode runs the blockwise recurrence inside
+                    # the same kernel (chunk means + interpolation in VMEM)
                     from ..ops.pallas.agc_scan import smooth_gain_apply_pallas
 
                     # pair mode: emit the bf16 hi/lo pair for the pair-input conv
                     # kernel — unless the params carry per-stream banks, whose
                     # kernel consumes f32 (rare; falls back to staged input)
-                    emit = self._conv_pair and not (
-                        cfg.eq_enabled and params.eq_gains.ndim == 2)
+                    emit = (self._conv_pair
+                            and not (cfg.eq_enabled
+                                     and params.eq_gains.ndim == 2)
+                            and params.casc_bank is None)
                     x, agc_gain = smooth_gain_apply_pallas(
                         d, x, params.agc_a_att, params.agc_a_rel,
                         params.agc_max_gain, init=carry, out_clip=0.99,
                         interpret=self._pl_interpret, emit_split=emit,
+                        blockwise=self._agc_blockwise,
                     )
                 else:
                     if cfg.agc_mode == "fast":
@@ -741,6 +783,7 @@ class Pipeline:
                     [state.conv_tail[..., -(n_conv - 1):], x], axis=-1)
             if self._use_td:
                 per_stream = has_eq and params.eq_gains.ndim == 2
+                banked = params.casc_bank is not None
                 # fuse the output stage (±clip, then dither — the reference
                 # order) into the conv kernel's store when nothing else sits
                 # between them (saves one full output r/w round trip per
@@ -776,10 +819,18 @@ class Pipeline:
                 else:
                     from ..ops.pallas.fir_td import fir_td_mxu
 
-                    k = params.combined_cascade(has_eq)
-                    band = jnp.where(
-                        self._band_mask, jnp.take(k, self._band_idx), 0.0
-                    )
+                    if banked:
+                        # per-stream filter banks: [D, rows, LANE] band
+                        # stack built from the deduplicated cascade bank
+                        # (same gather pattern as the shared band)
+                        band = jax.vmap(lambda k: jnp.where(
+                            self._band_mask, jnp.take(k, self._band_idx),
+                            0.0))(params.casc_bank)
+                    else:
+                        k = params.combined_cascade(has_eq)
+                        band = jnp.where(
+                            self._band_mask, jnp.take(k, self._band_idx), 0.0
+                        )
                     oc = cfg.output_clip if fuse_clip else None
                     clip_done = fuse_clip
                     dkw = {}
@@ -801,7 +852,20 @@ class Pipeline:
                                          or cfg.dither_kind == "off"):
                         dkw["emit_i16"] = True
                         emit_done = True
-                    if x_pair:
+                    if banked:
+                        # per-stream filters at the shared-dot cost: the
+                        # per-tile design index selects each tile's band by
+                        # scalar-prefetch addressing.  The AGC pair emit is
+                        # gated off under banked params, so x is f32 and
+                        # `ext` exists on every route here.
+                        from ..ops.pallas.fir_td import fir_td_mxu_banked
+
+                        bt = self.batch // params.casc_assign.shape[0]
+                        y = fir_td_mxu_banked(
+                            ext, band, jnp.repeat(params.casc_assign, bt),
+                            bt=bt, interpret=self._pl_interpret,
+                            out_clip=oc, **dkw)
+                    elif x_pair:
                         # pair-input kernel: no staging pass at all — the
                         # AGC kernel emitted the pair, the tail is carried
                         # as a pair, and the concat happens in VMEM.  The
@@ -979,10 +1043,12 @@ class Pipeline:
         if self._pair_ingest:
             return True
         if self.cfg.agc_enabled:
-            # the AGC-chain ring form needs the exact-mode fused kernels
+            # the AGC-chain ring form needs the fused kernels
             # (`_agc_chain_pair`, NOT `_conv_pair` — pcm16 ingest forces
-            # the latter True even under fast/parallel AGC modes, whose
-            # semantics the ring chain does not implement)
+            # the latter True even under the 'parallel' AGC mode, whose
+            # associative-scan solver the ring chain does not implement).
+            # 'exact' runs the per-sample recurrence, 'fast' the blockwise
+            # one — both inside the same fused apply kernel.
             return bool(self._agc_chain_pair and self._rms_band is not None
                         and not self._asrc_device)
         return bool(self._use_td and self._td_b3 and not self._asrc_device)
@@ -1040,8 +1106,19 @@ class Pipeline:
         S, B, T = ring_hi.shape
         kp = self._k_pad
         idx = jnp.asarray(idx, dtype=jnp.int32)
-        k = params.combined_cascade(has_eq)
-        band = jnp.where(self._band_mask, jnp.take(k, self._band_idx), 0.0)
+        banked = params.casc_bank is not None
+        rkw = {}
+        if banked:
+            if self._pair_ingest or cfg.agc_enabled:
+                raise ValueError(
+                    "per-stream filter banks ride the f32/pcm16 conv rings "
+                    "only — pair ingest and the fused AGC chain consume "
+                    "the shared band (use step(), or drop the bank)")
+            band, rkw["assign"], rkw["bt"] = self._banked_operands(params)
+        else:
+            k = params.combined_cascade(has_eq)
+            band = jnp.where(self._band_mask, jnp.take(k, self._band_idx),
+                             0.0)
         fuse_dither = cfg.dither_kind != "off" and not self._pl_interpret
         key = state.key
         dkw = {}
@@ -1080,7 +1157,7 @@ class Pipeline:
             out_ring, new_tail = _ring(
                 ring_hi, idx, state.conv_tail, band, out_ring,
                 interpret=self._pl_interpret, out_clip=cfg.output_clip,
-                **dkw,
+                **rkw, **dkw,
             )
             if cfg.dither_kind != "off" and not fuse_dither:
                 key, sub = jax.random.split(key)
@@ -1143,7 +1220,7 @@ class Pipeline:
                     d, ring_hi, params.agc_a_att, params.agc_a_rel,
                     params.agc_max_gain, init=carry, out_clip=0.99,
                     interpret=self._pl_interpret, emit_split=True,
-                    ring_idx=idx,
+                    ring_idx=idx, blockwise=self._agc_blockwise,
                 )
             out_ring, nt_hi, nt_lo = fir_td_mxu_pair_to_ring(
                 xh, xl, tail_hi, tail_lo, band, idx, out_ring,
@@ -1270,8 +1347,18 @@ class Pipeline:
                 f"got {out_ring.dtype}")
         from ..ops.pallas.fir_td import fir_td_mxu_ring_mega
 
-        k = params.combined_cascade(has_eq)
-        band = jnp.where(self._band_mask, jnp.take(k, self._band_idx), 0.0)
+        banked = params.casc_bank is not None
+        rkw = {}
+        if banked:
+            if not f32_form:
+                raise ValueError(
+                    "per-stream filter banks ride the f32/pcm16 conv ring "
+                    "mega forms only (pair ingest consumes the shared band)")
+            band, rkw["assign"], rkw["bt"] = self._banked_operands(params)
+        else:
+            k = params.combined_cascade(has_eq)
+            band = jnp.where(self._band_mask, jnp.take(k, self._band_idx),
+                             0.0)
         key = state.key
         seeds = None
         dkw = {}
@@ -1313,7 +1400,7 @@ class Pipeline:
                 out_ring, nt = _mega(
                     ring_hi, start + off, nt, band, out_ring, n, seeds=sd,
                     interpret=self._pl_interpret,
-                    out_clip=cfg.output_clip, **dkw)
+                    out_clip=cfg.output_clip, **rkw, **dkw)
                 off += n
             new_tail = nt
         else:
@@ -1425,6 +1512,17 @@ class Pipeline:
         heuristic's batch (sharded callers pass their per-shard batch)."""
         batch = self.batch if batch is None else batch
         use_fold = False
+        if params.casc_bank is not None:
+            # per-stream filter banks: the fold packs blocks into the batch
+            # axis, which would interleave rows of different designs inside
+            # one assignment tile — keep the scan (the banked kernels'
+            # shared-dot cost makes it fast anyway)
+            if fold is True:
+                raise ValueError(
+                    "fold=True is unsupported with per-stream filter banks "
+                    "(the folded batch axis breaks the tile-constant "
+                    "design assignment) — use fold='auto'")
+            return False
         if fold is True:
             if not self.supports_fold:
                 raise ValueError(

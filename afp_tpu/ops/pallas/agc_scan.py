@@ -202,13 +202,22 @@ def smooth_gain_scan_pallas(desired: jnp.ndarray, a_att, a_rel,
 
 
 def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
-                      c_scr, *, sub: int, yl_ref=None):
+                      c_scr, *, sub: int, yl_ref=None,
+                      chunk: int | None = None):
     """Scan + gain application in one kernel: runs the recurrence over the
     time-major desired gain, then stores ``clip(x · clip(g, 0.1, max_gain),
     ±out_clip)`` batch-major AND the final clipped gain (the cross-block
     carry) — the gain array itself never touches HBM.  With ``yl_ref`` the
     store is the bf16 hi/lo PAIR (y_ref=hi, yl_ref=lo) for the pair-input
-    conv kernel."""
+    conv kernel.
+
+    With ``chunk`` set, the recurrence runs BLOCKWISE — the fused TPU form
+    of :func:`afp_tpu.ops.agc.smooth_gain_blockwise` (``agc_mode='fast'``):
+    one attack/release step per `chunk`-sample segment mean (α values
+    arrive already chunk-compounded from the wrapper), linear gain
+    interpolation within the segment.  The serial dependency chain shrinks
+    from T_CHUNK steps to T_CHUNK/chunk per tile; the means and the
+    interpolation are chain-free vector work the VPU pipelines."""
     a_att = a_ref[0, 0]
     a_rel = a_ref[0, 1]
     max_gain = a_ref[0, 2]
@@ -219,11 +228,23 @@ def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
         g_scr[...] = g0_ref[0]
 
     g = g_scr[...]
-    for t in range(T_CHUNK):
-        d_t = d_ref[t]
-        alpha = jnp.where(d_t > g, a_att, a_rel)
-        g = alpha * d_t + (1.0 - alpha) * g
-        c_scr[t] = g
+    if chunk is None:
+        for t in range(T_CHUNK):
+            d_t = d_ref[t]
+            alpha = jnp.where(d_t > g, a_att, a_rel)
+            g = alpha * d_t + (1.0 - alpha) * g
+            c_scr[t] = g
+    else:
+        # (chunk, 1, 1) fractions broadcast over the [chunk, sub, LANES]
+        # segment store — matches smooth_gain_blockwise's (t+1)/chunk ramp
+        fr = (jax.lax.broadcasted_iota(jnp.float32, (chunk, 1, 1), 0)
+              + 1.0) * jnp.float32(1.0 / chunk)
+        for c in range(T_CHUNK // chunk):
+            d_mean = jnp.mean(d_ref[c * chunk:(c + 1) * chunk], axis=0)
+            alpha = jnp.where(d_mean > g, a_att, a_rel)
+            gn = alpha * d_mean + (1.0 - alpha) * g
+            c_scr[c * chunk:(c + 1) * chunk] = g[None] + (gn - g)[None] * fr
+            g = gn
     g_scr[...] = g
     chunk = c_scr[...].reshape(T_CHUNK, sub * LANES)
     gcl = jnp.clip(chunk.T, 0.1, max_gain)  # [sub·128, T_CHUNK]
@@ -249,10 +270,11 @@ def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
         gl_ref[...] = jnp.clip(g_scr[...], 0.1, max_gain)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sub", "emit_split"))
+@functools.partial(jax.jit, static_argnames=("interpret", "sub", "emit_split",
+                                             "chunk"))
 def _agc_apply_call(d3, g03, x, scal, interpret: bool = False,
                     sub: int = SUBLANES, emit_split: bool = False,
-                    idx=None):
+                    idx=None, chunk: int | None = None):
     T, Bs, _ = d3.shape
     B = Bs * LANES
     grid = (Bs // sub, T // T_CHUNK)
@@ -285,12 +307,12 @@ def _agc_apply_call(d3, g03, x, scal, interpret: bool = False,
     if emit_split:
         kern = lambda a, d, g0, xx, yh, gl, yl, g_scr, c_scr: (
             _agc_apply_kernel(a, d, g0, xx, yh, gl, g_scr, c_scr,
-                              sub=sub, yl_ref=yl))
+                              sub=sub, yl_ref=yl, chunk=chunk))
         out_specs = [y_spec, gl_spec, y_spec]
         out_shape = [jax.ShapeDtypeStruct((B, T), jnp.bfloat16), gl_shape,
                      jax.ShapeDtypeStruct((B, T), jnp.bfloat16)]
     else:
-        kern = functools.partial(_agc_apply_kernel, sub=sub)
+        kern = functools.partial(_agc_apply_kernel, sub=sub, chunk=chunk)
         out_specs = [y_spec, gl_spec]
         out_shape = [jax.ShapeDtypeStruct((B, T), jnp.float32), gl_shape]
     if ring:
@@ -316,7 +338,8 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
                              out_clip: float = 0.99,
                              interpret: bool = False,
                              emit_split: bool = False,
-                             ring_idx=None):
+                             ring_idx=None,
+                             blockwise: int | None = None):
     """Fully fused AGC back half: scan + clip + apply + carry in one kernel.
 
     `desired_tm`: [T, B] time-major desired gain (the layout
@@ -346,6 +369,14 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
     `x` may also be RAW int16 PCM (``ingest='pcm16'``, block or ring):
     the kernel converts on the VPU (``n / 32768`` — exact), halving the
     x-read HBM bytes; outputs are bit-identical to feeding the floats.
+
+    With ``blockwise=chunk`` the recurrence runs at `chunk` granularity —
+    the fused form of :func:`afp_tpu.ops.agc.smooth_gain_blockwise`
+    (``agc_mode='fast'``): same chunk means, compound α values
+    ``1−(1−α)^chunk``, linear within-chunk interpolation, init=None
+    restarting at the FIRST CHUNK MEAN (the blockwise restart semantics).
+    The serial chain shrinks `chunk`×; everything else (clip, apply,
+    carry, pair split, ring streaming) is unchanged.
     """
     d = jnp.asarray(desired_tm, dtype=jnp.float32)
     x = jnp.asarray(x)
@@ -357,8 +388,24 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
         raise ValueError(
             f"shape [{B}, {T}] not tileable ({sub * LANES}, {T_CHUNK}); "
             "use smooth_gain_scan_pallas + XLA apply instead")
-    g0 = d[0] if init is None else jnp.broadcast_to(
-        jnp.asarray(init, dtype=jnp.float32).reshape(-1), (B,))
+    if blockwise is not None:
+        if T_CHUNK % blockwise:
+            raise ValueError(
+                f"blockwise chunk {blockwise} must divide {T_CHUNK}")
+        # compound per-chunk coefficients — the smooth_gain_blockwise math,
+        # computed in f32 jnp ops so the fused and XLA paths agree bitwise
+        a_att = 1.0 - (1.0 - jnp.asarray(a_att, jnp.float32)) ** blockwise
+        a_rel = 1.0 - (1.0 - jnp.asarray(a_rel, jnp.float32)) ** blockwise
+    if init is not None:
+        g0 = jnp.broadcast_to(
+            jnp.asarray(init, dtype=jnp.float32).reshape(-1), (B,))
+    elif blockwise is not None:
+        # blockwise restart: g₋₁ := mean(d[:chunk]) makes the first segment
+        # exactly flat at the first chunk mean under either α branch —
+        # smooth_gain_blockwise's init=None semantics
+        g0 = d[:blockwise].mean(axis=0)
+    else:
+        g0 = d[0]
     d3 = d.reshape(T, B // LANES, LANES)
     g03 = g0.reshape(1, B // LANES, LANES)
     scal = jnp.stack([
@@ -371,8 +418,9 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
         idx = jnp.asarray(ring_idx, dtype=jnp.int32).reshape(1)
     if emit_split:
         y_hi, gl, y_lo = _agc_apply_call(d3, g03, x, scal, interpret=interpret,
-                                         sub=sub, emit_split=True, idx=idx)
+                                         sub=sub, emit_split=True, idx=idx,
+                                         chunk=blockwise)
         return (y_hi, y_lo), gl.reshape(B)
     y, gl = _agc_apply_call(d3, g03, x, scal, interpret=interpret, sub=sub,
-                            idx=idx)
+                            idx=idx, chunk=blockwise)
     return y, gl.reshape(B)

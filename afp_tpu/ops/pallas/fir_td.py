@@ -30,7 +30,7 @@ __all__ = ["band_matrix", "wide_band_matrix", "fir_td_mxu",
            "fir_td_mxu_pair", "fir_td_mxu_per_stream", "fir_conv_xla",
            "fir_td_mxu_ring", "fir_td_mxu_ring_f32", "fir_td_mxu_ring_mega",
            "fir_td_mxu_ring_mega_f32", "fir_td_mxu_ring_pcm16",
-           "fir_td_mxu_ring_mega_pcm16", "fir_td_mxu_pair_to_ring",
+           "fir_td_mxu_ring_mega_pcm16", "fir_td_mxu_pair_to_ring", "fir_td_mxu_banked", "band_stack",
            "split_bf16", "merge_bf16", "PCM16_SCALE", "quantize_pcm16",
            "PRECISION_MODE"]
 
@@ -461,6 +461,118 @@ def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
         out_shape=out_shape,
         interpret=interpret,
     )(x_ext, band)
+
+
+def band_stack(kernels: np.ndarray, tile: int = LANE) -> np.ndarray:
+    """Stack of band matrices for D same-length kernels: [D, N] →
+    [D, N−1+tile, tile] — the operand bank of the BANKED (per-stream
+    filter) kernels, where a scalar-prefetched per-tile assignment selects
+    which design's band each batch tile multiplies (SURVEY §7.5 "each
+    stream can have its own kernel", on the td_mxu strategy).  Cold path
+    (numpy, float64-designed taps in, f32 out)."""
+    kernels = np.asarray(kernels, dtype=np.float32)
+    return np.stack([band_matrix(k, tile) for k in kernels])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "dither_bits", "dither_tpdf", "out_clip", "emit_i16",
+    "bt"))
+def _fir_td_banked_call(assign_t, x_ext, bands, interpret: bool = False,
+                        seed=None, dither_bits: int | None = None,
+                        dither_tpdf: bool = True,
+                        out_clip: float | None = None,
+                        emit_i16: bool = False, bt: int | None = None):
+    """Staged banked conv: like :func:`_fir_td_call`'s B3 branch, but the
+    band operand is a [D, rows, LANE] STACK and each batch-tile program's
+    BlockSpec index_map picks its design via the scalar-prefetched
+    per-tile assignment — per-stream filters at the SHARED-kernel dot
+    cost (the selection is pure addressing; zero extra FLOPs)."""
+    B, text = x_ext.shape
+    D, rows, _ = bands.shape
+    n_taps = rows - LANE + 1
+    T = text - (n_taps - 1)
+    t_tiles = T // LANE
+    b_tile = bt or _pick_b_tile(B, text, T)
+    grid = (B // b_tile,)
+    x_hi, x_lo = split_bf16(x_ext)
+    b_hi, b_lo = split_bf16(bands)
+    x_spec = pl.BlockSpec((b_tile, text), lambda i, a: (i, 0),
+                          memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((None, rows, LANE), lambda i, a: (a[i], 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((b_tile, T), lambda i, a: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(
+        (B, T), jnp.int16 if emit_i16 else jnp.float32)
+    seed_spec = pl.BlockSpec((1, 1), lambda i, a: (0, 0),
+                             memory_space=pltpu.SMEM)
+    dkw = {"out_clip": out_clip}
+    if dither_bits is not None:
+        dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
+    kernel = functools.partial(_fir_kernel_b3, n_taps=n_taps,
+                               t_tiles=t_tiles, **dkw)
+    if dither_bits is not None:
+        kern = lambda a_ref, s, xh, xl, bh, bl, o: kernel(
+            xh, xl, bh, bl, o, seed_ref=s)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[seed_spec, x_spec, x_spec, band_spec, band_spec],
+            out_specs=out_spec)
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(assign_t, seed, x_hi, x_lo, b_hi, b_lo)
+    kern = lambda a_ref, xh, xl, bh, bl, o: kernel(xh, xl, bh, bl, o)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[x_spec, x_spec, band_spec, band_spec],
+        out_specs=out_spec)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+    )(assign_t, x_hi, x_lo, b_hi, b_lo)
+
+
+def fir_td_mxu_banked(x_ext: jnp.ndarray, bands: jnp.ndarray, assign,
+                      interpret: bool = False, dither_seed=None,
+                      dither_bits: int | None = None,
+                      dither_tpdf: bool = True,
+                      out_clip: float | None = None,
+                      emit_i16: bool = False,
+                      bt: int | None = None) -> jnp.ndarray:
+    """Per-stream-filter FIR conv on the MXU: stream `b` is convolved with
+    design ``assign[b]`` of the [D, N−1+LANE, LANE] band stack
+    (:func:`band_stack`), at the SHARED-kernel cost — the design index
+    rides a scalar-prefetch BlockSpec, so selection is addressing, not
+    compute.  B3 precision (three bf16 passes, fp32 accumulation), with
+    the optional fused clip/dither/int16-emit epilogue of
+    :func:`fir_td_mxu`.
+
+    `assign`: [B] int32 design per stream, CONSTANT within each batch
+    tile (the engine validates at build time — group identical designs in
+    tile-sized row blocks); the kernel consumes the per-tile stride.
+    """
+    x_ext = jnp.asarray(x_ext, dtype=jnp.float32)
+    bands = jnp.asarray(bands, dtype=jnp.float32)
+    B, text = x_ext.shape
+    n_taps = bands.shape[1] - LANE + 1
+    T = text - (n_taps - 1)
+    if T % LANE:
+        raise ValueError(f"output length {T} must be a multiple of {LANE}")
+    pick = _pick_b_tile(B, text, T)
+    if bt is None:
+        bt = pick
+    elif bt > pick or B % bt or bt not in (256, 128, 64, 32, 16, 8, B):
+        raise ValueError(
+            f"bt={bt} must be a ladder tile ≤ the picked {pick} dividing "
+            f"batch {B} (smaller tiles trade pipelining for finer "
+            "per-stream design granularity)")
+    if B % bt:
+        raise ValueError(f"batch {B} must be divisible by the batch tile")
+    assign_t = jnp.asarray(assign, dtype=jnp.int32).reshape(-1)[::bt]
+    return _fir_td_banked_call(assign_t, x_ext, bands, interpret=interpret,
+                               seed=dither_seed, dither_bits=dither_bits,
+                               dither_tpdf=dither_tpdf, out_clip=out_clip,
+                               emit_i16=emit_i16, bt=bt)
 
 
 def _pick_b_tile_banded(B: int, bytes_per_row: int) -> int:
@@ -923,34 +1035,46 @@ def _pick_b_tile_b3t_f32(B: int, k_pad: int, T: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "dither_bits", "dither_tpdf", "out_clip"))
+    "interpret", "dither_bits", "dither_tpdf", "out_clip", "bt_override"))
 def _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
                           interpret: bool = False, seed=None,
                           dither_bits: int | None = None,
                           dither_tpdf: bool = True,
-                          out_clip: float | None = None):
+                          out_clip: float | None = None,
+                          assign_t=None, bt_override: int | None = None):
     S, B, T = ring.shape
+    banked = band.ndim == 3  # [D, rows, LANE] per-design stack + assign_t
     k_pad = tail.shape[1]
-    n_taps = band.shape[0] - LANE + 1
+    n_taps = band.shape[-2] - LANE + 1
     assert k_pad % LANE == 0 and k_pad >= n_taps - 1, (k_pad, n_taps)
-    band_p = jnp.pad(band, ((k_pad - (n_taps - 1), 0), (0, 0)))
+    pad_rows = ((k_pad - (n_taps - 1), 0), (0, 0))
+    band_p = jnp.pad(band, ((0, 0),) + pad_rows if banked else pad_rows)
     t_tiles = T // LANE
     b_hi, b_lo = split_bf16(band_p)
-    bt = _pick_b_tile_b3t_f32(B, k_pad, T)
+    bt = bt_override or _pick_b_tile_b3t_f32(B, k_pad, T)
     grid = (B // bt,)
-    ring_spec = pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
+    # prefetch layout: pref[0] = slot idx always; banked adds the per-tile
+    # design assignment as pref[1] (dither seeds stay a plain SMEM operand)
+    ring_spec = pl.BlockSpec((None, bt, T),
+                             lambda i, *pref: (pref[0][0], i, 0),
                              memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((bt, k_pad), lambda i, s: (i, 0),
+    t_spec = pl.BlockSpec((bt, k_pad), lambda i, *pref: (i, 0),
                           memory_space=pltpu.VMEM)
-    band_spec = pl.BlockSpec((band_p.shape[0], LANE), lambda i, s: (0, 0),
-                             memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec((1, 1), lambda i, s: (0, 0),
+    if banked:
+        band_spec = pl.BlockSpec((None, band_p.shape[-2], LANE),
+                                 lambda i, *pref: (pref[1][i], 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        band_spec = pl.BlockSpec((band_p.shape[-2], LANE),
+                                 lambda i, *pref: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 1), lambda i, *pref: (0, 0),
                              memory_space=pltpu.SMEM)
     ring_io_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_specs = [
-        pl.BlockSpec((None, bt, T), lambda i, s: (s[0], i, 0),
+        pl.BlockSpec((None, bt, T), lambda i, *pref: (pref[0][0], i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, k_pad), lambda i, s: (i, 0),
+        pl.BlockSpec((bt, k_pad), lambda i, *pref: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     # tail rides the ingest dtype: f32 contract → f32, pcm16 → raw int16
@@ -962,27 +1086,32 @@ def _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
         dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
     kernel = functools.partial(_fir_kernel_b3t_f32, k_pad=k_pad,
                                t_tiles=t_tiles, **dkw)
+    n_pref = 2 if banked else 1
+    pref_args = (idx, assign_t) if banked else (idx,)
     if dither_bits is not None:
-        kern = lambda sidx, s, x, t, e, f, rio, o, to: kernel(
-            x, t, e, f, o, seed_ref=s, t_o=to)
+        kern = lambda *a: kernel(a[n_pref + 1], a[n_pref + 2], a[n_pref + 3],
+                                 a[n_pref + 4], a[n_pref + 6],
+                                 seed_ref=a[n_pref], t_o=a[n_pref + 7])
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=grid,
+            num_scalar_prefetch=n_pref, grid=grid,
             in_specs=[seed_spec, ring_spec, t_spec, band_spec, band_spec,
                       ring_io_spec],
             out_specs=out_specs)
         return pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shape,
-            input_output_aliases={6: 0}, interpret=interpret,
-        )(idx, seed, ring, tail, b_hi, b_lo, out_ring)
-    kern = lambda sidx, x, t, e, f, rio, o, to: kernel(x, t, e, f, o, t_o=to)
+            input_output_aliases={n_pref + 5: 0}, interpret=interpret,
+        )(*pref_args, seed, ring, tail, b_hi, b_lo, out_ring)
+    kern = lambda *a: kernel(a[n_pref], a[n_pref + 1], a[n_pref + 2],
+                             a[n_pref + 3], a[n_pref + 5],
+                             t_o=a[n_pref + 6])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=grid,
+        num_scalar_prefetch=n_pref, grid=grid,
         in_specs=[ring_spec, t_spec, band_spec, band_spec, ring_io_spec],
         out_specs=out_specs)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
-        input_output_aliases={5: 0}, interpret=interpret,
-    )(idx, ring, tail, b_hi, b_lo, out_ring)
+        input_output_aliases={n_pref + 4: 0}, interpret=interpret,
+    )(*pref_args, ring, tail, b_hi, b_lo, out_ring)
 
 
 def fir_td_mxu_ring_f32(ring: jnp.ndarray, idx, tail: jnp.ndarray,
@@ -990,7 +1119,8 @@ def fir_td_mxu_ring_f32(ring: jnp.ndarray, idx, tail: jnp.ndarray,
                         interpret: bool = False,
                         dither_seed=None, dither_bits: int | None = None,
                         dither_tpdf: bool = True,
-                        out_clip: float | None = None):
+                        out_clip: float | None = None,
+                        assign=None, bt: int | None = None):
     """Zero-copy serving-ring FIR step under the f32 INPUT CONTRACT: the
     HBM input ring holds raw f32 blocks (no ingest-side bf16 split), the
     kernel splits in VMEM and convolves slot `idx` straight into slot
@@ -1007,14 +1137,22 @@ def fir_td_mxu_ring_f32(ring: jnp.ndarray, idx, tail: jnp.ndarray,
     narrower tails are zero-padded here for one-shot use).  Returns
     ``(out_ring, next_tail)`` — the next step's f32 tail emitted from the
     VMEM-resident block.
+
+    `assign` + a [D, rows, LANE] band STACK (:func:`band_stack`) engage
+    the BANKED form: stream `b` convolves with design ``assign[b]``
+    (tile-constant; selection is a scalar-prefetch BlockSpec — same dot
+    cost as the shared kernel).
     """
     assert ring.dtype == jnp.float32 and tail.dtype == jnp.float32
     band, tail = _ring_geometry(ring, tail, band)
     idx = jnp.asarray(idx, dtype=jnp.int32).reshape(1)
+    a_t, bt = _ring_assign(assign, ring.shape[1], tail.shape[1],
+                           ring.shape[2], bt)
     return _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
                                  interpret=interpret, seed=dither_seed,
                                  dither_bits=dither_bits,
-                                 dither_tpdf=dither_tpdf, out_clip=out_clip)
+                                 dither_tpdf=dither_tpdf, out_clip=out_clip,
+                                 assign_t=a_t, bt_override=bt)
 
 
 def _ring_geometry(ring, tail, band):
@@ -1026,7 +1164,7 @@ def _ring_geometry(ring, tail, band):
     band = jnp.asarray(band, dtype=jnp.float32)
     if ring.shape[-1] % LANE:
         raise ValueError(f"T={ring.shape[-1]} must be a multiple of {LANE}")
-    k = band.shape[0] - LANE
+    k = band.shape[-2] - LANE  # band [rows, LANE] or banked [D, rows, LANE]
     k_pad = -(-max(k, 1) // LANE) * LANE
     if tail.shape[1] != k_pad:
         pad = k_pad - tail.shape[1]
@@ -1035,12 +1173,31 @@ def _ring_geometry(ring, tail, band):
     return band, tail
 
 
+def _ring_assign(assign, B: int, k_pad: int, T: int,
+                 bt: int | None = None):
+    """Per-tile design assignment for the banked ring forms: [B] int32 per
+    stream → [B // bt] per batch tile (the engine validated constancy).
+    Returns ``(assign_t, bt)``; an explicit `bt` must sit on the tile
+    ladder at or below the VMEM pick (finer per-stream granularity)."""
+    pick = _pick_b_tile_b3t_f32(B, k_pad, T)
+    if assign is None:
+        return None, None
+    if bt is None:
+        bt = pick
+    elif bt > pick or B % bt or bt not in (256, 128, 64, 32, 16, 8, B):
+        raise ValueError(
+            f"bt={bt} must be a ladder tile ≤ the picked {pick} dividing "
+            f"batch {B}")
+    return jnp.asarray(assign, dtype=jnp.int32).reshape(-1)[::bt], bt
+
+
 def fir_td_mxu_ring_pcm16(ring: jnp.ndarray, idx, tail: jnp.ndarray,
                           band: jnp.ndarray, out_ring: jnp.ndarray,
                           interpret: bool = False,
                           dither_seed=None, dither_bits: int | None = None,
                           dither_tpdf: bool = True,
-                          out_clip: float | None = None):
+                          out_clip: float | None = None,
+                          assign=None, bt: int | None = None):
     """Zero-copy serving-ring FIR step under an int16 PCM INPUT CONTRACT:
     the HBM input ring holds raw int16 blocks (the source format of most
     real audio — WAV PCM, sound-card DMA), the kernel converts to f32 on
@@ -1060,10 +1217,13 @@ def fir_td_mxu_ring_pcm16(ring: jnp.ndarray, idx, tail: jnp.ndarray,
         ring.dtype, tail.dtype)
     band, tail = _ring_geometry(ring, tail, band)
     idx = jnp.asarray(idx, dtype=jnp.int32).reshape(1)
+    a_t, bt = _ring_assign(assign, ring.shape[1], tail.shape[1],
+                           ring.shape[2], bt)
     return _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
                                  interpret=interpret, seed=dither_seed,
                                  dither_bits=dither_bits,
-                                 dither_tpdf=dither_tpdf, out_clip=out_clip)
+                                 dither_tpdf=dither_tpdf, out_clip=out_clip,
+                                 assign_t=a_t, bt_override=bt)
 
 
 def _fir_kernel_b3mega(xhi_ref, xlo_ref, thi_ref, tlo_ref, bhi_ref, blo_ref,
@@ -1290,29 +1450,40 @@ def _fir_kernel_b3mega_f32(x_ref, t_in_ref, bhi_ref, blo_ref, o_ref, t_o,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_steps", "interpret", "dither_bits", "dither_tpdf", "out_clip"))
+    "n_steps", "interpret", "dither_bits", "dither_tpdf", "out_clip",
+    "bt_override"))
 def _fir_td_ring_mega_f32_call(start, seeds, ring, tail, band, out_ring,
                                n_steps: int, interpret: bool = False,
                                dither_bits: int | None = None,
                                dither_tpdf: bool = True,
-                               out_clip: float | None = None):
+                               out_clip: float | None = None,
+                               assign_t=None, bt_override: int | None = None):
     S, B, T = ring.shape
+    banked = band.ndim == 3
     k_pad = tail.shape[1]
-    n_taps = band.shape[0] - LANE + 1
+    n_taps = band.shape[-2] - LANE + 1
     assert k_pad % LANE == 0 and k_pad >= n_taps - 1, (k_pad, n_taps)
-    band_p = jnp.pad(band, ((k_pad - (n_taps - 1), 0), (0, 0)))
+    pad_rows = ((k_pad - (n_taps - 1), 0), (0, 0))
+    band_p = jnp.pad(band, ((0, 0),) + pad_rows if banked else pad_rows)
     t_tiles = T // LANE
     b_hi, b_lo = split_bf16(band_p)
-    bt = _pick_b_tile_b3t_f32(B, k_pad, T)
+    bt = bt_override or _pick_b_tile_b3t_f32(B, k_pad, T)
     grid = (B // bt, n_steps)  # tile MAJOR, step minor
+    # prefetch layout: pref[0] = start slot; banked inserts the per-tile
+    # design assignment as pref[1]; per-step dither seeds are always LAST
     ring_spec = pl.BlockSpec((None, bt, T),
                              lambda i, st, *pref: ((pref[0][0] + st) % S, i, 0),
                              memory_space=pltpu.VMEM)
     t_in_spec = pl.BlockSpec((bt, k_pad), lambda i, st, *pref: (i, 0),
                              memory_space=pltpu.VMEM)
-    band_spec = pl.BlockSpec((band_p.shape[0], LANE),
-                             lambda i, st, *pref: (0, 0),
-                             memory_space=pltpu.VMEM)
+    if banked:
+        band_spec = pl.BlockSpec((None, band_p.shape[-2], LANE),
+                                 lambda i, st, *pref: (pref[1][i], 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        band_spec = pl.BlockSpec((band_p.shape[-2], LANE),
+                                 lambda i, st, *pref: (0, 0),
+                                 memory_space=pltpu.VMEM)
     ring_io_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_specs = [
         pl.BlockSpec((None, bt, T),
@@ -1328,28 +1499,32 @@ def _fir_td_ring_mega_f32_call(start, seeds, ring, tail, band, out_ring,
         dkw.update(lsb=2.0 ** (1 - dither_bits), tpdf=dither_tpdf)
     kernel = functools.partial(_fir_kernel_b3mega_f32, k_pad=k_pad,
                                t_tiles=t_tiles, **dkw)
+    n_pref = 2 if banked else 1
+    pref = (start, assign_t) if banked else (start,)
     if dither_bits is not None:
         assert seeds is not None and seeds.shape == (n_steps, 1), seeds
-        kern = lambda sidx, sd, x, t, e, f, rio, o, to: kernel(
-            x, t, e, f, o, to, seed_ref=sd)
+        kern = lambda *a: kernel(a[n_pref + 1], a[n_pref + 2], a[n_pref + 3],
+                                 a[n_pref + 4], a[n_pref + 6],
+                                 a[n_pref + 7], seed_ref=a[n_pref])
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2, grid=grid,
+            num_scalar_prefetch=n_pref + 1, grid=grid,
             in_specs=[ring_spec, t_in_spec, band_spec, band_spec,
                       ring_io_spec],
             out_specs=out_specs)
         return pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shape,
-            input_output_aliases={6: 0}, interpret=interpret,
-        )(start, seeds, ring, tail, b_hi, b_lo, out_ring)
-    kern = lambda sidx, x, t, e, f, rio, o, to: kernel(x, t, e, f, o, to)
+            input_output_aliases={n_pref + 5: 0}, interpret=interpret,
+        )(*pref, seeds, ring, tail, b_hi, b_lo, out_ring)
+    kern = lambda *a: kernel(a[n_pref], a[n_pref + 1], a[n_pref + 2],
+                             a[n_pref + 3], a[n_pref + 5], a[n_pref + 6])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=grid,
+        num_scalar_prefetch=n_pref, grid=grid,
         in_specs=[ring_spec, t_in_spec, band_spec, band_spec, ring_io_spec],
         out_specs=out_specs)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
-        input_output_aliases={5: 0}, interpret=interpret,
-    )(start, ring, tail, b_hi, b_lo, out_ring)
+        input_output_aliases={n_pref + 4: 0}, interpret=interpret,
+    )(*pref, ring, tail, b_hi, b_lo, out_ring)
 
 
 def fir_td_mxu_ring_mega_f32(ring: jnp.ndarray, start, tail: jnp.ndarray,
@@ -1358,19 +1533,24 @@ def fir_td_mxu_ring_mega_f32(ring: jnp.ndarray, start, tail: jnp.ndarray,
                              interpret: bool = False,
                              dither_bits: int | None = None,
                              dither_tpdf: bool = True,
-                             out_clip: float | None = None):
+                             out_clip: float | None = None,
+                             assign=None, bt: int | None = None):
     """f32-contract serving megakernel: ``n_steps`` ring steps inside one
     Pallas launch, the f32 ring read/written in place and the f32 overlap
     tail carried in VMEM across steps.  Equivalent to chained
     :func:`fir_td_mxu_ring_f32` calls (same per-step math and seed fold).
-    Returns ``(out_ring, next_tail)``."""
+    Returns ``(out_ring, next_tail)``.  `assign` + a band STACK engage the
+    banked per-stream-filter form (see :func:`fir_td_mxu_ring_f32`)."""
     assert ring.dtype == jnp.float32 and tail.dtype == jnp.float32
     band, tail = _ring_geometry(ring, tail, band)
     start = jnp.asarray(start, dtype=jnp.int32).reshape(1)
+    a_t, bt = _ring_assign(assign, ring.shape[1], tail.shape[1],
+                           ring.shape[2], bt)
     return _fir_td_ring_mega_f32_call(
         start, seeds, ring, tail, band, out_ring, n_steps=int(n_steps),
         interpret=interpret, dither_bits=dither_bits,
-        dither_tpdf=dither_tpdf, out_clip=out_clip)
+        dither_tpdf=dither_tpdf, out_clip=out_clip, assign_t=a_t,
+        bt_override=bt)
 
 
 def fir_td_mxu_ring_mega_pcm16(ring: jnp.ndarray, start, tail: jnp.ndarray,
@@ -1379,7 +1559,8 @@ def fir_td_mxu_ring_mega_pcm16(ring: jnp.ndarray, start, tail: jnp.ndarray,
                                interpret: bool = False,
                                dither_bits: int | None = None,
                                dither_tpdf: bool = True,
-                               out_clip: float | None = None):
+                               out_clip: float | None = None,
+                               assign=None, bt: int | None = None):
     """int16-PCM serving megakernel: ``n_steps`` ring steps inside one
     Pallas launch over a raw int16 input ring, the int16 overlap tail
     carried in VMEM across steps.  Equivalent to chained
@@ -1390,10 +1571,13 @@ def fir_td_mxu_ring_mega_pcm16(ring: jnp.ndarray, start, tail: jnp.ndarray,
         ring.dtype, tail.dtype)
     band, tail = _ring_geometry(ring, tail, band)
     start = jnp.asarray(start, dtype=jnp.int32).reshape(1)
+    a_t, bt = _ring_assign(assign, ring.shape[1], tail.shape[1],
+                           ring.shape[2], bt)
     return _fir_td_ring_mega_f32_call(
         start, seeds, ring, tail, band, out_ring, n_steps=int(n_steps),
         interpret=interpret, dither_bits=dither_bits,
-        dither_tpdf=dither_tpdf, out_clip=out_clip)
+        dither_tpdf=dither_tpdf, out_clip=out_clip, assign_t=a_t,
+        bt_override=bt)
 
 
 def fir_td_mxu(x_ext: jnp.ndarray, band: jnp.ndarray,

@@ -4,7 +4,8 @@ from .dp import ShardedPipeline
 from .halo import halo_convolve, halo_convolve_sharded
 from .kp import KernelParallelConv
 from .long import filter_long_signal
-from .mesh import Mesh, NamedSharding, P, make_mesh
+from .mesh import (Mesh, NamedSharding, P, make_mesh,
+                   make_multislice_mesh)
 
 __all__ = [
     "ShardedPipeline",
@@ -13,6 +14,7 @@ __all__ = [
     "KernelParallelConv",
     "filter_long_signal",
     "make_mesh",
+    "make_multislice_mesh",
     "Mesh",
     "NamedSharding",
     "P",

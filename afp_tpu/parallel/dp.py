@@ -26,33 +26,35 @@ from ..ops.resample import PolyResampler
 __all__ = ["ShardedPipeline"]
 
 
-def _resampler_spec(r):
+def _resampler_spec(r, ax="streams"):
     """Spec pytree for a PolyResampler: per-stream input history shards,
     the (shared) kernel replicates."""
     if r is None:
         return None
-    return r._replace(hist=P("streams", None), h=P())
+    return r._replace(hist=P(ax, None), h=P())
 
 
-def _state_spec(state: StreamState) -> StreamState:
+def _state_spec(state: StreamState, ax="streams") -> StreamState:
     """PartitionSpec pytree for a StreamState, tagged STRUCTURALLY by field
     (not by shape coincidence — a PRNG key at batch=2 or a kernel whose
-    length equals the batch must not land on the 'streams' axis)."""
-    tail_spec = P("streams", None)
+    length equals the batch must not land on the batch axis).  `ax` is the
+    mesh axis (or axis TUPLE — multi-slice meshes shard the batch over
+    ('slice', 'streams') jointly) the batch dimension shards over."""
+    tail_spec = P(ax, None)
     if isinstance(state.conv_tail, tuple):  # conv-pair mode: bf16 hi/lo pair
         tail_spec = (tail_spec, tail_spec)
     return StreamState(
-        asrc=_resampler_spec(state.asrc),
-        up=_resampler_spec(state.up),
+        asrc=_resampler_spec(state.asrc, ax),
+        up=_resampler_spec(state.up, ax),
         conv_tail=tail_spec,
-        down=_resampler_spec(state.down),
-        agc_gain=None if state.agc_gain is None else P("streams"),
-        key=P("streams"),  # [n_shards] pre-folded per-shard keys
-        wf=None if state.wf is None else P("streams", None, None),
+        down=_resampler_spec(state.down, ax),
+        agc_gain=None if state.agc_gain is None else P(ax),
+        key=P(ax),  # [n_shards] pre-folded per-shard keys
+        wf=None if state.wf is None else P(ax, None, None),
     )
 
 
-def _param_spec_tree(params: DeviceParams) -> DeviceParams:
+def _param_spec_tree(params: DeviceParams, ax="streams") -> DeviceParams:
     """PartitionSpec pytree for a DeviceParams bank: everything replicates
     except per-stream gain banks ([B, n_bands], structurally 2-D — shared
     banks are 1-D) which shard on 'streams'."""
@@ -62,8 +64,8 @@ def _param_spec_tree(params: DeviceParams) -> DeviceParams:
     ps_main = getattr(params.H_main, "ndim", 1) == 2
     return DeviceParams(
         H_bands=P(),
-        H_main=P("streams", None) if ps_main else P(),
-        eq_gains=P("streams", None) if per_stream else P(),
+        H_main=P(ax, None) if ps_main else P(),
+        eq_gains=P(ax, None) if per_stream else P(),
         agc_target=P(),
         agc_max_gain=P(),
         agc_a_att=P(),
@@ -71,6 +73,12 @@ def _param_spec_tree(params: DeviceParams) -> DeviceParams:
         casc_bands=None if params.casc_bands is None else P(),
         casc_main=None if params.casc_main is None else P(),
         casc_wide=None if params.casc_wide is None else P(),
+        # banked per-stream filters: the design bank replicates; the
+        # per-TILE assignment shards on the batch axis (each shard keeps
+        # its own tiles' design indices — tiles never straddle shards
+        # because the shard size is a multiple of the tile)
+        casc_bank=None if params.casc_bank is None else P(),
+        casc_assign=None if params.casc_assign is None else P(ax),
     )
 
 
@@ -91,7 +99,15 @@ class ShardedPipeline:
         cfg = cfg.validate()
         if "streams" not in mesh.axis_names:
             raise ValueError("mesh must have a 'streams' axis")
+        # multi-slice meshes (make_multislice_mesh) carry a leading 'slice'
+        # axis: the batch shards over BOTH axes jointly — still pure DP,
+        # still zero collectives, and in particular zero DCN traffic
+        # (SURVEY.md §5.8; asserted on the compiled HLO in tests)
+        self._bax = (("slice", "streams") if "slice" in mesh.axis_names
+                     else "streams")
         n_shards = mesh.shape["streams"]
+        if "slice" in mesh.axis_names:
+            n_shards *= mesh.shape["slice"]
         if cfg.batch % n_shards:
             raise ValueError(
                 f"global batch {cfg.batch} must divide over {n_shards} devices"
@@ -107,8 +123,8 @@ class ShardedPipeline:
         self.pipeline = Pipeline(self.local_cfg)
 
         state_example = self.pipeline.init_state()
-        sspec = _state_spec(state_example)
-        bspec = P("streams", None)
+        sspec = _state_spec(state_example, self._bax)
+        bspec = P(self._bax, None)
 
         self._sspec = sspec
         self._bspec = bspec
@@ -134,7 +150,7 @@ class ShardedPipeline:
         'streams', shared banks replicate.  `pair_blocks`: the input blocks
         are the bf16 (hi, lo) pair (ingest='pair' with host-side staging);
         both halves shard on 'streams'."""
-        pspec = _param_spec_tree(params)
+        pspec = _param_spec_tree(params, self._bax)
         key = (pair_blocks,) + tuple(
             getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)
         )
@@ -167,7 +183,7 @@ class ShardedPipeline:
             # buys nothing
         )
 
-        tspec = P(None, "streams", None)
+        tspec = P(None, self._bax, None)
         run = jax.jit(
             jax.shard_map(
                 self._local_scan,
@@ -210,7 +226,7 @@ class ShardedPipeline:
     def ring_sharding(self):
         """NamedSharding for [S, B_global, T] serving rings — hosts place
         the rings once so per-dispatch resharding transfers never happen."""
-        return NamedSharding(self.mesh, P(None, "streams", None))
+        return NamedSharding(self.mesh, P(None, self._bax, None))
 
     def device_params(self, p: PipelineParams) -> DeviceParams:
         return self.pipeline.device_params(p)
@@ -223,10 +239,10 @@ class ShardedPipeline:
         # as a [n_shards] per-shard key vector sharded on 'streams'); the
         # walk afterwards is pure splits, so every entry point — step, run,
         # chunked run_ring dispatches — composes bit-identically
-        spec = _state_spec(local)._replace(key=None)
+        spec = _state_spec(local, self._bax)._replace(key=None)
 
         def widen(leaf, s):
-            if isinstance(s, P) and len(s) and s[0] == "streams":
+            if isinstance(s, P) and len(s) and s[0] == self._bax:
                 reps = (self.n_shards,) + (1,) * (leaf.ndim - 1)
                 return jnp.tile(leaf, reps)
             return leaf
@@ -240,7 +256,7 @@ class ShardedPipeline:
         return self._place_state(wide)
 
     def _place_state(self, state: StreamState) -> StreamState:
-        sspec = _state_spec(state)
+        sspec = _state_spec(state, self._bax)
 
         def place(leaf, spec):
             return jax.device_put(leaf, NamedSharding(self.mesh, spec))
@@ -277,7 +293,7 @@ class ShardedPipeline:
             out_dt = jnp.int16 if pipe._emit16 else jnp.float32
             return state, jnp.zeros((signal.shape[0], 0), out_dt)
         signal = signal[:, : nb * pipe.block]
-        pspec = _param_spec_tree(params)
+        pspec = _param_spec_tree(params, self._bax)
         key = ("signal", use_fold, nb, signal.dtype.name) + tuple(
             getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)
         )
@@ -295,7 +311,7 @@ class ShardedPipeline:
                 st, ys = self._local_scan(params, state, blocks)
                 return st, ys.swapaxes(0, 1).reshape(B, -1)
 
-            sigspec = P("streams", None)
+            sigspec = P(self._bax, None)
             self._exec_cache[key] = jax.jit(
                 jax.shard_map(
                     local_signal,
@@ -322,13 +338,13 @@ class ShardedPipeline:
                 "run_ring requires a ring-capable pipeline — pair ingest, "
                 "the fused AGC chain, or the f32 conv ring, waterfall "
                 "disabled (see Pipeline.supports_ring_step)")
-        pspec = _param_spec_tree(params)
+        pspec = _param_spec_tree(params, self._bax)
         key = ("ring", n_steps) + tuple(
             getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)
         )
         if key not in self._exec_cache:
             mesh, sspec = self.mesh, self._sspec
-            rspec = P(None, "streams", None)
+            rspec = P(None, self._bax, None)
 
             def local_ring(params, state, rh, rl, rg, start):
                 state = state._replace(key=state.key[0])
@@ -364,13 +380,13 @@ class ShardedPipeline:
             raise ValueError("run_ring_mega requires pair ingest or the "
                              "f32 conv ring (no AGC) with the waterfall "
                              "disabled (see supports_ring_step)")
-        pspec = _param_spec_tree(params)
+        pspec = _param_spec_tree(params, self._bax)
         key = ("ring_mega", n_steps) + tuple(
             getattr(l, "shape", None) for l in jax.tree_util.tree_leaves(params)
         )
         if key not in self._exec_cache:
             mesh, sspec = self.mesh, self._sspec
-            rspec = P(None, "streams", None)
+            rspec = P(None, self._bax, None)
 
             def local_mega(params, state, rh, rl, rg, start):
                 state = state._replace(key=state.key[0])

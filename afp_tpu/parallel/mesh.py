@@ -14,7 +14,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "P", "NamedSharding", "Mesh"]
+__all__ = ["make_mesh", "make_multislice_mesh", "P", "NamedSharding", "Mesh"]
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -35,3 +35,54 @@ def make_mesh(n_devices: Optional[int] = None,
         raise ValueError("shape required for multi-axis meshes")
     arr = np.array(devs).reshape(tuple(shape))
     return Mesh(arr, tuple(axis_names))
+
+
+def make_multislice_mesh(n_slices: Optional[int] = None,
+                         devices_per_slice: Optional[int] = None) -> Mesh:
+    """2-D ``('slice', 'streams')`` mesh spanning TPU slices (SURVEY.md
+    §5.8 — DCN scaling).
+
+    Streams are independent, so scaling past one ICI domain is PURE data
+    parallelism: the batch axis shards over BOTH mesh axes
+    (``P(('slice', 'streams'))``) and the hot path contains ZERO
+    collectives on either — in particular nothing crosses the
+    slice/DCN boundary (`ShardedPipeline` with this mesh; asserted
+    against the compiled HLO in tests/test_parallel.py).  The reference
+    analog is its inter-thread queue transport
+    (`/root/reference/stream_process_EQ_GUI.py:47-48`) — here the
+    "queues" are disjoint device shards that never talk at all.
+
+    Device layout: on real multi-slice jobs (devices expose
+    ``slice_index``) each mesh ROW is one slice, so the 'streams' axis
+    rides ICI and the 'slice' axis is the DCN boundary.  Elsewhere
+    (single slice, CPU harness) the flat device list is partitioned into
+    `n_slices` contiguous groups — the same mesh topology, used by the
+    multichip dryrun and the CPU test harness.
+    """
+    devs = jax.devices()
+    groups: list = []
+    if getattr(devs[0], "slice_index", None) is not None and len(
+            {d.slice_index for d in devs}) > 1:
+        by_slice: dict = {}
+        for d in devs:
+            by_slice.setdefault(d.slice_index, []).append(d)
+        groups = [by_slice[k] for k in sorted(by_slice)]
+        if len({len(g) for g in groups}) != 1:
+            raise ValueError(
+                f"unequal slice sizes {[len(g) for g in groups]}")
+        if n_slices is not None:
+            groups = groups[:n_slices]
+        if devices_per_slice is not None:
+            groups = [g[:devices_per_slice] for g in groups]
+    else:
+        if n_slices is None:
+            raise ValueError(
+                "n_slices required when devices carry no slice_index "
+                "(single-slice platform / CPU harness)")
+        per = devices_per_slice or len(devs) // n_slices
+        if per < 1 or n_slices * per > len(devs):
+            raise ValueError(
+                f"{n_slices}×{per} mesh needs {n_slices * per} devices, "
+                f"have {len(devs)}")
+        groups = [devs[i * per:(i + 1) * per] for i in range(n_slices)]
+    return Mesh(np.array(groups), ("slice", "streams"))

@@ -7,6 +7,11 @@ import pytest
 from afp_tpu.ops import AGCParams, apply_agc, dither, moving_rms
 from afp_tpu.ops.agc import smooth_gain_scan
 
+#: heavy suite — excluded from the fast pass (docs/TESTING.md tiering);
+#: run the FULL suite before committing kernel/engine changes
+pytestmark = pytest.mark.slow
+
+
 
 def oracle_agc(signal, target_level=0.1, window_size=512, max_gain=10.0,
                attack=0.01, release=0.1):

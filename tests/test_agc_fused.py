@@ -13,6 +13,11 @@ from afp_tpu.ops.pallas.agc_fused import (agc_rms_apply_pallas,
                                           pick_sub_fused)
 from afp_tpu.ops.pallas.fir_td import merge_bf16
 
+#: heavy suite — excluded from the fast pass (docs/TESTING.md tiering);
+#: run the FULL suite before committing kernel/engine changes
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture
 def rng():
@@ -134,6 +139,7 @@ def test_fused_streaming_carry_matches_one_shot_gain_walk(rng):
 
 def _c8_cfg(**kw):
     base = dict(
+        resample_quality="fast",  # tier mechanics tested elsewhere; keep CPU CI fast
         samplerate=44100, blocksize=512, upsample_factor=2, numtaps=33,
         batch=1024, eq_enabled=True, agc_enabled=True, agc_mode="exact",
         agc_window_size=256, agc_carry=True, dither_kind="tpdf",
@@ -249,5 +255,96 @@ def test_sharded_one_kernel_agc(rng, monkeypatch):
     st2, out_ring = sp.run_ring(params, sp.init_state(seed=5),
                                 jnp.asarray(blocks), None, out_ring, K)
     np.testing.assert_array_equal(np.asarray(out_ring), np.asarray(gold))
+    np.testing.assert_array_equal(np.asarray(st.agc_gain),
+                                  np.asarray(st2.agc_gain))
+
+
+# ---------------- fused blockwise ('fast') mode ----------------
+
+def _xla_fast(d, a_att, a_rel, init, max_gain, x, oc):
+    """The unfused agc_mode='fast' back half (smooth_gain_blockwise +
+    clip + apply) — what the fused blockwise kernel must reproduce."""
+    from afp_tpu.ops.agc import smooth_gain_blockwise
+
+    g = smooth_gain_blockwise(d, jnp.float32(a_att), jnp.float32(a_rel),
+                              init=init)
+    g = jnp.clip(g, 0.1, max_gain)
+    return jnp.clip(x * g, -oc, oc), g[..., -1]
+
+
+@pytest.mark.parametrize("use_init", [False, True])
+def test_blockwise_fused_matches_xla(rng, use_init):
+    """smooth_gain_apply_pallas(blockwise=32) ≡ smooth_gain_blockwise +
+    clip + apply (interpret mode): same chunk means, same compound α,
+    same within-chunk interpolation, same init=None restart at the first
+    chunk mean.  Tolerance covers the chunk-mean reassociation only."""
+    from afp_tpu.ops.pallas.agc_scan import smooth_gain_apply_pallas
+
+    B, T, w = 1024, 512, 128
+    a_att, a_rel = 0.05, 0.008
+    x = (rng.normal(size=(B, T)) * 0.2).astype(np.float32)
+    rms = moving_rms(x, w)
+    d = desired_gain(rms, 0.1, 10.0)
+    init = ((0.5 + rng.random(B)).astype(np.float32) if use_init else None)
+    y_ref, gl_ref = _xla_fast(d, a_att, a_rel, init, 10.0, x, 0.99)
+    y, gl = smooth_gain_apply_pallas(
+        jnp.asarray(d).T, x, jnp.float32(a_att), jnp.float32(a_rel), 10.0,
+        init=init, out_clip=0.99, interpret=True, blockwise=32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(gl_ref), atol=2e-6)
+
+
+def test_pipeline_fast_fused_matches_xla(rng, monkeypatch):
+    """agc_mode='fast' through the pipeline: the fused blockwise chain
+    (forced, interpret) matches the unfused XLA blockwise path in the
+    documented bf16-class (the conv consumes the pair in the fused chain,
+    exactly like exact mode's fused-vs-staged relation)."""
+    cfg = _c8_cfg(agc_mode="fast")
+    sig = (rng.normal(size=(3, 1024, 512)) * 0.1).astype(np.float32)
+
+    p_ref = Pipeline(cfg)  # CPU: unfused XLA blockwise
+    assert not p_ref._agc_chain_pair
+    pp = p_ref.device_params(PipelineParams.design(p_ref.cfg))
+    st = p_ref.init_state(seed=9)
+    ref = []
+    for b in sig:
+        st, y = p_ref._step_impl(pp, st, jnp.asarray(b))
+        ref.append(np.asarray(y))
+
+    monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    p = Pipeline(cfg)
+    assert p._agc_blockwise == 32 and p._agc_chain_pair and p._conv_pair
+    pp2 = p.device_params(PipelineParams.design(p.cfg))
+    st2 = p.init_state(seed=9)
+    for i, b in enumerate(sig):
+        st2, y2 = p._step_impl(pp2, st2, jnp.asarray(b))
+        diff = np.max(np.abs(np.asarray(y2) - ref[i]))
+        peak = np.max(np.abs(ref[i]))
+        assert diff <= peak * 10 ** (-88 / 20), (i, diff, peak)
+
+
+def test_pipeline_fast_ring_matches_step(rng, monkeypatch):
+    """agc_mode='fast' serving ring ≡ the staged fused step, bit-exact
+    (same blockwise kernel, slot-select BlockSpec only) — the ring legs
+    bench.py measures for the fast mode run this exact path."""
+    monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    cfg = _c8_cfg(agc_mode="fast")
+    sig = (rng.normal(size=(3, 1024, 512)) * 0.1).astype(np.float32)
+
+    p = Pipeline(cfg)
+    assert p.supports_ring_step and p._agc_blockwise == 32
+    pp = p.device_params(PipelineParams.design(p.cfg))
+    st = p.init_state(seed=9)
+    ref = []
+    for b in sig:
+        st, y = p._step_impl(pp, st, jnp.asarray(b))
+        ref.append(np.asarray(y))
+
+    ring = jnp.asarray(sig)
+    out_ring = jnp.zeros(sig.shape, jnp.float32)
+    st2 = p.init_state(seed=9)
+    for i in range(3):
+        st2, out_ring = p._ring_step_impl(pp, st2, ring, None, i, out_ring)
+        np.testing.assert_array_equal(np.asarray(out_ring)[i], ref[i])
     np.testing.assert_array_equal(np.asarray(st.agc_gain),
                                   np.asarray(st2.agc_gain))

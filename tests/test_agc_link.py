@@ -14,7 +14,12 @@ import jax.numpy as jnp
 
 from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
 from afp_tpu.ops.agc import (desired_gain, link_desired, moving_rms,
+
                              smooth_gain_scan)
+
+#: heavy suite — excluded from the fast pass (docs/TESTING.md tiering);
+#: run the FULL suite before committing kernel/engine changes
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture
@@ -75,7 +80,13 @@ def _ratio_cfg(**kw):
                 numtaps=33, batch=2, eq_enabled=False, agc_enabled=True,
                 agc_mode="exact", agc_window_size=128, agc_carry=True,
                 agc_target_level=0.1, agc_max_gain=2.0,
-                agc_link_group=2, dither_kind="off", output_clip=0.99)
+                agc_link_group=2, dither_kind="off", output_clip=0.99,
+                # 'fast': tier mechanics tested elsewhere — and the r4 'hq'
+                # default's longer cascade produced DENORMAL-magnitude conv
+                # intermediates (≈1e-36) whose ×0.5 is no longer exact
+                # (an odd-lsb subnormal halves with rounding), breaking the
+                # bitwise ratio check at −700 dB — physically meaningless
+                resample_quality="fast")
     base.update(kw)
     return StreamConfig(**base)
 

@@ -144,6 +144,7 @@ def test_asrc_exact_rejected_compat_allowed():
     is rejected with guidance; 'compat' (the reference's own live-audio
     behavior) opens the stream at the ENGINE rate."""
     base = dict(
+        resample_quality="fast",  # tier mechanics tested elsewhere; keep CPU CI fast
         samplerate=44100, source_samplerate=48000, blocksize=512,
         upsample_factor=1, numtaps=65, batch=1, eq_enabled=False,
         dither_kind="off", downsample_mode="decimate", output_clip=None,

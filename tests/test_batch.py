@@ -8,6 +8,7 @@ from afp_tpu.engine.batch import broadcast_gains, with_per_stream_gains
 
 def make(batch, **kw):
     base = dict(
+        resample_quality="fast",  # tier mechanics tested elsewhere; keep CPU CI fast
         samplerate=44100, blocksize=512, upsample_factor=2, numtaps=65,
         batch=batch, cutoff=11000.0, eq_enabled=True, agc_enabled=False,
         downsample_mode="decimate", dither_kind="off", output_clip=None,
@@ -147,9 +148,11 @@ def test_per_stream_filter_banks_guards():
     pipe_eq, _ = make(batch=2, eq_enabled=True)
     with pytest.raises(NotImplementedError, match="eq_enabled"):
         with_per_stream_filters(pipe_eq, [dict(), dict()])
+    # td_mxu is SUPPORTED since r4 (banked kernels) — uniform designs on a
+    # tiny batch build a 1-design bank instead of raising
     pipe_td, _ = make(batch=2, eq_enabled=False, conv_strategy="td_mxu")
-    with pytest.raises(NotImplementedError, match="fft"):
-        with_per_stream_filters(pipe_td, [dict(), dict()])
+    bank = with_per_stream_filters(pipe_td, [dict(), dict()])
+    assert bank.casc_bank.shape[0] == 1 and bank.casc_assign.shape == (1,)
 
 
 def test_per_stream_filter_banks_numtaps_bump_rejected():
@@ -194,3 +197,132 @@ def test_per_stream_td_rejects_untileable_batch(rng):
     with pytest.raises(ValueError, match="batch"):
         fir_td_mxu_per_stream(jnp.asarray(x), jnp.asarray(kernels),
                               jnp.asarray(gains), interpret=True)
+
+
+# ------- per-stream filter banks on td_mxu (banked kernels, VERDICT r3 #3) --
+
+
+def _td_cfg(**kw):
+    from afp_tpu.engine import StreamConfig
+
+    base = dict(
+        samplerate=44100, blocksize=512, upsample_factor=2, numtaps=33,
+        batch=16, eq_enabled=False, agc_enabled=False,
+        downsample_mode="decimate", dither_kind="off", output_clip=None,
+        conv_strategy="td_mxu", resample_quality="fast",
+    )
+    base.update(kw)
+    return StreamConfig(**base)
+
+
+def test_td_banked_matches_single_design_pipelines(rng):
+    """with_per_stream_filters under conv_strategy='td_mxu': every stream
+    is convolved with ITS design's cascade — asserted against per-design
+    shared-kernel pipelines row-for-row (same seed, same state walk)."""
+    import dataclasses
+
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    cfg = _td_cfg()
+    pipe = Pipeline(cfg)
+    variants = [dict(cutoff=4000.0 if i < 8 else 12000.0) for i in range(16)]
+    bank = with_per_stream_filters(pipe, variants)
+    assert bank.casc_bank.shape[0] == 2  # deduplicated designs
+    blocks = (rng.normal(size=(3, 16, cfg.blocksize)) * 0.3
+              ).astype(np.float32)
+    st = pipe.init_state(seed=1)
+    out = []
+    for b in blocks:
+        st, y = pipe.step(bank, st, b)
+        out.append(np.asarray(y))
+    out = np.stack(out)
+    for cut, rows in ((4000.0, slice(0, 8)), (12000.0, slice(8, 16))):
+        p2 = Pipeline(dataclasses.replace(cfg, cutoff=cut))
+        pp2 = p2.device_params(PipelineParams.design(p2.cfg))
+        st2 = p2.init_state(seed=1)
+        for i, b in enumerate(blocks):
+            st2, g = p2.step(pp2, st2, b)
+            np.testing.assert_allclose(out[i][rows], np.asarray(g)[rows],
+                                       atol=1e-6)
+
+
+def test_td_banked_ring_and_mega_match_step(rng):
+    """The banked f32 serving ring matches the staged banked step within
+    the padded-band accumulation class (≤ −110 dB; the same bound as the
+    shared f32 ring vs staged step), and the megakernel matches the
+    per-step ring bitwise."""
+    import jax.numpy as jnp
+
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    cfg = _td_cfg()
+    pipe = Pipeline(cfg)
+    assert pipe.supports_ring_step
+    variants = [dict(cutoff=4000.0 if i < 8 else 12000.0) for i in range(16)]
+    bank = with_per_stream_filters(pipe, variants)
+    blocks = (rng.normal(size=(2, 16, cfg.blocksize)) * 0.3
+              ).astype(np.float32)
+    st = pipe.init_state(seed=1)
+    ref = []
+    for b in blocks:
+        st, y = pipe.step(bank, st, b)
+        ref.append(np.asarray(y))
+    ring = jnp.asarray(blocks)
+    orng = jnp.zeros(blocks.shape, jnp.float32)
+    st2 = pipe.init_state(seed=1)
+    for i in range(2):
+        st2, orng = pipe._ring_step_impl(bank, st2, ring, None, i, orng)
+        np.testing.assert_allclose(np.asarray(orng)[i], ref[i], atol=1e-6)
+    st3 = pipe.init_state(seed=1)
+    om = jnp.zeros(blocks.shape, jnp.float32)
+    st3, om = pipe._run_ring_mega_impl(bank, st3, ring, None, om, 2, 0)
+    np.testing.assert_array_equal(np.asarray(om), np.asarray(orng))
+
+
+def test_td_banked_guards(rng):
+    """Granularity, ingest, and fold guards for the td banked mode."""
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    pipe = Pipeline(_td_cfg())
+    # row-level designs cannot tile (16 distinct designs in 16 rows)
+    with pytest.raises(ValueError, match="constant within aligned"):
+        with_per_stream_filters(
+            pipe, [dict(cutoff=1000.0 + 500 * i) for i in range(16)])
+    # pair ingest is rejected for td banks
+    pp = Pipeline(_td_cfg(ingest="pair"))
+    with pytest.raises(ValueError, match="ingest='f32'"):
+        with_per_stream_filters(pp, [dict(cutoff=4000.0)] * 16)
+    # fold=True is refused; 'prefer' silently keeps the scan
+    bank = with_per_stream_filters(
+        pipe, [dict(cutoff=4000.0 if i < 8 else 12000.0) for i in range(16)])
+    sig = (rng.normal(size=(16, 2 * 512)) * 0.3).astype(np.float32)
+    with pytest.raises(ValueError, match="per-stream filter banks"):
+        pipe.process_signal(bank, pipe.init_state(seed=0), sig, fold=True)
+    _, y = pipe.process_signal(bank, pipe.init_state(seed=1), sig,
+                               fold="prefer")
+    st = pipe.init_state(seed=1)
+    ref = []
+    for i in range(2):
+        st, o = pipe.step(bank, st, sig[:, i * 512:(i + 1) * 512])
+        ref.append(np.asarray(o))
+    np.testing.assert_array_equal(np.asarray(y),
+                                  np.concatenate(ref, axis=-1))
+
+
+def test_td_banked_with_dither_and_clip(rng):
+    """The banked kernel's fused clip epilogue runs in interpret mode
+    (clip has no PRNG); dither-on configs stay deterministic per seed and
+    within the clip bound."""
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    cfg = _td_cfg(dither_kind="tpdf", output_clip=0.5)
+    pipe = Pipeline(cfg)
+    bank = with_per_stream_filters(
+        pipe, [dict(cutoff=4000.0 if i < 8 else 12000.0) for i in range(16)])
+    x = (rng.normal(size=(16, 512)) * 2.0).astype(np.float32)  # drives clip
+    _, y1 = pipe.step(bank, pipe.init_state(seed=3), x)
+    _, y2 = pipe.step(bank, pipe.init_state(seed=3), x)
+    y1 = np.asarray(y1)
+    np.testing.assert_array_equal(y1, np.asarray(y2))
+    lsb = 2.0 / 2 ** 24
+    assert np.max(np.abs(y1)) <= 0.5 + lsb

@@ -5,6 +5,11 @@ import pytest
 from afp_tpu.cli import main
 from afp_tpu.utils import read_wav, write_wav
 
+#: heavy suite — excluded from the fast pass (docs/TESTING.md tiering);
+#: run the FULL suite before committing kernel/engine changes
+pytestmark = pytest.mark.slow
+
+
 
 def test_cli_process_wav(tmp_path, rng, capsys):
     src = str(tmp_path / "in.wav")

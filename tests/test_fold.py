@@ -14,6 +14,11 @@ import jax.numpy as jnp
 
 from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
 
+#: heavy suite — excluded from the fast pass (docs/TESTING.md tiering);
+#: run the FULL suite before committing kernel/engine changes
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture
 def rng():
@@ -22,6 +27,7 @@ def rng():
 
 def make_cfg(**kw):
     base = dict(
+        resample_quality="fast",  # tier mechanics tested elsewhere; keep CPU CI fast
         samplerate=44100, blocksize=512, upsample_factor=2, numtaps=129,
         batch=1, filter_type="lowpass", cutoff=11000.0, eq_enabled=True,
         agc_enabled=False, downsample_mode="decimate", dither_kind="off",

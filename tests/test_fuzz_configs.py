@@ -29,6 +29,11 @@ import jax.numpy as jnp
 
 from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
 
+#: heavy suite — excluded from the fast pass (docs/TESTING.md tiering);
+#: run the FULL suite before committing kernel/engine changes
+pytestmark = pytest.mark.slow
+
+
 CPU_ATOL = 1e-5  # test_fold.py's interpret-GEMM reassociation bound
 
 N_DRAWS = 24
@@ -56,6 +61,8 @@ def _draw(rng: np.random.Generator) -> StreamConfig:
         downsample_mode=pick("resample", "decimate"),
         output_rate=pick("base", "base", "base", "upsampled"),
         conv_strategy=pick("fft", "td_mxu"),
+        # mostly 'fast' for interpret-mode runtime; 'hq' sampled for coverage
+        resample_quality=pick("fast", "fast", "fast", "hq"),
         ingest=pick("f32", "f32", "pcm16", "pair"),
         emit=pick("f32", "f32", "pcm16"),
         output_clip=pick(None, 0.99),

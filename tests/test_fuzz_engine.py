@@ -38,6 +38,7 @@ def _cfg(rng):
                 agc_enabled=bool(pick(False, True)),
                 agc_window_size=128,
                 dither_kind="off",  # noise differs per framing latency
+                resample_quality="fast",  # tier mechanics tested elsewhere
                 downsample_mode=pick("resample", "decimate"),
                 output_rate=pick("base", "upsampled"),
                 output_clip=0.99,

@@ -26,6 +26,11 @@ import jax.numpy as jnp
 
 from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
 
+#: heavy suite — excluded from the fast pass (docs/TESTING.md tiering);
+#: run the FULL suite before committing kernel/engine changes
+pytestmark = pytest.mark.slow
+
+
 N_DRAWS = 16
 
 
@@ -58,6 +63,7 @@ def _draw(rng):
         agc_window_size=int(pick(128, 256, 512)),
         agc_carry=True,
         agc_link_group=int(pick(1, 2)) if agc else 1,
+        resample_quality="fast",  # tier mechanics tested elsewhere
         dither_kind=dither,
         downsample_mode="decimate",
         conv_strategy="td_mxu",

@@ -4,6 +4,11 @@ import pytest
 
 from afp_tpu.ops.pallas import band_matrix, fir_conv_xla, fir_td_mxu
 
+#: heavy suite — excluded from the fast pass (docs/TESTING.md tiering);
+#: run the FULL suite before committing kernel/engine changes
+pytestmark = pytest.mark.slow
+
+
 
 def err_db(a, b):
     return 20 * np.log10(np.max(np.abs(np.asarray(a) - b)) / (np.max(np.abs(b)) + 1e-300) + 1e-300)

@@ -8,9 +8,15 @@ import jax
 from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
 from afp_tpu.parallel import ShardedPipeline, halo_convolve, make_mesh
 
+#: heavy suite — excluded from the fast pass (docs/TESTING.md tiering);
+#: run the FULL suite before committing kernel/engine changes
+pytestmark = pytest.mark.slow
+
+
 
 def make_cfg(**kw):
     base = dict(
+        resample_quality="fast",  # tier mechanics tested elsewhere; keep CPU CI fast
         samplerate=44100, blocksize=512, upsample_factor=2, numtaps=65,
         batch=8, filter_type="lowpass", cutoff=11000.0,
         eq_enabled=True, agc_enabled=False, downsample_mode="decimate",
@@ -657,3 +663,116 @@ def test_halo_2d_mesh_mono_replicates(rng):
     _, streamed = pipe.process_signal(params, pipe.init_state(), sig[None])
     mono = np.asarray(filter_long_signal(pipe, params, sig, mesh2d))
     np.testing.assert_allclose(mono, np.asarray(streamed)[0], atol=2e-5)
+
+
+# ---------------- multi-slice (DCN) data parallelism, SURVEY §5.8 ----------
+
+
+_COLLECTIVES = ("all-reduce", "all-gather", "collective-permute",
+                "all-to-all", "reduce-scatter", "collective-broadcast")
+
+
+def test_multislice_mesh_shape():
+    from afp_tpu.parallel import make_multislice_mesh
+
+    m = make_multislice_mesh(n_slices=2)
+    assert m.axis_names == ("slice", "streams")
+    assert m.shape["slice"] == 2 and m.shape["streams"] == 4
+    m2 = make_multislice_mesh(n_slices=4, devices_per_slice=2)
+    assert m2.shape["slice"] == 4 and m2.shape["streams"] == 2
+    with pytest.raises(ValueError, match="n_slices required"):
+        make_multislice_mesh()
+    with pytest.raises(ValueError, match="needs"):
+        make_multislice_mesh(n_slices=3, devices_per_slice=4)
+
+
+def test_multislice_step_matches_and_zero_collectives(rng):
+    """The 2×4 ('slice','streams') mesh step: (a) bitwise-identical to the
+    1-D 8-device 'streams' mesh (same shard decomposition, same per-shard
+    key folds), and (b) the COMPILED HLO contains zero collectives — the
+    'pure DP over channels, zero cross-slice traffic' claim of SURVEY
+    §5.8, asserted on the artifact rather than promised in prose."""
+    from afp_tpu.parallel import make_multislice_mesh
+
+    cfg = make_cfg(batch=16, agc_enabled=True, agc_window_size=128,
+                   dither_kind="tpdf")
+    design = PipelineParams.design(cfg.validate())
+    blocks = (rng.normal(size=(16, cfg.blocksize)) * 0.3).astype(np.float32)
+
+    sp1 = ShardedPipeline(cfg, make_mesh(8, axis_names=("streams",)))
+    st1, out1 = sp1.step(sp1.device_params(design), sp1.init_state(seed=3),
+                         blocks)
+
+    ms = make_multislice_mesh(n_slices=2)
+    sp2 = ShardedPipeline(cfg, ms)
+    assert sp2.n_shards == 8 and sp2._bax == ("slice", "streams")
+    params2 = sp2.device_params(design)
+    state2 = sp2.init_state(seed=3)
+    step, _ = sp2._get_exec(params2)
+    hlo = step.lower(params2, state2, blocks).compile().as_text()
+    for op in _COLLECTIVES:
+        assert op not in hlo, f"multi-slice DP step lowered a '{op}'"
+    st2, out2 = step(params2, state2, blocks)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out1))
+    np.testing.assert_array_equal(np.asarray(st2.agc_gain),
+                                  np.asarray(st1.agc_gain))
+
+
+def test_multislice_ring_and_signal_zero_collectives(rng):
+    """The zero-copy serving ring and the offline fold under the
+    multi-slice mesh: outputs match the 1-D mesh, and both compiled
+    executables stay collective-free (the serving deployment shape)."""
+    import jax.numpy as jnp
+
+    from afp_tpu.parallel import make_multislice_mesh
+
+    cfg = make_cfg(batch=16, eq_enabled=False, conv_strategy="td_mxu",
+                   upsample_factor=2, numtaps=33)
+    design = PipelineParams.design(cfg.validate())
+    blocks = (rng.normal(size=(2, 16, cfg.blocksize)) * 0.3
+              ).astype(np.float32)
+    ring = jnp.asarray(blocks)
+
+    sp1 = ShardedPipeline(cfg, make_mesh(8, axis_names=("streams",)))
+    assert sp1.supports_ring_step
+    p1 = sp1.device_params(design)
+    out1 = jnp.zeros(blocks.shape, jnp.float32)
+    _, out1 = sp1.run_ring(p1, sp1.init_state(seed=1), ring, None, out1, 2)
+
+    ms = make_multislice_mesh(n_slices=2)
+    sp2 = ShardedPipeline(cfg, ms)
+    p2 = sp2.device_params(design)
+    out2 = jnp.zeros(blocks.shape, jnp.float32)
+    st2, out2 = sp2.run_ring(p2, sp2.init_state(seed=1), ring, None, out2, 2)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out1))
+    exe = sp2._exec_cache[[k for k in sp2._exec_cache if k[0] == "ring"][0]]
+    hlo = exe.lower(p2, sp2.init_state(seed=1), ring, None,
+                    jnp.zeros(blocks.shape, jnp.float32),
+                    jnp.asarray(0, jnp.int32)).compile().as_text()
+    for op in _COLLECTIVES:
+        assert op not in hlo, f"multi-slice serving ring lowered a '{op}'"
+
+    # offline fold per shard: same decomposition, zero collectives
+    sig = (rng.normal(size=(16, 3 * cfg.blocksize)) * 0.3).astype(np.float32)
+    _, y1 = sp1.process_signal(p1, sp1.init_state(seed=2), sig, fold=True)
+    _, y2 = sp2.process_signal(p2, sp2.init_state(seed=2), sig, fold=True)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y1))
+
+
+def test_sharded_td_banked_filter_banks(rng, mesh):
+    """Per-stream filter banks on td_mxu under stream-DP: the design bank
+    replicates, the per-tile assignment shards, and the sharded step
+    matches the single-device banked pipeline."""
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    cfg = make_cfg(batch=16, eq_enabled=False, conv_strategy="td_mxu",
+                   upsample_factor=2, numtaps=33)
+    pipe = Pipeline(cfg)
+    variants = [dict(cutoff=4000.0 if i < 8 else 12000.0) for i in range(16)]
+    bank = with_per_stream_filters(pipe, variants)
+    blocks = (rng.normal(size=(16, cfg.blocksize)) * 0.3).astype(np.float32)
+    _, gold = pipe.step(bank, pipe.init_state(seed=1), blocks)
+
+    sp = ShardedPipeline(cfg, make_mesh(2, axis_names=("streams",)))
+    _, out = sp.step(bank, sp.init_state(seed=1), blocks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold), atol=1e-6)

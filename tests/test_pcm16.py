@@ -23,6 +23,7 @@ from afp_tpu.ops.pallas.fir_td import PCM16_SCALE, merge_bf16, split_bf16
 
 def make_cfg(**kw):
     base = dict(
+        resample_quality="fast",  # tier mechanics tested elsewhere; keep CPU CI fast
         samplerate=44100, blocksize=512, upsample_factor=2, numtaps=65,
         batch=4, filter_type="lowpass", cutoff=11000.0,
         eq_enabled=True, agc_enabled=False, downsample_mode="decimate",

@@ -19,6 +19,11 @@ import jax.numpy as jnp
 from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
 from afp_tpu.ops.pallas.fir_td import PCM16_SCALE
 
+#: heavy suite — excluded from the fast pass (docs/TESTING.md tiering);
+#: run the FULL suite before committing kernel/engine changes
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture
 def rng():
@@ -31,6 +36,7 @@ def c8_cfg(**kw):
         batch=1024, eq_enabled=True, agc_enabled=True, agc_mode="exact",
         agc_window_size=256, agc_carry=True, dither_kind="tpdf",
         output_clip=0.99, conv_strategy="td_mxu", ingest="pcm16",
+        resample_quality="fast",  # tier mechanics tested elsewhere
     )
     base.update(kw)
     return StreamConfig(**base).validate()
@@ -60,13 +66,17 @@ def test_pcm16_agc_flags(force_fused):
 
 
 def test_pcm16_agc_fallback_modes_supported(force_fused):
-    """agc_mode='fast'/'parallel' with pcm16: the fused chain is off, the
-    block converts at device entry (exact), and the ring form is refused
-    (its kernels implement exact-mode semantics only)."""
-    for mode in ("fast", "parallel"):
-        p = Pipeline(c8_cfg(agc_mode=mode))
-        assert p._i16_ingest and not p._i16_agc_raw
-        assert not p.supports_ring_step
+    """agc_mode='fast' rides the fused chain since r4 (the blockwise
+    recurrence runs inside the same apply kernel — VERDICT r3 #5), so
+    pcm16 + fast keeps the raw-int16 handoff AND the ring form.  Only
+    'parallel' (the associative-scan solver, an XLA composition) stays
+    unfused: entry conversion, ring refused."""
+    p = Pipeline(c8_cfg(agc_mode="fast"))
+    assert p._i16_ingest and p._i16_agc_raw and p._agc_blockwise == 32
+    assert p.supports_ring_step
+    p = Pipeline(c8_cfg(agc_mode="parallel"))
+    assert p._i16_ingest and not p._i16_agc_raw
+    assert not p.supports_ring_step
 
 
 def test_pcm16_agc_without_force_converts_at_entry(rng):

@@ -19,6 +19,7 @@ pytestmark = pytest.mark.skipif(
 
 def make_engine(**kw):
     base = dict(
+        resample_quality="fast",  # tier mechanics tested elsewhere; keep CPU CI fast
         samplerate=44100, blocksize=512, upsample_factor=1, numtaps=33,
         batch=1, cutoff=11000.0, eq_enabled=False, agc_enabled=False,
         downsample_mode="decimate", dither_kind="off", output_clip=None,

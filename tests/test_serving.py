@@ -7,9 +7,15 @@ import pytest
 from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
 from afp_tpu.runtime import RingServer
 
+#: heavy suite — excluded from the fast pass (docs/TESTING.md tiering);
+#: run the FULL suite before committing kernel/engine changes
+pytestmark = pytest.mark.slow
+
+
 
 def make_cfg(**kw):
     base = dict(
+        resample_quality="fast",  # tier mechanics tested elsewhere; keep CPU CI fast
         samplerate=44100, blocksize=512, upsample_factor=1, numtaps=65,
         batch=2, filter_type="lowpass", cutoff=11000.0,
         window_type="hamming", eq_enabled=False, agc_enabled=False,
