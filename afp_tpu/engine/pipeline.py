@@ -1536,9 +1536,17 @@ class Pipeline:
             # bit-exactness is only claimed (and hw-certified) for the td
             # kernels, whose per-output K accumulation is batch-size-
             # independent; the fft strategy's batched plan may specialize
-            # and shift ulps, so it folds only under 'prefer'/True
+            # and shift ulps, so it folds only under 'prefer'/True.
+            # Per-stream GAIN banks are excluded too: the wide-dot kernel's
+            # folded-batch lowering measured a 7.9e-7 scan divergence at
+            # the r4 'hq' cascade length on hardware (tools/hw_check.py) —
+            # the documented ≤1e-6 class, but not BIT-exact, so 'auto'
+            # (whose contract is "semantics never change") scans instead
+            per_stream = (getattr(params.eq_gains, "ndim", 1) == 2
+                          or getattr(params.H_main, "ndim", 1) == 2)
             use_fold = (self.supports_fold
                         and self._use_td
+                        and not per_stream
                         and self.cfg.dither_kind == "off"
                         and not self._pl_interpret
                         and batch < 256)

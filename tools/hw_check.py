@@ -693,9 +693,12 @@ def check_offline_fold() -> dict:
             f"offline fold ({name}) vs scan diverges: {d}")
         results[f"offline_fold_{name}_max_abs_diff"] = d
 
-    # per-stream gain banks fold under 'auto' too (the wide-dot kernel at
-    # folded batch) — both the f32 and the pair-ingest forms must hold the
-    # same bit-exactness claim on the compiled lowering
+    # per-stream gain banks: the wide-dot kernel's folded-batch lowering is
+    # NOT bit-exact vs the scan at every cascade length (measured 7.9e-7 at
+    # the r4 'hq' default, n_casc=209; bit-exact at the r3 'fast' length) —
+    # so fold='auto' EXCLUDES per-stream banks (Pipeline._fold_decision)
+    # and the explicit fold=True path is certified here at the documented
+    # ≤ 2e-6 class bound instead
     from afp_tpu.engine.batch import with_per_stream_gains
 
     B2 = 2
@@ -710,13 +713,16 @@ def check_offline_fold() -> dict:
         gains = np.ones((B2, params.eq_gains.shape[-1]), np.float32)
         gains[1] *= 0.5
         params = with_per_stream_gains(p, params, gains)
+        # the auto gate must scan for per-stream banks (semantics contract)
+        assert not p._fold_decision("auto", params), (
+            f"fold='auto' must exclude per-stream banks ({name})")
         _, y_scan = p.process_signal(params, p.init_state(0), sig2,
                                      fold=False)
         _, y_fold = p.process_signal(params, p.init_state(0), sig2,
                                      fold=True)
         d = float(np.max(np.abs(np.asarray(y_scan) - np.asarray(y_fold))))
-        assert d <= _fold_bound(False), (
-            f"offline fold ({name}) vs scan diverges: {d}")
+        assert d <= 2e-6, (
+            f"offline fold ({name}) vs scan exceeds the class bound: {d}")
         results[f"offline_fold_{name}_max_abs_diff"] = d
     return results
 
