@@ -502,13 +502,19 @@ class StreamEngine:
 
     def _stage_chunk_blocks(self, signal) -> Optional[int]:
         """Blocks per staging chunk for the double-buffered upload path, or
-        None to stage the whole signal in one piece (small signals — the
-        overlap isn't worth the extra dispatches; and int16 ingest, whose
-        transfers are half-size and usually fit one piece).  Override via
-        ``AFP_STAGE_CHUNK_MB`` (0 disables)."""
+        None to stage the whole signal in one piece.
+
+        OPT-IN (``AFP_STAGE_CHUNK_MB=<mb>``; default off): on hosts whose
+        copy engine overlaps H2D with compute (PCIe), chunked device_put
+        hides the upload behind the previous chunk's dispatch.  On the
+        single-stream dev tunnel it measured NEGATIVE — 99× vs 124×
+        unchunked at the engine-pair leg (each chunk adds a dispatch RTT
+        and the link serializes transfers with compute anyway) — so the
+        shipped default stages in one piece; see BENCHMARKS.md "Round-4
+        engine staging"."""
         import os
 
-        mb = float(os.environ.get("AFP_STAGE_CHUNK_MB", "64"))
+        mb = float(os.environ.get("AFP_STAGE_CHUNK_MB", "0"))
         if mb <= 0:
             return None
         nbytes = signal.size * signal.dtype.itemsize

@@ -236,9 +236,11 @@ def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
             c_scr[t] = g
     else:
         # (chunk, 1, 1) fractions broadcast over the [chunk, sub, LANES]
-        # segment store — matches smooth_gain_blockwise's (t+1)/chunk ramp
-        fr = (jax.lax.broadcasted_iota(jnp.float32, (chunk, 1, 1), 0)
-              + 1.0) * jnp.float32(1.0 / chunk)
+        # segment store — matches smooth_gain_blockwise's (t+1)/chunk ramp.
+        # iota must be INTEGER for Mosaic (tpu.iota rejects float results —
+        # hardware-only; interpret mode accepted f32) and convert after
+        fr = (jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0)
+              .astype(jnp.float32) + 1.0) * jnp.float32(1.0 / chunk)
         for c in range(T_CHUNK // chunk):
             d_mean = jnp.mean(d_ref[c * chunk:(c + 1) * chunk], axis=0)
             alpha = jnp.where(d_mean > g, a_att, a_rel)
