@@ -129,3 +129,29 @@ def test_run_agc_config_i16io_nested_in_pcm16_asym(flow_env, monkeypatch):
     assert r["ring_pcm16"] == 50000.0 and r["ring_pcm16_asym"] == 50008.0
     assert r["ring_i16io_asym"] == 50008.0
     assert r["sustained"] == 100000.0
+
+
+def test_per_stream_ring_leg_wiring(flow_env, monkeypatch):
+    """The r4 per-stream banked ring leg: builds the 4-design bank on the
+    headline-shaped (shrunk) config and publishes both keys from the
+    stubbed timers."""
+    monkeypatch.setenv("AFP_BENCH_RING_BLOCKS", "2")
+    monkeypatch.setattr(
+        bench, "_time_sustained",
+        lambda label, dispatch, pipe, n_sust, K, batch, blocksize, reps:
+        float(777000))
+    out = bench.run_per_stream_ring_xrt(32, 2)
+    assert out["per_stream_ring_xrt"] == 777000
+    assert out["per_stream_ring_mega_xrt"] == 777000
+
+
+def test_chain_imaging_report_keys_and_gate():
+    """The cross-kernel imaging oracle publishes the default-tier key and
+    enforces the −90 dB gate on it (the r4 default-config contract)."""
+    out = bench.chain_imaging_report()
+    q = out["resample_default_quality"]
+    assert q == "hq"
+    assert out[f"chain_err_db_default_{q}"] < -90
+    assert out["chain_err_db_headline_vhq"] < -90
+    # 'fast' is reported (to show why it is not the default) and is worse
+    assert out["chain_err_db_default_fast"] > out[f"chain_err_db_default_{q}"]
