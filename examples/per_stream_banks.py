@@ -62,6 +62,27 @@ def main():
     for k in (0, min(2, args.streams - 1), min(3, args.streams - 1)):
         print(f"  stream {k} ({variants[k]}): out rms {out[k].std():.4f}")
 
+    # --- the td_mxu BANKED path (r4): per-GROUP designs at the shared-
+    # kernel MXU cost.  Designs must occupy whole batch-tile row groups
+    # (≥ 8 rows), so this demo runs two designs over tile-aligned halves;
+    # the serving rings/megakernel accept the same bank (see
+    # docs/BENCHMARKS.md "Round-4 per-stream filter banks"). ---
+    if args.streams >= 16 and args.streams % 16 == 0:
+        import dataclasses
+
+        tcfg = dataclasses.replace(cfg, conv_strategy="td_mxu")
+        tpipe = Pipeline(tcfg)
+        half = args.streams // 2
+        tbank = with_per_stream_filters(
+            tpipe, [dict(cutoff=4000.0)] * half + [dict(cutoff=15000.0)] * half)
+        t0 = time.perf_counter()
+        _, tout = tpipe.process_signal(tbank, tpipe.init_state(), sig)
+        tout = np.asarray(tout)
+        dt = time.perf_counter() - t0
+        print(f"td_mxu banked (2 designs × {half} streams): "
+              f"{audio / dt:,.0f}× realtime; "
+              f"rms lo-cut {tout[0].std():.4f} vs hi-cut {tout[-1].std():.4f}")
+
 
 if __name__ == "__main__":
     main()
