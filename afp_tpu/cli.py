@@ -607,6 +607,12 @@ def cmd_stream(args) -> int:
 
     # ---- real sound card (PortAudio duplex) ----
     if args.audio:
+        if cfg.output_rate == "upsampled":
+            # the flag-level gate above catches --output-rate; this catches
+            # a --resume'd checkpoint whose CONFIG carries upsampled output
+            raise SystemExit("--audio requires base-rate output; the "
+                             "resumed checkpoint was saved with "
+                             "output_rate='upsampled'")
         from .runtime.audio import AudioStream
 
         device = None

@@ -18,7 +18,7 @@ is a shape change, which the static-shape contract forbids mid-stream.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -79,8 +79,8 @@ def _batched_convolve(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out[..., : K + N - 1]
 
 
-def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict]
-                            ) -> DeviceParams:
+def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict],
+                            bt: Optional[int] = None) -> DeviceParams:
     """Per-stream MAIN-FILTER banks (SURVEY §7 step 5: "each stream can have
     its own kernel"): design one main filter per stream from `variants`
     (dicts of dynamic design-field overrides — cutoff, filter_type,
@@ -108,19 +108,17 @@ def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict]
     The price is granularity: streams sharing a design must occupy whole
     batch-tile row groups (the kernel's tile ladder, ≥ 8 rows, larger
     when VMEM allows) — group identical designs contiguously, or use the
-    fft strategy for row-level banks.  td_mxu banks additionally require
-    ``ingest='f32'`` (the pair/pcm16 staged steps hand the conv a
-    pre-split block the banked kernel does not consume) and keep the
-    offline fold disabled (scan path; `Pipeline._fold_decision`).
+    fft strategy for row-level banks.  Every ingest works: pcm16/pair
+    serving RINGS feed the banked kernels natively (raw int16 slots
+    convert in VMEM — exact), while their STAGED steps reconstruct the
+    f32 window from the split pair (exact for pcm16; the documented
+    ~2⁻¹⁶ pair class for f32 pair ingest).  The offline fold stays
+    disabled (scan path; `Pipeline._fold_decision`); `bt` overrides the
+    assignment tile for wide meshes.
     """
     cfg = pipe.cfg
     if len(variants) != pipe.batch:
         raise ValueError(f"need {pipe.batch} variants, got {len(variants)}")
-    if pipe._use_td and cfg.ingest != "f32":
-        raise ValueError(
-            "per-stream filter banks on td_mxu require ingest='f32' "
-            "(pair/pcm16 staged ingest pre-splits the block for the "
-            "shared-band kernels)")
     if cfg.eq_enabled and len(cfg.eq_bands):
         raise NotImplementedError(
             "per-stream filter banks require eq_enabled=False "
@@ -182,7 +180,7 @@ def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict]
     designs = np.empty((len(uniq), pipe.n_casc))
     for b in range(pipe.batch):
         designs[assign[b]] = bank[b]
-    bt = _banked_tile(pipe, assign)
+    bt = _banked_tile(pipe, assign, bt)
     return params._replace(
         H_main=H_main,
         casc_bank=jnp.asarray(designs, jnp.float32),
@@ -190,12 +188,22 @@ def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict]
     )
 
 
-def _banked_tile(pipe: Pipeline, assign: np.ndarray) -> int:
-    """The batch tile the banked kernels will run at: the largest ladder
-    value that divides the batch, sits at or below BOTH kernels' VMEM
-    picks (staged + ring — a smaller tile always fits), and within which
-    the design assignment is CONSTANT.  Raises with guidance when the
-    assignment is too fine (the MXU tile floor is 8 rows)."""
+def _banked_tile(pipe: Pipeline, assign: np.ndarray,
+                 bt: Optional[int] = None) -> int:
+    """The batch tile the banked kernels will run at: a ladder value that
+    divides the batch, sits at or below BOTH kernels' VMEM picks (staged +
+    ring — a smaller tile always fits), and within which the design
+    assignment is CONSTANT.
+
+    The DEFAULT additionally caps the tile at ``max(8, B // 8)`` so the
+    per-tile assignment has at least 8 entries on non-tiny batches — a
+    bank built at global batch then shards over up to 8 devices without
+    the caller thinking about tiles (shard_map splits `casc_assign` on
+    the batch axis; one tile per mesh would not divide — r4 review
+    finding).  Pass `bt` explicitly for other topologies (wider meshes
+    need smaller tiles; a single device can take the largest).  Raises
+    with guidance when the assignment is too fine (the MXU tile floor is
+    8 rows)."""
     from ..ops.pallas.fir_td import (LANE, _pick_b_tile, _pick_b_tile_b3t_f32)
 
     B = pipe.batch
@@ -204,12 +212,24 @@ def _banked_tile(pipe: Pipeline, assign: np.ndarray) -> int:
     text = pipe.block + n_casc - 1
     cap = min(_pick_b_tile(B, text, pipe.block),
               _pick_b_tile_b3t_f32(B, k_pad, pipe.block))
-    for bt in (256, 128, 64, 32, 16, 8):
-        if bt > cap or B % bt:
-            continue
+    if bt is not None:
+        if bt > cap or B % bt or bt not in (256, 128, 64, 32, 16, 8, B):
+            raise ValueError(
+                f"bt={bt} must be a ladder tile ≤ the VMEM pick {cap} "
+                f"dividing batch {B}")
         groups = assign.reshape(B // bt, bt)
+        if not np.all(groups == groups[:, :1]):
+            raise ValueError(
+                f"design assignment is not constant within bt={bt} row "
+                "groups")
+        return bt
+    default_cap = min(cap, max(8, B // 8))
+    for cand in (256, 128, 64, 32, 16, 8):
+        if cand > default_cap or B % cand:
+            continue
+        groups = assign.reshape(B // cand, cand)
         if np.all(groups == groups[:, :1]):
-            return bt
+            return cand
     if B <= 8 and np.all(assign == assign[0]):
         return B
     raise ValueError(

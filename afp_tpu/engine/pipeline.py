@@ -820,12 +820,9 @@ class Pipeline:
                     from ..ops.pallas.fir_td import fir_td_mxu
 
                     if banked:
-                        # per-stream filter banks: [D, rows, LANE] band
-                        # stack built from the deduplicated cascade bank
-                        # (same gather pattern as the shared band)
-                        band = jax.vmap(lambda k: jnp.where(
-                            self._band_mask, jnp.take(k, self._band_idx),
-                            0.0))(params.casc_bank)
+                        # per-stream filter banks: band stack + assignment
+                        # from the shared helper (ring paths use it too)
+                        band, b_assign, b_bt = self._banked_operands(params)
                     else:
                         k = params.combined_cascade(has_eq)
                         band = jnp.where(
@@ -856,14 +853,25 @@ class Pipeline:
                         # per-stream filters at the shared-dot cost: the
                         # per-tile design index selects each tile's band by
                         # scalar-prefetch addressing.  The AGC pair emit is
-                        # gated off under banked params, so x is f32 and
-                        # `ext` exists on every route here.
+                        # gated off under banked params; pair/pcm16 INGEST
+                        # still arrives split, so the staged step
+                        # reconstructs the f32 ext exactly like the
+                        # per-stream-gains fallback (EXACT for pcm16 — the
+                        # split of 16-bit data loses nothing; ~2⁻¹⁶ class
+                        # for f32 pair ingest, the documented bound).  The
+                        # serving rings consume the raw pcm16 ring natively.
                         from ..ops.pallas.fir_td import fir_td_mxu_banked
 
-                        bt = self.batch // params.casc_assign.shape[0]
+                        if x_pair:
+                            from ..ops.pallas.fir_td import merge_bf16
+
+                            tail_f32 = merge_bf16(
+                                tail_hi, tail_lo)[:, -(n_conv - 1):]
+                            ext = jnp.concatenate(
+                                [tail_f32, merge_bf16(x[0], x[1])], axis=-1)
                         y = fir_td_mxu_banked(
-                            ext, band, jnp.repeat(params.casc_assign, bt),
-                            bt=bt, interpret=self._pl_interpret,
+                            ext, band, b_assign, bt=b_bt,
+                            interpret=self._pl_interpret,
                             out_clip=oc, **dkw)
                     elif x_pair:
                         # pair-input kernel: no staging pass at all — the

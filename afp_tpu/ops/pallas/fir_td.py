@@ -479,6 +479,7 @@ def _fir_td_call(x_ext: jnp.ndarray, band: jnp.ndarray, interpret: bool = False,
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
+        **_sem(interpret, "parallel"),
     )(x_ext, band)
 
 

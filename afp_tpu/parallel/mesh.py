@@ -67,13 +67,27 @@ def make_multislice_mesh(n_slices: Optional[int] = None,
         for d in devs:
             by_slice.setdefault(d.slice_index, []).append(d)
         groups = [by_slice[k] for k in sorted(by_slice)]
-        if len({len(g) for g in groups}) != 1:
-            raise ValueError(
-                f"unequal slice sizes {[len(g) for g in groups]}")
         if n_slices is not None:
+            if n_slices > len(groups):
+                # silently returning fewer slices than asked would skew
+                # every downstream batch-divisibility computation
+                raise ValueError(
+                    f"n_slices={n_slices} but only {len(groups)} slices "
+                    "are attached")
             groups = groups[:n_slices]
         if devices_per_slice is not None:
+            # trim FIRST: unequal physical slices can still form a valid
+            # mesh at the trimmed width
+            short = [len(g) for g in groups if len(g) < devices_per_slice]
+            if short:
+                raise ValueError(
+                    f"devices_per_slice={devices_per_slice} exceeds the "
+                    f"smallest attached slice ({min(short)})")
             groups = [g[:devices_per_slice] for g in groups]
+        if len({len(g) for g in groups}) != 1:
+            raise ValueError(
+                f"unequal slice sizes {[len(g) for g in groups]} — pass "
+                "devices_per_slice to trim to a common width")
     else:
         if n_slices is None:
             raise ValueError(

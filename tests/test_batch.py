@@ -288,10 +288,14 @@ def test_td_banked_guards(rng):
     with pytest.raises(ValueError, match="constant within aligned"):
         with_per_stream_filters(
             pipe, [dict(cutoff=1000.0 + 500 * i) for i in range(16)])
-    # pair ingest is rejected for td banks
-    pp = Pipeline(_td_cfg(ingest="pair"))
-    with pytest.raises(ValueError, match="ingest='f32'"):
-        with_per_stream_filters(pp, [dict(cutoff=4000.0)] * 16)
+    # an explicit bt must sit on the ladder, divide the batch, and hold
+    # the assignment constant
+    with pytest.raises(ValueError, match="ladder tile"):
+        with_per_stream_filters(pipe, [dict(cutoff=4000.0)] * 16, bt=12)
+    with pytest.raises(ValueError, match="not constant"):
+        with_per_stream_filters(
+            pipe, [dict(cutoff=4000.0 if i < 8 else 12000.0)
+                   for i in range(16)], bt=16)
     # fold=True is refused; 'prefer' silently keeps the scan
     bank = with_per_stream_filters(
         pipe, [dict(cutoff=4000.0 if i < 8 else 12000.0) for i in range(16)])
@@ -326,3 +330,64 @@ def test_td_banked_with_dither_and_clip(rng):
     np.testing.assert_array_equal(y1, np.asarray(y2))
     lsb = 2.0 / 2 ** 24
     assert np.max(np.abs(y1)) <= 0.5 + lsb
+
+
+def test_td_banked_default_tile_is_shardable(rng):
+    """The default assignment tile caps at max(8, B//8): a bank built with
+    UNIFORM designs at global batch still shards (the largest-tile pick
+    used to produce a 1-entry casc_assign that no mesh could split —
+    r4 review finding)."""
+    import jax
+
+    from afp_tpu.engine.batch import with_per_stream_filters
+    from afp_tpu.parallel import ShardedPipeline, make_mesh
+
+    cfg = _td_cfg()
+    pipe = Pipeline(cfg)
+    bank = with_per_stream_filters(pipe, [dict(cutoff=5000.0)] * 16)
+    assert bank.casc_assign.shape[0] >= 2  # ≥2 tiles at batch 16
+    blocks = (rng.normal(size=(16, cfg.blocksize)) * 0.3).astype(np.float32)
+    _, gold = pipe.step(bank, pipe.init_state(seed=1), blocks)
+    sp = ShardedPipeline(cfg, make_mesh(2, axis_names=("streams",)))
+    _, out = sp.step(bank, sp.init_state(seed=1), blocks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold), atol=1e-6)
+
+
+def test_td_banked_pcm16(rng):
+    """pcm16 ingest through the banked path: the staged step reconstructs
+    the f32 window from the split int16 (EXACT — 16-bit data splits
+    losslessly) and the raw int16 serving ring feeds the banked kernel
+    natively; both match the f32 banked pipeline fed n/32768 floats."""
+    import jax.numpy as jnp
+
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    variants = [dict(cutoff=4000.0 if i < 8 else 12000.0) for i in range(16)]
+    cfg16 = _td_cfg(ingest="pcm16")
+    p16 = Pipeline(cfg16)
+    bank16 = with_per_stream_filters(p16, variants)
+    pf = Pipeline(_td_cfg())
+    bankf = with_per_stream_filters(pf, variants)
+
+    qi = (rng.integers(-32768, 32768, size=(2, 16, cfg16.blocksize))
+          .astype(np.int16))
+    qf = qi.astype(np.float32) / np.float32(32768.0)
+    st16, stf = p16.init_state(seed=2), pf.init_state(seed=2)
+    for i in range(2):
+        st16, y16 = p16.step(bank16, st16, qi[i])
+        stf, yf = pf.step(bankf, stf, qf[i])
+        np.testing.assert_allclose(np.asarray(y16), np.asarray(yf),
+                                   atol=1e-6)
+
+    # raw int16 serving ring, banked
+    assert p16.supports_ring_step
+    ring = jnp.asarray(qi)
+    orng = jnp.zeros(qi.shape, jnp.float32)
+    st3 = p16.init_state(seed=2)
+    for i in range(2):
+        st3, orng = p16._ring_step_impl(bank16, st3, ring, None, i, orng)
+    st16b = p16.init_state(seed=2)
+    for i in range(2):
+        st16b, yref = p16.step(bank16, st16b, qi[i])
+        np.testing.assert_allclose(np.asarray(orng)[i], np.asarray(yref),
+                                   atol=1e-6)

@@ -735,3 +735,18 @@ def test_cli_output_rate_and_audio_gates(tmp_path, rng):
         main(["stream", "--audio", "--fault-drop", "3"])
     with pytest.raises(SystemExit, match="not supported with --audio"):
         main(["stream", "--audio", "--lockstep"])
+
+
+def test_cli_stream_audio_resume_upsampled_gate(tmp_path, rng):
+    """r4 review: a --resume'd checkpoint carrying output_rate='upsampled'
+    used to bypass the flag-level --audio gate and hit AudioStream's raw
+    ValueError — the config-level gate must catch it in CLI style."""
+    src = str(tmp_path / "in.wav")
+    ck = str(tmp_path / "ck.npz")
+    write_wav(src, (0.1 * rng.standard_normal((1, 2048))).astype(np.float32),
+              44100)
+    assert main(["stream", src, "--lockstep", "--blocksize", "1024",
+                 "--upsample", "2", "--numtaps", "33", "--dither", "off",
+                 "--output-rate", "upsampled", "--checkpoint-out", ck]) == 0
+    with pytest.raises(SystemExit, match="resumed checkpoint"):
+        main(["stream", "--audio", "--resume", ck])

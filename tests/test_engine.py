@@ -727,3 +727,14 @@ def test_process_signal_chunked_staging_matches_unchunked(rng, monkeypatch):
     eng3 = make_engine()
     f = eng3.process_signal(sig, fold="prefer")
     np.testing.assert_allclose(f, gold, atol=1e-5)
+
+
+def test_chunked_staging_short_signal_no_crash(rng, monkeypatch):
+    """r4 review: with chunking opted in, a signal shorter than one block
+    (nb == 0) used to dereference bounds[0] of an empty list — it must fall
+    through to the unchunked path and return the same empty result."""
+    monkeypatch.setenv("AFP_STAGE_CHUNK_MB", "0.001")
+    eng = make_engine()
+    out = eng.process_signal(
+        (rng.normal(size=(2, 300)) * 0.3).astype(np.float32), fold=False)
+    assert out.shape == (2, 0)
