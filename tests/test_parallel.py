@@ -776,3 +776,33 @@ def test_sharded_td_banked_filter_banks(rng, mesh):
     sp = ShardedPipeline(cfg, make_mesh(2, axis_names=("streams",)))
     _, out = sp.step(bank, sp.init_state(seed=1), blocks)
     np.testing.assert_allclose(np.asarray(out), np.asarray(gold), atol=1e-6)
+
+
+def test_sharded_td_banked_ring(rng, mesh):
+    """Banked per-stream filters through the SHARDED serving ring: the
+    per-tile assignment shards with its rows and the ring matches the
+    sharded staged steps (same kernels, slot addressing only)."""
+    import jax.numpy as jnp
+
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    cfg = make_cfg(batch=16, eq_enabled=False, conv_strategy="td_mxu",
+                   upsample_factor=2, numtaps=33)
+    pipe = Pipeline(cfg)
+    bank = with_per_stream_filters(
+        pipe, [dict(cutoff=4000.0 if i < 8 else 12000.0) for i in range(16)])
+    blocks = (rng.normal(size=(2, 16, cfg.blocksize)) * 0.3
+              ).astype(np.float32)
+
+    sp = ShardedPipeline(cfg, make_mesh(2, axis_names=("streams",)))
+    st = sp.init_state(seed=1)
+    ref = []
+    for b in blocks:
+        st, y = sp.step(bank, st, b)
+        ref.append(np.asarray(y))
+
+    ring = jnp.asarray(blocks)
+    out = jnp.zeros(blocks.shape, jnp.float32)
+    st2, out = sp.run_ring(bank, sp.init_state(seed=1), ring, None, out, 2)
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(out)[i], ref[i], atol=1e-6)
