@@ -479,7 +479,10 @@ def cmd_stream(args) -> int:
     monotonic pacer enforces the true block rate, so underruns/overruns
     and engine load are real measurements.  ``--lockstep`` drops the
     pacing (1-in-1-out, no priming silence, nothing dropped) — the mode
-    to use with ``-o`` captures.  ``--audio`` opens the PortAudio duplex
+    to use with ``-o`` captures; with an ASRC (--samplerate ≠ file rate)
+    lockstep drives the engine synchronously and emits a block exactly
+    when a full converted block exists (variable cadence, still nothing
+    fabricated or dropped).  ``--audio`` opens the PortAudio duplex
     bridge on hosts with a sound card (mic → engine → speakers; no input
     file).  ``--fault-*`` inject driver faults to exercise the
     degradation ladder (§5.3).  Exit prints ONE JSON metrics line
