@@ -391,3 +391,55 @@ def test_td_banked_pcm16(rng):
         st16b, yref = p16.step(bank16, st16b, qi[i])
         np.testing.assert_allclose(np.asarray(orng)[i], np.asarray(yref),
                                    atol=1e-6)
+
+
+def test_td_banked_with_agc(rng):
+    """Banked filters compose with the AGC stage on the STAGED step (the
+    AGC pair-emit is gated off under banked params, so the conv consumes
+    the gain-applied f32 block); the serving ring refuses the combination
+    loudly (its AGC chain consumes the shared band)."""
+    import jax.numpy as jnp
+
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    variants = [dict(cutoff=4000.0 if i < 8 else 12000.0) for i in range(16)]
+    cfg = _td_cfg(agc_enabled=True, agc_window_size=128, output_clip=0.99)
+    pipe = Pipeline(cfg)
+    bank = with_per_stream_filters(pipe, variants)
+    x = (rng.normal(size=(16, cfg.blocksize)) * 0.01).astype(np.float32)
+    st, y = pipe.step(bank, pipe.init_state(seed=1), x)
+    y = np.asarray(y)
+    assert np.all(np.isfinite(y)) and np.max(np.abs(y)) <= 0.99 + 1e-6
+
+    # per-design equivalence under AGC (same gain math, own kernel)
+    import dataclasses
+
+    for cut, rows in ((4000.0, slice(0, 8)), (12000.0, slice(8, 16))):
+        p2 = Pipeline(dataclasses.replace(cfg, cutoff=cut))
+        pp2 = p2.device_params(PipelineParams.design(p2.cfg))
+        _, g = p2.step(pp2, p2.init_state(seed=1), x)
+        np.testing.assert_allclose(y[rows], np.asarray(g)[rows], atol=1e-6)
+
+    # the AGC serving-ring chain rejects banked params at call time
+    # (force the fused chain on — off-TPU it is gated off and the ring
+    # form is unsupported before the banked check is even reached)
+    import os
+
+    os.environ["AFP_AGC_FUSED_FORCE"] = "1"
+    try:
+        # the fused AGC ring chain tiles at ≥ 8·128 streams — build the
+        # refusal case at batch 1024 (the raise precedes any kernel work)
+        cfgr = _td_cfg(agc_enabled=True, agc_window_size=256,
+                       output_clip=0.99, batch=1024)
+        pf = Pipeline(cfgr)
+        assert pf.supports_ring_step
+        bankr = with_per_stream_filters(
+            pf, [dict(cutoff=4000.0 if i < 512 else 12000.0)
+                 for i in range(1024)])
+        ring = jnp.zeros((1, 1024, cfgr.blocksize), jnp.float32)
+        out = jnp.zeros((1, 1024, cfgr.blocksize), jnp.float32)
+        with pytest.raises(ValueError, match="per-stream filter banks"):
+            pf._ring_step_impl(bankr, pf.init_state(seed=1), ring, None, 0,
+                               out)
+    finally:
+        del os.environ["AFP_AGC_FUSED_FORCE"]
