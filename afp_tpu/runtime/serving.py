@@ -30,6 +30,7 @@ dispatched).  For the latency-first, callback-shaped operating point use
 """
 from __future__ import annotations
 
+import threading
 from typing import Callable, Iterable, Iterator, Optional
 
 import numpy as np
@@ -37,7 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..engine.config import PipelineParams
+from ..engine.config import PipelineParams, StreamConfig
 from ..engine.pipeline import DeviceParams, Pipeline, StreamState
 from ..utils.log import get_logger
 
@@ -118,6 +119,13 @@ class RingServer:
                                  "for the fused dither epilogue)")
         self.mega = bool(mega)
         self.pipe = pipeline
+        #: reconfig (control thread) vs dispatch (serving thread) meet here —
+        #: the serving-surface analog of the reference's `filter_lock`
+        #: (`/root/reference/stream_process_EQ_GUI.py:50-55, 380-385`) and of
+        #: StreamEngine._swap_lock.  Dispatches snapshot `self.params` once
+        #: per chunk, so a swap takes effect atomically at the next CHUNK
+        #: boundary (never mid-chunk, never blended).
+        self._swap_lock = threading.Lock()
         self.params = params if params is not None else (
             pipeline.device_params(PipelineParams.design(pipeline.cfg)))
         self.K = slots
@@ -157,6 +165,13 @@ class RingServer:
             or getattr(getattr(pipeline, "pipeline", None), "_emit16", False)
             else jnp.float32)
         self.blocks_served = 0
+        #: blocks landed into input slots so far — `swap_params` records it
+        #: so callers/tests can pin the exact swap boundary
+        self.blocks_landed = 0
+        #: block index (in landed order) of the most recent swap: every
+        #: block from the first chunk dispatched at-or-after it runs the
+        #: new bank (None until the first swap)
+        self._swap_at_block: Optional[int] = None
         #: land→drain wall latency per served block (seconds, host clock),
         #: appended by stream(); read via latency_stats().  Bounded: a
         #: sustained server at ~23 blocks/s would otherwise leak ~2M list
@@ -172,6 +187,91 @@ class RingServer:
         # separate jit instances so donation tracks each ring independently
         self._write_hi = jax.jit(_write_slot, donate_argnums=(0,))
         self._write_lo = jax.jit(_write_slot, donate_argnums=(0,))
+
+    # -------------------------------------------------- live reconfiguration
+
+    def swap_params(self, new_params: DeviceParams) -> None:
+        """Atomically swap the device parameter bank mid-serve — the
+        serving-ring expression of the reference's glitch-free live
+        reconfiguration (`/root/reference/stream_process_EQ_GUI.py:280-306`,
+        lock swap `:380-385`).
+
+        Semantics (the chunk-boundary atomicity contract):
+
+        * takes effect at the next DISPATCH: every block of a chunk is
+          processed with one bank (never mid-chunk, never blended);
+        * chunks already dispatched (in flight) keep the old bank — the
+          first affected output block is the first block of the next
+          dispatched chunk, so reconfig-to-effect latency is bounded by
+          ``(max_inflight + 1) * chunk`` blocks of drain;
+        * zero blocks are dropped, replayed, or faded: the carried conv
+          tail is pure INPUT history, so post-swap outputs are bit-identical
+          to a stream that ran the new bank from the start (the same
+          property the staged `StreamEngine.apply_config` relies on);
+        * same shapes → no recompile.  Shape/dtype/structure changes are
+          rejected: for banked params (`casc_bank`/`casc_assign`) that
+          means the design-bank row count D and the per-tile assignment
+          length must match the serving bank — retune within the same
+          deduplicated design set (or build the new bank against the same
+          variant universe); a different D is a shape change and needs a
+          new server.
+        """
+        old = self.params
+        for name, o, n in zip(old._fields, old, new_params):
+            if (o is None) != (n is None):
+                raise ValueError(
+                    f"swap_params: field {name!r} changes presence "
+                    f"({'set' if o is not None else 'None'} → "
+                    f"{'set' if n is not None else 'None'}) — structural "
+                    "changes recompile; build a new RingServer")
+            if o is None:
+                continue
+            if o.shape != n.shape or o.dtype != n.dtype:
+                raise ValueError(
+                    f"swap_params: field {name!r} changes shape/dtype "
+                    f"{o.shape}/{o.dtype} → {n.shape}/{n.dtype} — swaps "
+                    "must preserve shapes (no recompile); rebuild the "
+                    "server for static changes")
+        with self._swap_lock:
+            self.params = new_params
+            self._swap_at_block = self.blocks_landed
+
+    def set_eq_gains(self, gains) -> None:
+        """Live gain-only update (runtime data — no redesign, no recompile),
+        same chunk-boundary atomicity as :meth:`swap_params`."""
+        g = jnp.asarray(np.asarray(gains, dtype=np.float32))
+        with self._swap_lock:
+            if g.shape != self.params.eq_gains.shape:
+                raise ValueError(
+                    "gain vector length must match the EQ band count")
+            self.params = self.params._replace(eq_gains=g)
+            self._swap_at_block = self.blocks_landed
+
+    def retune(self, new_cfg: StreamConfig) -> None:
+        """Design a new parameter bank from `new_cfg` (dynamic fields only —
+        cutoff, window, gains, AGC knobs …) and :meth:`swap_params` it in:
+        the serving-surface analog of `StreamEngine.apply_config`.  The cold
+        design path (host convolutions + device upload, tens of ms) runs on
+        the CALLER's thread, entirely outside the swap lock — the serving
+        pump never stalls.  Static (shape) changes are rejected."""
+        new_cfg = new_cfg.validate()
+        if new_cfg.static_key() != self.pipe.cfg.static_key():
+            raise ValueError(
+                "retune is dynamic-only (same static_key); shape changes "
+                "need a new Pipeline + RingServer")
+        from ..ops.agc import AGCParams
+
+        design = PipelineParams.design(new_cfg)
+        new_agc = AGCParams(
+            target_level=new_cfg.agc_target_level,
+            window_size=new_cfg.agc_window_size,
+            max_gain=new_cfg.agc_max_gain,
+            attack=new_cfg.agc_attack,
+            release=new_cfg.agc_release,
+        )
+        params = self.pipe.device_params(design, cfg=new_cfg, agc=new_agc)
+        self.pipe.refresh_dynamic(new_cfg)
+        self.swap_params(params)
 
     # -------------------------------------------------- core pump
 
@@ -223,11 +323,16 @@ class RingServer:
                 self._land(slot + pending, block)
                 land_ts.append(_time.perf_counter())
                 pending += 1
+                self.blocks_landed += 1
             if pending and (pending == self.chunk or exhausted):
                 dispatch = (self.pipe.run_ring_mega if self.mega
                             else self.pipe.run_ring)
+                # snapshot the bank ONCE per dispatch: the whole chunk runs
+                # one parameter set (swap_params' chunk-boundary atomicity)
+                with self._swap_lock:
+                    params = self.params
                 self._state, self._out = dispatch(
-                    self.params, self._state, self._ring_hi, self._ring_lo,
+                    params, self._state, self._ring_hi, self._ring_lo,
                     self._out, pending, start=slot)
                 # slice the produced slots out of THIS ring version now —
                 # the next dispatch donates it, so the slice must be on

@@ -220,3 +220,215 @@ def test_ring_server_validation():
                             conv_strategy="fft"))
     with pytest.raises(ValueError, match="ring-capable"):
         RingServer(f32)
+
+
+# ---------------------------------------------------------------- live reconfig
+
+
+@pytest.mark.parametrize("mega", [False, True])
+def test_swap_params_mid_stream(rng, mega):
+    """`swap_params` mid-stream (VERDICT r4 #1): chunk-boundary atomic
+    transition with ZERO dropped or blended blocks — pre-swap blocks
+    bit-match a params-A run, post-swap blocks bit-match a params-B
+    continuation (the carried conv tail is pure input history, so the
+    transition is exact), and the dither key walk is unbroken."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    # mega off-TPU needs dither off (no interpret lowering for the fused
+    # dither epilogue); the non-mega leg keeps tpdf to cover the key walk
+    cfg = make_cfg(dither_kind="off") if mega else make_cfg()
+    pipe = Pipeline(cfg)
+    pa = pipe.device_params(PipelineParams.design(pipe.cfg))
+    cfg_b = dataclasses.replace(cfg, cutoff=5500.0,
+                                window_type="blackman").validate()
+    pb = pipe.device_params(PipelineParams.design(cfg_b), cfg=cfg_b)
+    n, swap_at = 8, 4  # a chunk boundary at chunk=2
+    blocks = (rng.normal(size=(n, cfg.batch, cfg.blocksize)) * 0.4
+              ).astype(np.float32)
+    st_a, gold_a = pipe.run(pa, pipe.init_state(seed=5),
+                            split_bf16(jnp.asarray(blocks[:swap_at])))
+    st_b, gold_b = pipe.run(pb, st_a,
+                            split_bf16(jnp.asarray(blocks[swap_at:])))
+    # the two banks genuinely differ — the transition assertion means something
+    _, cont_a = pipe.run(pa, st_a, split_bf16(jnp.asarray(blocks[swap_at:])))
+    assert not np.array_equal(np.asarray(gold_b), np.asarray(cont_a))
+
+    srv = RingServer(pipe, pa, slots=8, chunk=2, max_inflight=2, seed=5,
+                     mega=mega)
+
+    def src():
+        for i, b in enumerate(blocks):
+            if i == swap_at:
+                srv.swap_params(pb)
+            yield b
+
+    outs = list(srv.stream(src()))
+    assert len(outs) == n and srv.blocks_served == n
+    assert srv._swap_at_block == swap_at
+    np.testing.assert_array_equal(np.stack(outs[:swap_at]),
+                                  np.asarray(gold_a))
+    np.testing.assert_array_equal(np.stack(outs[swap_at:]),
+                                  np.asarray(gold_b))
+    np.testing.assert_array_equal(np.asarray(st_b.key),
+                                  np.asarray(srv.state.key))
+    np.testing.assert_array_equal(np.asarray(st_b.conv_tail[0]),
+                                  np.asarray(srv.state.conv_tail[0]))
+
+
+def test_swap_params_mid_chunk_applies_at_chunk_start(rng):
+    """A swap issued MID-chunk (while the chunk is still landing) applies to
+    the whole enclosing chunk — every block of a dispatch runs one bank
+    (the atomicity contract: never mid-chunk, never blended)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.pallas.fir_td import split_bf16
+
+    cfg = make_cfg()
+    pipe = Pipeline(cfg)
+    pa = pipe.device_params(PipelineParams.design(pipe.cfg))
+    cfg_b = dataclasses.replace(cfg, cutoff=5500.0).validate()
+    pb = pipe.device_params(PipelineParams.design(cfg_b), cfg=cfg_b)
+    n, swap_at = 8, 5  # mid-chunk: the enclosing chunk starts at block 4
+    blocks = (rng.normal(size=(n, cfg.batch, cfg.blocksize)) * 0.4
+              ).astype(np.float32)
+    st_a, gold_a = pipe.run(pa, pipe.init_state(seed=5),
+                            split_bf16(jnp.asarray(blocks[:4])))
+    _, gold_b = pipe.run(pb, st_a, split_bf16(jnp.asarray(blocks[4:])))
+
+    srv = RingServer(pipe, pa, slots=8, chunk=2, max_inflight=2, seed=5)
+
+    def src():
+        for i, b in enumerate(blocks):
+            if i == swap_at:
+                srv.swap_params(pb)
+            yield b
+
+    outs = list(srv.stream(src()))
+    assert srv._swap_at_block == swap_at
+    np.testing.assert_array_equal(np.stack(outs[:4]), np.asarray(gold_a))
+    np.testing.assert_array_equal(np.stack(outs[4:]), np.asarray(gold_b))
+
+
+def test_set_eq_gains_mid_stream(rng):
+    """Gain-only live update on the serving rings: runtime data, no
+    redesign, same chunk-boundary atomicity."""
+    import jax.numpy as jnp
+
+    cfg = make_cfg(ingest="f32", eq_enabled=True, dither_kind="off")
+    pipe = Pipeline(cfg)
+    pa = pipe.device_params(PipelineParams.design(pipe.cfg))
+    g1 = np.asarray([1.5, 0.25, 0.8], dtype=np.float32)[
+        : pa.eq_gains.shape[0]]
+    if g1.shape[0] != pa.eq_gains.shape[0]:
+        g1 = np.linspace(0.2, 1.8, pa.eq_gains.shape[0]).astype(np.float32)
+    pb = pa._replace(eq_gains=jnp.asarray(g1))
+    n, swap_at = 6, 2
+    blocks = (rng.normal(size=(n, cfg.batch, cfg.blocksize)) * 0.4
+              ).astype(np.float32)
+    st_a, gold_a = pipe.run(pa, pipe.init_state(seed=2),
+                            jnp.asarray(blocks[:swap_at]))
+    _, gold_b = pipe.run(pb, st_a, jnp.asarray(blocks[swap_at:]))
+
+    srv = RingServer(pipe, pa, slots=8, chunk=2, max_inflight=2, seed=2)
+
+    def src():
+        for i, b in enumerate(blocks):
+            if i == swap_at:
+                srv.set_eq_gains(g1)
+            yield b
+
+    outs = list(srv.stream(src()))
+    np.testing.assert_array_equal(np.stack(outs[:swap_at]),
+                                  np.asarray(gold_a))
+    np.testing.assert_array_equal(np.stack(outs[swap_at:]),
+                                  np.asarray(gold_b))
+
+    with pytest.raises(ValueError, match="band count"):
+        srv.set_eq_gains(np.ones(pa.eq_gains.shape[0] + 1, np.float32))
+
+
+def test_retune_agc_chain_mid_stream(rng, monkeypatch):
+    """`retune` on the fused-AGC serving chain: the new AGC policy (and
+    filter design) is designed off-thread and takes effect at the next
+    chunk — bit-identical to a params-B continuation run."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from afp_tpu.ops.agc import AGCParams
+
+    monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    cfg = make_cfg(
+        ingest="f32", blocksize=256, upsample_factor=2, numtaps=33,
+        batch=1024, eq_enabled=True, agc_enabled=True, agc_mode="exact",
+        agc_window_size=64, agc_carry=True, dither_kind="tpdf",
+        output_clip=0.99,
+    )
+    pipe = Pipeline(cfg)
+    assert pipe.supports_ring_step
+    pa = pipe.device_params(PipelineParams.design(pipe.cfg))
+    cfg_b = dataclasses.replace(cfg, agc_target_level=0.5, cutoff=6000.0,
+                                agc_release=0.05).validate()
+    agc_b = AGCParams(target_level=cfg_b.agc_target_level,
+                      window_size=cfg_b.agc_window_size,
+                      max_gain=cfg_b.agc_max_gain,
+                      attack=cfg_b.agc_attack, release=cfg_b.agc_release)
+    pb = pipe.device_params(PipelineParams.design(cfg_b), cfg=cfg_b,
+                            agc=agc_b)
+    n, swap_at = 6, 2
+    blocks = (rng.normal(size=(n, cfg.batch, cfg.blocksize)) * 0.1
+              ).astype(np.float32)
+    st_a, gold_a = pipe.run(pa, pipe.init_state(seed=4),
+                            jnp.asarray(blocks[:swap_at]))
+    _, gold_b = pipe.run(pb, st_a, jnp.asarray(blocks[swap_at:]))
+
+    srv = RingServer(pipe, pa, slots=8, chunk=2, max_inflight=2, seed=4)
+
+    def src():
+        for i, b in enumerate(blocks):
+            if i == swap_at:
+                srv.retune(cfg_b)
+            yield b
+
+    outs = list(srv.stream(src()))
+    np.testing.assert_array_equal(np.stack(outs[:swap_at]),
+                                  np.asarray(gold_a))
+    np.testing.assert_array_equal(np.stack(outs[swap_at:]),
+                                  np.asarray(gold_b))
+
+    # static (shape) changes are rejected
+    with pytest.raises(ValueError, match="static"):
+        srv.retune(dataclasses.replace(cfg, blocksize=512))
+
+
+def test_swap_params_validation():
+    """Shape/dtype/structure changes are rejected with guidance — swaps
+    must never trigger a recompile."""
+    cfg = make_cfg()
+    pipe = Pipeline(cfg)
+    srv = RingServer(pipe, slots=8, chunk=2)
+    other = Pipeline(make_cfg(numtaps=33))
+    bad = other.device_params(PipelineParams.design(other.cfg))
+    with pytest.raises(ValueError, match="shape"):
+        srv.swap_params(bad)
+
+    # structural change: banked params into a shared-band server
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    f32pipe = Pipeline(make_cfg(ingest="f32"))
+    fsrv = RingServer(f32pipe, slots=8, chunk=2)
+    banked = with_per_stream_filters(f32pipe, [{}] * f32pipe.batch)
+    # rejected on the first differing field (H_main goes per-stream before
+    # the casc_bank presence check is even reached) — either message names
+    # the no-recompile contract
+    with pytest.raises(ValueError, match="shape|presence"):
+        fsrv.swap_params(banked)
+    with pytest.raises(ValueError, match="presence"):
+        fsrv.swap_params(fsrv.params._replace(
+            casc_bank=banked.casc_bank, casc_assign=banked.casc_assign))
