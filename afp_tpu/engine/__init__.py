@@ -1,5 +1,7 @@
 """L3 streaming runtime: config, fused pipeline, engine orchestration,
 presets, checkpoints, metrics."""
+from .batch import (StreamPacking, broadcast_gains, with_per_stream_agc,
+                    with_per_stream_filters, with_per_stream_gains)
 from .checkpoint import load_checkpoint, save_checkpoint
 from .config import DEFAULT_EQ_BANDS, EQBand, PipelineParams, StreamConfig
 from .engine import StreamEngine
@@ -12,4 +14,6 @@ __all__ = [
     "DeviceParams", "Pipeline", "StreamState",
     "StreamEngine", "EngineMetrics", "PresetStore",
     "save_checkpoint", "load_checkpoint",
+    "StreamPacking", "broadcast_gains", "with_per_stream_agc",
+    "with_per_stream_filters", "with_per_stream_gains",
 ]

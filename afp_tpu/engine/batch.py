@@ -27,7 +27,117 @@ from .config import PipelineParams
 from .pipeline import DeviceParams, Pipeline
 
 __all__ = ["with_per_stream_gains", "with_per_stream_filters",
-           "broadcast_gains"]
+           "with_per_stream_agc", "broadcast_gains", "StreamPacking"]
+
+
+def with_per_stream_agc(pipe: Pipeline, params: DeviceParams,
+                        target_level=None, max_gain=None,
+                        attack=None, release=None) -> DeviceParams:
+    """Per-stream AGC POLICY banks (VERDICT r4 #6): promote any of the
+    batch-global AGC knobs to a [batch] vector — a mixed-tenant batch can
+    then carry one AGC policy per stream through the same fused kernels.
+
+    `target_level` / `max_gain`: scalars or [batch] vectors, stored
+    directly.  `attack` / `release`: per-stream TIME constants (the
+    reference's knobs, `/root/reference/stream_process_AGC.py:43-89`),
+    converted per stream with the reference α rule
+    (:func:`afp_tpu.ops.agc.agc_alphas` at the pipeline's static
+    ``agc_window_size``).  Omitted knobs keep their current (scalar or
+    vector) value.
+
+    The vectors ride the same batch tiles the fused RMS/scan/apply
+    kernels already walk (lane-broadcast target tiles; carry-shaped α
+    tiles), the serving-ring chain consumes them unchanged, and
+    checkpointing round-trips them (DeviceParams is flattened
+    generically).  Exclusions, both falling back gracefully: the opt-in
+    one-kernel AGC (`AFP_AGC_ONE_KERNEL`) runs the two-kernel chain
+    under vector params, and ``agc_link_group`` members should share a
+    policy (linked streams share one gain — per-member targets would be
+    overridden by the group-min semantics anyway).
+    """
+    cfg = pipe.cfg
+    if not cfg.agc_enabled:
+        raise ValueError("with_per_stream_agc requires agc_enabled=True")
+    B = pipe.batch
+
+    def vec(v, name):
+        a = np.asarray(v, dtype=np.float32)
+        if a.ndim == 0:
+            return jnp.float32(a)
+        if a.shape != (B,):
+            raise ValueError(f"{name} must be a scalar or [{B}] vector, "
+                             f"got shape {a.shape}")
+        return jnp.asarray(a)
+
+    upd = {}
+    if target_level is not None:
+        upd["agc_target"] = vec(target_level, "target_level")
+    if max_gain is not None:
+        upd["agc_max_gain"] = vec(max_gain, "max_gain")
+    from ..ops.agc import agc_alphas
+
+    for name, times, field in (("attack", attack, "agc_a_att"),
+                               ("release", release, "agc_a_rel")):
+        if times is None:
+            continue
+        t = np.asarray(times, dtype=np.float64)
+        if t.ndim == 0:
+            a_att, a_rel = agc_alphas(cfg.agc_window_size, float(t), float(t))
+            upd[field] = jnp.float32(a_att if name == "attack" else a_rel)
+            continue
+        if t.shape != (B,):
+            raise ValueError(f"{name} must be a scalar or [{B}] vector, "
+                             f"got shape {t.shape}")
+        alphas = np.empty(B, dtype=np.float32)
+        for b in range(B):
+            a_att, a_rel = agc_alphas(cfg.agc_window_size,
+                                      float(t[b]), float(t[b]))
+            alphas[b] = a_att if name == "attack" else a_rel
+        upd[field] = jnp.asarray(alphas)
+    return params._replace(**upd)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamPacking:
+    """Stream→tile design packing for banked per-stream filters
+    (VERDICT r4 #4).
+
+    The banked td_mxu kernels select ONE design per batch-tile row group
+    (scalar-prefetch addressing — `engine/batch.py:_banked_tile`), so an
+    ARBITRARY interleaving of per-stream designs used to require the
+    caller to pre-sort streams (or silently lose the banked kernels).
+    This object carries the permutation that sorts the caller's streams
+    into tile-compatible device order, and its inverse:
+
+    * ``pack(x)``   — caller order → device order (apply at ingest);
+    * ``unpack(y)`` — device order → caller order (apply on drain; a
+      host-side gather on the [B, L] output, cheap next to the dispatch).
+
+    `perm[p] = c` means device row ``p`` processes caller stream ``c``.
+    Link groups (``agc_link_group > 1``) are permuted WHOLE — groups stay
+    adjacent, so the linked group-min semantics are unchanged.  Works on
+    numpy or jax arrays, any batch axis (blocks ``[B, L]``, signals
+    ``[B, T]``, stacked blocks ``[nb, B, L]`` via ``axis=1``).
+    """
+
+    perm: np.ndarray  # device_row -> caller_row
+    inv: np.ndarray  # caller_row -> device_row
+
+    @property
+    def identity(self) -> bool:
+        return bool(np.array_equal(self.perm, np.arange(len(self.perm))))
+
+    def pack(self, x, axis: int = 0):
+        """Reorder caller-order streams into device (tile-sorted) order."""
+        if isinstance(x, np.ndarray):
+            return np.take(x, self.perm, axis=axis)
+        return jnp.take(jnp.asarray(x), jnp.asarray(self.perm), axis=axis)
+
+    def unpack(self, y, axis: int = 0):
+        """Restore device-order outputs to the caller's stream order."""
+        if isinstance(y, np.ndarray):
+            return np.take(y, self.inv, axis=axis)
+        return jnp.take(jnp.asarray(y), jnp.asarray(self.inv), axis=axis)
 
 
 def broadcast_gains(gains, batch: int, n_bands: int) -> jnp.ndarray:
@@ -79,8 +189,27 @@ def _batched_convolve(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out[..., : K + N - 1]
 
 
+def _design_sort_perm(assign: np.ndarray, link: int = 1) -> np.ndarray:
+    """Stable permutation grouping identical designs contiguously —
+    whole ``agc_link_group`` blocks move together (the linked group-min
+    runs over adjacent streams, so groups must stay intact)."""
+    B = len(assign)
+    if link > 1:
+        g = assign.reshape(B // link, link)
+        if not np.all(g == g[:, :1]):
+            raise ValueError(
+                "pack=True requires a constant design within each "
+                f"agc_link_group of {link} adjacent streams (linked "
+                "streams share one gain and must share one kernel)")
+        order = np.argsort(g[:, 0], kind="stable")
+        return (order[:, None] * link
+                + np.arange(link)[None, :]).reshape(-1)
+    return np.argsort(assign, kind="stable")
+
+
 def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict],
-                            bt: Optional[int] = None) -> DeviceParams:
+                            bt: Optional[int] = None,
+                            pack: bool = False):
     """Per-stream MAIN-FILTER banks (SURVEY §7 step 5: "each stream can have
     its own kernel"): design one main filter per stream from `variants`
     (dicts of dynamic design-field overrides — cutoff, filter_type,
@@ -115,6 +244,17 @@ def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict],
     ~2⁻¹⁶ pair class for f32 pair ingest).  The offline fold stays
     disabled (scan path; `Pipeline._fold_decision`); `bt` overrides the
     assignment tile for wide meshes.
+
+    ``pack=True`` (VERDICT r4 #4) lifts the contiguity requirement for
+    ARBITRARY interleaved orderings: the variants are sorted into
+    tile-compatible device order and the call returns ``(params,
+    StreamPacking)`` — apply ``packing.pack`` at ingest and
+    ``packing.unpack`` on drain (or hand the packing to `RingServer`,
+    which does both).  Per-stream outputs are identical to the unpacked
+    ordering; only the device-side row order changes.  Each design's
+    MULTIPLICITY must still tile (a multiple of 8 rows after sorting —
+    the MXU tile floor); ``agc_link_group`` blocks move whole and must
+    be design-constant.
     """
     cfg = pipe.cfg
     if len(variants) != pipe.batch:
@@ -160,14 +300,19 @@ def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict],
         bank[:, : casc.shape[-1]] = casc[:, : pipe.n_casc]
     else:
         bank = mains
-    H_main = jnp.fft.rfft(jnp.asarray(bank, jnp.float32), n=pipe.nfft, axis=-1)
     # base params built from variant 0's already-computed design (its
     # H_main is replaced on the next line anyway; every other field
     # depends only on the shared cfg — re-designing the base filter here
     # would double the cold bank-build cost for nothing)
     params = pipe.device_params(design0)
     if not pipe._use_td:
-        return params._replace(H_main=H_main)
+        H_main = jnp.fft.rfft(jnp.asarray(bank, jnp.float32), n=pipe.nfft,
+                              axis=-1)
+        p = params._replace(H_main=H_main)
+        if pack:  # fft banks are row-granular — packing is the identity
+            ident = np.arange(pipe.batch)
+            return p, StreamPacking(perm=ident, inv=ident.copy())
+        return p
 
     # ---- td_mxu: deduplicated design bank + tile-constant assignment ----
     uniq: dict = {}
@@ -180,12 +325,21 @@ def with_per_stream_filters(pipe: Pipeline, variants: Sequence[dict],
     designs = np.empty((len(uniq), pipe.n_casc))
     for b in range(pipe.batch):
         designs[assign[b]] = bank[b]
+    packing = None
+    if pack:
+        perm = _design_sort_perm(assign, link=pipe.cfg.agc_link_group)
+        packing = StreamPacking(perm=perm, inv=np.argsort(perm))
+        assign = assign[perm]
+        bank = bank[perm]  # the [B, F] response bank rides device order too
+    H_main = jnp.fft.rfft(jnp.asarray(bank, jnp.float32), n=pipe.nfft,
+                          axis=-1)
     bt = _banked_tile(pipe, assign, bt)
-    return params._replace(
+    params = params._replace(
         H_main=H_main,
         casc_bank=jnp.asarray(designs, jnp.float32),
         casc_assign=jnp.asarray(assign[::bt], jnp.int32),
     )
+    return (params, packing) if pack else params
 
 
 def _banked_tile(pipe: Pipeline, assign: np.ndarray,
@@ -234,6 +388,7 @@ def _banked_tile(pipe: Pipeline, assign: np.ndarray,
         return B
     raise ValueError(
         "per-stream designs must be constant within aligned batch-tile "
-        "row groups (multiples of 8 rows; the MXU tile floor) — group "
-        "streams with identical designs contiguously, or use "
-        "conv_strategy='fft' for row-level banks")
+        "row groups (multiples of 8 rows; the MXU tile floor) — pass "
+        "pack=True to sort arbitrary orderings into tile-compatible "
+        "device order (with_per_stream_filters then returns (params, "
+        "StreamPacking)), or use conv_strategy='fft' for row-level banks")

@@ -284,6 +284,15 @@ class Pipeline:
         #: 'parallel' (the associative-scan solver, an XLA composition)
         #: stays on the unfused path.
         self._agc_blockwise = 32 if cfg.agc_mode == "fast" else None
+        #: fast mode streams chunk MEANS of the desired gain between the
+        #: RMS and apply kernels (`rms_desired_pallas(mean_chunk=)` →
+        #: `smooth_gain_apply_pallas(d_is_means=True)`) — the blockwise
+        #: recurrence never needs per-sample d, so the chain's largest
+        #: intermediate shrinks 32× in HBM.  Linked AGC keeps per-sample d
+        #: (the group-min runs on d before the means are taken — min of
+        #: means ≠ mean of mins).
+        self._agc_means = bool(self._agc_blockwise
+                               and cfg.agc_link_group == 1)
         self._agc_chain_pair = (
             self._agc_fused_apply and self._use_td
             and _td_prec in ("B3", "B3F", "B3C")
@@ -628,6 +637,14 @@ class Pipeline:
         # 2. AGC (pre-upsample; `stream_process_AGC.py:132-144`) + clip ±0.99
         agc_gain = state.agc_gain
         if agc_gain is not None:
+            # per-stream AGC policy banks (`batch.with_per_stream_agc`):
+            # any [B]-vector knob.  The fused RMS/apply kernels consume the
+            # vectors natively; the opt-in one-kernel AGC does not (falls
+            # back to the two-kernel chain, like linked AGC)
+            vec_agc = (params.agc_target.ndim == 1
+                       or params.agc_max_gain.ndim == 1
+                       or params.agc_a_att.ndim == 1
+                       or params.agc_a_rel.ndim == 1)
             # exact mode on TPU consumes the desired gain time-major: the
             # fused RMS kernel stores [T, B] directly and the scan kernel
             # reads it without its input transpose (one array round trip)
@@ -641,7 +658,7 @@ class Pipeline:
                           and self._rms_band is not None
                           and self._agc_fused_apply)
             d_tm = exact_tpu or fast_fused
-            if exact_tpu and self._agc_one_kernel:
+            if exact_tpu and self._agc_one_kernel and not vec_agc:
                 # single-kernel AGC: RMS + desired + scan + clip + apply
                 # (+ pair split) in one pass — d never exists in HBM and
                 # x is read once (agc_fused.py; window-local f32 error,
@@ -661,6 +678,7 @@ class Pipeline:
                     interpret=self._pl_interpret,
                 )
             else:
+                mc = 0  # chunk-mean d emission (fast mode, fused apply)
                 if self._rms_band is not None:
                     # fused MXU kernel: square → pad → boxcar dots → sqrt →
                     # desired gain in ONE pass straight from the raw block
@@ -669,14 +687,17 @@ class Pipeline:
                     from ..ops.pallas.agc_rms import rms_desired_pallas
 
                     lp, rp = self._rms_pad
+                    mc = (self._agc_blockwise
+                          if (fast_fused and self._agc_means) else 0)
                     d = rms_desired_pallas(
                         x, self._rms_band, lp, rp,
                         params.agc_target, params.agc_max_gain,
                         exact_band=self._rms_exact,
                         interpret=self._pl_interpret,
-                        transposed=d_tm,
+                        transposed=d_tm, mean_chunk=mc,
                     )
-                    d = self._linked(d, transposed=d_tm)
+                    if not mc:
+                        d = self._linked(d, transposed=d_tm)
                 else:
                     rms = moving_rms(x, self.agc.window_size)
                     d = desired_gain(rms, params.agc_target, params.agc_max_gain)
@@ -701,7 +722,7 @@ class Pipeline:
                         d, x, params.agc_a_att, params.agc_a_rel,
                         params.agc_max_gain, init=carry, out_clip=0.99,
                         interpret=self._pl_interpret, emit_split=emit,
-                        blockwise=self._agc_blockwise,
+                        blockwise=self._agc_blockwise, d_is_means=bool(mc),
                     )
                 else:
                     if cfg.agc_mode == "fast":
@@ -716,7 +737,8 @@ class Pipeline:
                         g = smooth_gain_parallel(
                             d, params.agc_a_att, params.agc_a_rel, init=carry
                         )
-                    elif not self._pl_interpret or self._force_fused:
+                    elif (not self._pl_interpret
+                          or self._force_fused) and not vec_agc:
                         # exact mode on TPU: the Pallas hardware-loop scan kernel
                         # (identical per-sample semantics, none of the XLA loop
                         # overhead that made AGC the pipeline's serial ceiling).
@@ -732,10 +754,17 @@ class Pipeline:
                             interpret=self._pl_interpret,
                         )
                     else:
+                        # XLA scan (interpret mode; also the vec_agc fallback
+                        # on untileable shapes — the scan-pallas kernel's
+                        # SMEM α slots are scalar-only)
+                        if exact_tpu and self._rms_band is not None:
+                            d = d.T  # the RMS kernel emitted d time-major
                         g = smooth_gain_scan(
                             d, params.agc_a_att, params.agc_a_rel, init=carry
                         )
-                    g = jnp.clip(g, 0.1, params.agc_max_gain)
+                    mg = params.agc_max_gain
+                    g = jnp.clip(g, 0.1,
+                                 mg[:, None] if mg.ndim == 1 else mg)
                     x = jnp.clip(x * g, -0.99, 0.99)
                     agc_gain = g[..., -1]
 
@@ -1199,7 +1228,11 @@ class Pipeline:
                     f"{ring_hi.dtype} (use ingest='pcm16' for int16 rings)")
 
             carry = agc_gain if cfg.agc_carry else None
-            if self._agc_one_kernel:
+            vec_agc = (params.agc_target.ndim == 1
+                       or params.agc_max_gain.ndim == 1
+                       or params.agc_a_att.ndim == 1
+                       or params.agc_a_rel.ndim == 1)
+            if self._agc_one_kernel and not vec_agc:
                 # single-kernel AGC streaming the ring slot directly —
                 # same kernel (and bits) as _step_impl's one-kernel branch
                 from ..ops.pallas.agc_fused import agc_rms_apply_pallas
@@ -1216,19 +1249,22 @@ class Pipeline:
                 from ..ops.pallas.agc_scan import smooth_gain_apply_pallas
 
                 lp, rp = self._rms_pad
+                mc = self._agc_blockwise if self._agc_means else 0
                 d = rms_desired_pallas(
                     ring_hi, self._rms_band, lp, rp,
                     params.agc_target, params.agc_max_gain,
                     exact_band=self._rms_exact,
                     interpret=self._pl_interpret,
-                    transposed=True, ring_idx=idx,
+                    transposed=True, ring_idx=idx, mean_chunk=mc,
                 )
-                d = self._linked(d, transposed=True)
+                if not mc:
+                    d = self._linked(d, transposed=True)
                 (xh, xl), agc_gain = smooth_gain_apply_pallas(
                     d, ring_hi, params.agc_a_att, params.agc_a_rel,
                     params.agc_max_gain, init=carry, out_clip=0.99,
                     interpret=self._pl_interpret, emit_split=True,
                     ring_idx=idx, blockwise=self._agc_blockwise,
+                    d_is_means=bool(mc),
                 )
             out_ring, nt_hi, nt_lo = fir_td_mxu_pair_to_ring(
                 xh, xl, tail_hi, tail_lo, band, idx, out_ring,

@@ -14,6 +14,7 @@ from .resample import (
 from .spectrum import (
     WATERFALL_DEPTH,
     spectrum_db,
+    spectrum_db_np,
     spectrum_freqs,
     spectrum_peak,
     waterfall_init,
@@ -27,6 +28,7 @@ __all__ = [
     "dither",
     "PolyResampler", "decimate", "design_resample_kernel", "output_len",
     "resample_poly", "upfirdn",
-    "WATERFALL_DEPTH", "spectrum_db", "spectrum_freqs", "spectrum_peak",
+    "WATERFALL_DEPTH", "spectrum_db", "spectrum_db_np",
+    "spectrum_freqs", "spectrum_peak",
     "waterfall_init", "waterfall_push",
 ]

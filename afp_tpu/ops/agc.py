@@ -71,7 +71,16 @@ def moving_rms(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
 
 
 def desired_gain(rms: jnp.ndarray, target_level: float, max_gain: float) -> jnp.ndarray:
-    return jnp.clip(target_level / (rms + 1e-10), 0.0, max_gain)
+    """``clip(target/(rms+1e-10), 0, max_gain)``.  `target_level` and
+    `max_gain` may be scalars or per-stream [B] vectors (`rms` then
+    [B, T] — the batched form of the reference's single AGC policy)."""
+    t = jnp.asarray(target_level, jnp.float32)
+    m = jnp.asarray(max_gain, jnp.float32)
+    if t.ndim == 1:
+        t = t[:, None]
+    if m.ndim == 1:
+        m = m[:, None]
+    return jnp.clip(t / (rms + 1e-10), 0.0, m)
 
 
 def link_desired(d: jnp.ndarray, group: int, batch_axis: int = 0) -> jnp.ndarray:
@@ -201,8 +210,10 @@ def smooth_gain_parallel(desired: jnp.ndarray, a_att: float, a_rel: float,
     if T == 0:
         return jnp.moveaxis(g0[None], 0, -1) if init is None else d
 
-    a_att = jnp.float32(a_att)
-    a_rel = jnp.float32(a_rel)
+    # [B]-vector α broadcasts over the time-major [T, ...] decision mask
+    # (per-stream attack/release policies — `batch.with_per_stream_agc`)
+    a_att = jnp.asarray(a_att, jnp.float32)
+    a_rel = jnp.asarray(a_rel, jnp.float32)
 
     def solve(b):
         alpha = jnp.where(b, a_att, a_rel)

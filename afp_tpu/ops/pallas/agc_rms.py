@@ -47,15 +47,50 @@ def band_is_exact_bf16(band: np.ndarray) -> bool:
     return bool(np.all(b.astype(jnp.bfloat16).astype(np.float32) == b))
 
 
+def _store_d(o_ref, d, t: int, transposed: bool, mean_chunk: int, acc: list):
+    """Shared desired-gain epilogue: store the [bt, LANE] tile — or, with
+    `mean_chunk`, reduce it to its LANE/mean_chunk chunk means and
+    accumulate for ONE transposed store at the end (`_flush_means`).  The
+    means are what the blockwise 'fast' recurrence consumes
+    (`agc_scan.smooth_gain_apply_pallas(d_is_means=True)`): emitting them
+    here shrinks the d intermediate HBM traffic mean_chunk× (the chain's
+    largest remaining intermediate — BENCHMARKS.md 'AGC chain roofline')."""
+    if mean_chunk:
+        bt = d.shape[0]
+        acc.append(jnp.mean(
+            d.reshape(bt, LANE // mean_chunk, mean_chunk), axis=-1))
+        return
+    if transposed:
+        o_ref[t * LANE : (t + 1) * LANE, :] = d.T
+    else:
+        o_ref[:, t * LANE : (t + 1) * LANE] = d
+
+
+def _flush_means(o_ref, acc: list):
+    """Single [T/mean_chunk, bt] transposed store of the accumulated chunk
+    means (one store keeps the sublane granule aligned — per-tile stores
+    of 4-row slices would violate Mosaic's 8-sublane rule)."""
+    if acc:
+        o_ref[:, :] = jnp.concatenate(acc, axis=-1).T
+
+
 def _kernel(s_ref, x_ref, bhi_ref, o_ref, *, n_taps: int, t_tiles: int,
-            lp: int, rp: int, transposed: bool, blo_ref=None):
-    target = s_ref[0, 0]
-    max_gain = s_ref[0, 1]
+            lp: int, rp: int, transposed: bool, blo_ref=None,
+            mean_chunk: int = 0, vec_refs=None):
+    if vec_refs is not None:
+        # per-stream target/max-gain banks: [bt, LANE] row-constant tiles
+        # (`batch.with_per_stream_agc`) — same elementwise ops as scalars
+        target = vec_refs[0][:, :]
+        max_gain = vec_refs[1][:, :]
+    else:
+        target = s_ref[0, 0]
+        max_gain = s_ref[0, 1]
     # int16 PCM refs convert on the VPU first (n/32768, exact —
     # fir_td._load_f32), so squaring sees the same f32 bits as f32 ingest
     sq = jnp.square(_load_f32(x_ref[:, :]))
     sq = jnp.pad(sq, ((0, 0), (lp, rp)))  # 'same' centering, in VMEM
     sq_hi, sq_lo = _split_bf16_in_kernel(sq)
+    acc: list = []
     for t in range(t_tiles):
         w_hi = sq_hi[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
         w_lo = sq_lo[:, t * LANE : t * LANE + (n_taps - 1) + LANE]
@@ -68,14 +103,13 @@ def _kernel(s_ref, x_ref, bhi_ref, o_ref, *, n_taps: int, t_tiles: int,
                             preferred_element_type=jnp.float32)
         rms = jnp.sqrt(jnp.maximum(s, 0.0))
         d = jnp.clip(target / (rms + 1e-10), 0.0, max_gain)
-        if transposed:
-            o_ref[t * LANE : (t + 1) * LANE, :] = d.T
-        else:
-            o_ref[:, t * LANE : (t + 1) * LANE] = d
+        _store_d(o_ref, d, t, transposed, mean_chunk, acc)
+    _flush_means(o_ref, acc)
 
 
 def _kernel_two_level(s_ref, x_ref, bhi_ref, o_ref, *, w: int, t_tiles: int,
-                      lp: int, rp: int, transposed: bool):
+                      lp: int, rp: int, transposed: bool,
+                      mean_chunk: int = 0, vec_refs=None):
     """Two-level boxcar for LANE-multiple windows (VERDICT r2 #9).
 
     The width-`w` moving sum is `m = w/LANE` shifted copies of the
@@ -89,8 +123,12 @@ def _kernel_two_level(s_ref, x_ref, bhi_ref, o_ref, *, w: int, t_tiles: int,
     exactly bf16 for EVERY such w (the 1/w scale moves to the f32
     epilogue), so the 2-pass split always applies.
     """
-    target = s_ref[0, 0]
-    max_gain = s_ref[0, 1]
+    if vec_refs is not None:
+        target = vec_refs[0][:, :]
+        max_gain = vec_refs[1][:, :]
+    else:
+        target = s_ref[0, 0]
+        max_gain = s_ref[0, 1]
     m = w // LANE
     inv_w = 1.0 / w
     sq = jnp.square(_load_f32(x_ref[:, :]))  # int16 PCM converts first
@@ -106,16 +144,15 @@ def _kernel_two_level(s_ref, x_ref, bhi_ref, o_ref, *, w: int, t_tiles: int,
             + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
         )
     # level 2: combine m shifted LANE-sums per output tile (VPU adds)
+    acc: list = []
     for t in range(t_tiles):
         s = s_lane[t]
         for j in range(1, m):
             s = s + s_lane[t + j]
         rms = jnp.sqrt(jnp.maximum(s * inv_w, 0.0))
         d = jnp.clip(target / (rms + 1e-10), 0.0, max_gain)
-        if transposed:
-            o_ref[t * LANE : (t + 1) * LANE, :] = d.T
-        else:
-            o_ref[:, t * LANE : (t + 1) * LANE] = d
+        _store_d(o_ref, d, t, transposed, mean_chunk, acc)
+    _flush_means(o_ref, acc)
 
 
 def _pick_tile(B: int, T: int, W: int, two_level: bool = False) -> int:
@@ -144,31 +181,37 @@ def _pick_tile(B: int, T: int, W: int, two_level: bool = False) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "lp", "rp", "interpret", "exact", "transposed", "two_level_w"))
+    "lp", "rp", "interpret", "exact", "transposed", "two_level_w",
+    "mean_chunk"))
 def _call(x, b_hi, b_lo, scal, lp: int, rp: int, interpret: bool = False,
           exact: bool = True, transposed: bool = False,
-          two_level_w: int = 0):
+          two_level_w: int = 0, mean_chunk: int = 0, vecs=None):
     return _rms_call(x, b_hi, b_lo, scal, lp, rp, interpret=interpret,
                      exact=exact, transposed=transposed,
-                     two_level_w=two_level_w)
+                     two_level_w=two_level_w, mean_chunk=mean_chunk,
+                     vecs=vecs)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "lp", "rp", "interpret", "exact", "transposed", "two_level_w"))
+    "lp", "rp", "interpret", "exact", "transposed", "two_level_w",
+    "mean_chunk"))
 def _call_ring(idx, x_ring, b_hi, b_lo, scal, lp: int, rp: int,
                interpret: bool = False, exact: bool = True,
-               transposed: bool = False, two_level_w: int = 0):
+               transposed: bool = False, two_level_w: int = 0,
+               mean_chunk: int = 0, vecs=None):
     """Ring-input variant of :func:`_call`: `x_ring` is [S, B, T] and the
     kernel streams slot `idx` (scalar-prefetch) HBM→VMEM directly — no
     staged `dynamic_slice` copy of the block.  Kernel bodies are shared
     (the squeezed (None, bt, T) block is exactly the (bt, T) block)."""
     return _rms_call(x_ring, b_hi, b_lo, scal, lp, rp, interpret=interpret,
                      exact=exact, transposed=transposed,
-                     two_level_w=two_level_w, idx=idx)
+                     two_level_w=two_level_w, idx=idx,
+                     mean_chunk=mean_chunk, vecs=vecs)
 
 
 def _rms_call(x, b_hi, b_lo, scal, lp: int, rp: int, interpret: bool,
-              exact: bool, transposed: bool, two_level_w: int, idx=None):
+              exact: bool, transposed: bool, two_level_w: int, idx=None,
+              mean_chunk: int = 0, vecs=None):
     """Shared builder for the plain and ring-input forms: the only
     differences are the x BlockSpec (slot-selecting, scalar-prefetch) and
     the grid spec — index maps lift to the extra scalar-ref arg, kernels
@@ -193,7 +236,16 @@ def _rms_call(x, b_hi, b_lo, scal, lp: int, rp: int, interpret: bool,
                           memory_space=pltpu.VMEM)
     s_spec = pl.BlockSpec((1, 2), lift(lambda i: (0, 0)),
                           memory_space=pltpu.SMEM)
-    if transposed:
+    if mean_chunk:
+        # chunk-mean emission (the blockwise 'fast' contract): the output
+        # is the TIME-MAJOR [T/mean_chunk, B] chunk-mean matrix — the d
+        # intermediate shrinks mean_chunk× in HBM
+        assert transposed and LANE % mean_chunk == 0, (transposed, mean_chunk)
+        Tm = T // mean_chunk
+        out_spec = pl.BlockSpec((Tm, bt), lift(lambda i: (0, i)),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((Tm, B), jnp.float32)
+    elif transposed:
         out_spec = pl.BlockSpec((T, bt), lift(lambda i: (0, i)),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((T, B), jnp.float32)
@@ -217,16 +269,36 @@ def _rms_call(x, b_hi, b_lo, scal, lp: int, rp: int, interpret: bool,
             out_shape=out_shape, interpret=interpret,
         )(*args)
 
+    # per-stream target/max-gain banks: [bt, LANE] row-constant tiles
+    # appended after the band operands (lane-broadcast at the wrapper —
+    # a [bt, 1] block would violate Mosaic's 128-lane granule)
+    vspec = pl.BlockSpec((bt, LANE), lift(lambda i: (i, 0)),
+                         memory_space=pltpu.VMEM)
     if two_level_w:
-        kern2 = functools.partial(
-            _kernel_two_level, w=two_level_w, t_tiles=t_tiles, lp=lp, rp=rp,
-            transposed=transposed)
+        kw2 = dict(w=two_level_w, t_tiles=t_tiles, lp=lp, rp=rp,
+                   transposed=transposed, mean_chunk=mean_chunk)
+        if vecs is not None:
+            kern2 = lambda s, xr, bh, tv, mv, o: _kernel_two_level(
+                s, xr, bh, o, vec_refs=(tv, mv), **kw2)
+            return launch(kern2, [s_spec, x_spec, b_spec, vspec, vspec],
+                          scal, x, b_hi, *vecs)
+        kern2 = functools.partial(_kernel_two_level, **kw2)
         return launch(kern2, [s_spec, x_spec, b_spec], scal, x, b_hi)
     kw = dict(n_taps=n_taps, t_tiles=t_tiles, lp=lp, rp=rp,
-              transposed=transposed)
+              transposed=transposed, mean_chunk=mean_chunk)
     if exact:
+        if vecs is not None:
+            kern = lambda s, xr, bh, tv, mv, o: _kernel(
+                s, xr, bh, o, vec_refs=(tv, mv), **kw)
+            return launch(kern, [s_spec, x_spec, b_spec, vspec, vspec],
+                          scal, x, b_hi, *vecs)
         kern = functools.partial(_kernel, **kw)
         return launch(kern, [s_spec, x_spec, b_spec], scal, x, b_hi)
+    if vecs is not None:
+        kern3v = lambda s, xr, bh, bl, tv, mv, o: _kernel(
+            s, xr, bh, o, blo_ref=bl, vec_refs=(tv, mv), **kw)
+        return launch(kern3v, [s_spec, x_spec, b_spec, b_spec, vspec, vspec],
+                      scal, x, b_hi, b_lo, *vecs)
     kern3 = lambda s, xr, bh, bl, o: _kernel(s, xr, bh, o, blo_ref=bl, **kw)
     return launch(kern3, [s_spec, x_spec, b_spec, b_spec],
                   scal, x, b_hi, b_lo)
@@ -236,7 +308,7 @@ def rms_desired_pallas(x: jnp.ndarray, band: jnp.ndarray, lp: int, rp: int,
                        target, max_gain, exact_band: bool,
                        interpret: bool = False,
                        transposed: bool = False,
-                       ring_idx=None) -> jnp.ndarray:
+                       ring_idx=None, mean_chunk: int = 0) -> jnp.ndarray:
     """Desired AGC gain from the raw block in one fused pass.
 
     `x`: [B, T] f32 (UNPADDED — the 'same'-centering pad happens in VMEM);
@@ -257,15 +329,41 @@ def rms_desired_pallas(x: jnp.ndarray, band: jnp.ndarray, lp: int, rp: int,
     `x` may also be RAW int16 PCM (``ingest='pcm16'``, block or ring):
     the kernel converts on the VPU (``n / 32768`` — exact, so `d` is
     bit-identical to feeding the floats) and the x-read HBM bytes halve.
+
+    With ``mean_chunk`` (requires `transposed`; must divide 128) the
+    kernel emits the [T/mean_chunk, B] CHUNK MEANS of `d` instead of the
+    per-sample matrix — the exact input the blockwise 'fast' recurrence
+    consumes (`smooth_gain_apply_pallas(d_is_means=True)`), shrinking
+    the d intermediate's HBM traffic mean_chunk× (the fast chain's
+    largest remaining intermediate; see BENCHMARKS.md 'AGC chain
+    roofline').  The means reduce the same f32 `d` values in VMEM
+    (reassociation-only delta vs a host-side reshape-mean, ≲2⁻²⁰).
     """
+    if mean_chunk and (not transposed or LANE % mean_chunk):
+        raise ValueError(
+            f"mean_chunk={mean_chunk} requires transposed=True and must "
+            f"divide {LANE}")
     x = jnp.asarray(x)
     if x.dtype != jnp.int16:
         x = x.astype(jnp.float32)
     if x.shape[-1] % LANE:
         raise ValueError(f"block length {x.shape[-1]} must be a multiple of {LANE}")
     W = np.asarray(band).shape[0] - LANE + 1
-    scal = jnp.stack([jnp.asarray(target, jnp.float32),
-                      jnp.asarray(max_gain, jnp.float32)]).reshape(1, 2)
+    # per-stream policy banks: [B] target/max-gain vectors promote to
+    # lane-broadcast [B, LANE] VMEM tiles (`batch.with_per_stream_agc`);
+    # either vector promotes both (one kernel variant)
+    tgt = jnp.asarray(target, jnp.float32)
+    mg = jnp.asarray(max_gain, jnp.float32)
+    vecs = None
+    if tgt.ndim == 1 or mg.ndim == 1:
+        B_ = x.shape[-2]
+        vecs = tuple(
+            jnp.broadcast_to(
+                jnp.broadcast_to(v.reshape(-1 if v.ndim else ()),
+                                 (B_,))[:, None], (B_, LANE))
+            for v in (tgt, mg))
+        tgt = mg = jnp.float32(0.0)  # SMEM slots inert in vector mode
+    scal = jnp.stack([tgt, mg]).reshape(1, 2)
     if ring_idx is not None:
         assert x.ndim == 3, "ring mode needs an [S, B, T] ring"
         idx = jnp.asarray(ring_idx, dtype=jnp.int32).reshape(1)
@@ -276,11 +374,13 @@ def rms_desired_pallas(x: jnp.ndarray, band: jnp.ndarray, lp: int, rp: int,
             b_hi, b_lo = split_bf16(b128)
             return _call_ring(idx, x, b_hi, b_lo, scal, lp, rp,
                               interpret=interpret, exact=True,
-                              transposed=transposed, two_level_w=W)
+                              transposed=transposed, two_level_w=W,
+                              mean_chunk=mean_chunk, vecs=vecs)
         b_hi, b_lo = split_bf16(jnp.asarray(band, dtype=jnp.float32))
         return _call_ring(idx, x, b_hi, b_lo, scal, lp, rp,
                           interpret=interpret, exact=bool(exact_band),
-                          transposed=transposed)
+                          transposed=transposed, mean_chunk=mean_chunk,
+                          vecs=vecs)
     if W >= LANE and W % LANE == 0:
         # two-level boxcar (see _kernel_two_level): the level-1 band is a
         # ones(LANE) band — exactly bf16 for every such W, 2 passes always —
@@ -291,7 +391,9 @@ def rms_desired_pallas(x: jnp.ndarray, band: jnp.ndarray, lp: int, rp: int,
         b128 = jnp.asarray(band_matrix(np.ones(LANE, dtype=np.float32)))
         b_hi, b_lo = split_bf16(b128)
         return _call(x, b_hi, b_lo, scal, lp, rp, interpret=interpret,
-                     exact=True, transposed=transposed, two_level_w=W)
+                     exact=True, transposed=transposed, two_level_w=W,
+                     mean_chunk=mean_chunk, vecs=vecs)
     b_hi, b_lo = split_bf16(jnp.asarray(band, dtype=jnp.float32))
     return _call(x, b_hi, b_lo, scal, lp, rp, interpret=interpret,
-                 exact=bool(exact_band), transposed=transposed)
+                 exact=bool(exact_band), transposed=transposed,
+                 mean_chunk=mean_chunk, vecs=vecs)

@@ -203,7 +203,8 @@ def smooth_gain_scan_pallas(desired: jnp.ndarray, a_att, a_rel,
 
 def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
                       c_scr, *, sub: int, yl_ref=None,
-                      chunk: int | None = None):
+                      chunk: int | None = None, d_means: bool = False,
+                      vec_refs=None):
     """Scan + gain application in one kernel: runs the recurrence over the
     time-major desired gain, then stores ``clip(x · clip(g, 0.1, max_gain),
     ±out_clip)`` batch-major AND the final clipped gain (the cross-block
@@ -218,9 +219,20 @@ def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
     interpolation within the segment.  The serial dependency chain shrinks
     from T_CHUNK steps to T_CHUNK/chunk per tile; the means and the
     interpolation are chain-free vector work the VPU pipelines."""
-    a_att = a_ref[0, 0]
-    a_rel = a_ref[0, 1]
-    max_gain = a_ref[0, 2]
+    if vec_refs is not None:
+        # per-stream AGC policy banks (`batch.with_per_stream_agc`): the
+        # α/max-gain vectors ride [1, sub, LANES] tiles exactly like the
+        # gain carry — same elementwise ops, zero extra serial work
+        att_ref, rel_ref, mg_ref = vec_refs
+        a_att = att_ref[0]
+        a_rel = rel_ref[0]
+        max_gain = mg_ref[0]
+        mg_bm = max_gain.reshape(sub * LANES)[:, None]  # batch-major clip
+    else:
+        a_att = a_ref[0, 0]
+        a_rel = a_ref[0, 1]
+        max_gain = a_ref[0, 2]
+        mg_bm = max_gain
     out_clip = a_ref[0, 3]
 
     @pl.when(pl.program_id(1) == 0)
@@ -242,14 +254,18 @@ def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
         fr = (jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0)
               .astype(jnp.float32) + 1.0) * jnp.float32(1.0 / chunk)
         for c in range(T_CHUNK // chunk):
-            d_mean = jnp.mean(d_ref[c * chunk:(c + 1) * chunk], axis=0)
+            # d_means: the RMS kernel already emitted per-chunk means
+            # ([T/chunk, B] — chunk× less d HBM traffic); otherwise reduce
+            # the per-sample rows here (same f32 values either way)
+            d_mean = (d_ref[c] if d_means else
+                      jnp.mean(d_ref[c * chunk:(c + 1) * chunk], axis=0))
             alpha = jnp.where(d_mean > g, a_att, a_rel)
             gn = alpha * d_mean + (1.0 - alpha) * g
             c_scr[c * chunk:(c + 1) * chunk] = g[None] + (gn - g)[None] * fr
             g = gn
     g_scr[...] = g
     chunk = c_scr[...].reshape(T_CHUNK, sub * LANES)
-    gcl = jnp.clip(chunk.T, 0.1, max_gain)  # [sub·128, T_CHUNK]
+    gcl = jnp.clip(chunk.T, 0.1, mg_bm)  # [sub·128, T_CHUNK]
     from .fir_td import _load_f32
 
     # int16 PCM x converts on the VPU first (n/32768, exact) — the gain
@@ -273,11 +289,19 @@ def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "sub", "emit_split",
-                                             "chunk"))
+                                             "chunk", "d_means"))
 def _agc_apply_call(d3, g03, x, scal, interpret: bool = False,
                     sub: int = SUBLANES, emit_split: bool = False,
-                    idx=None, chunk: int | None = None):
-    T, Bs, _ = d3.shape
+                    idx=None, chunk: int | None = None,
+                    d_means: bool = False, vecs=None):
+    if d_means:
+        # d3 rows are chunk means: T/chunk rows cover T output samples
+        T = d3.shape[0] * chunk
+        Bs = d3.shape[1]
+        d_rows = T_CHUNK // chunk  # mean rows per grid step
+    else:
+        T, Bs, _ = d3.shape
+        d_rows = T_CHUNK
     B = Bs * LANES
     grid = (Bs // sub, T // T_CHUNK)
     ring = idx is not None  # x is an [S, B, T] ring; stream slot idx
@@ -293,7 +317,7 @@ def _agc_apply_call(d3, g03, x, scal, interpret: bool = False,
     in_specs = [
         pl.BlockSpec((1, 4), ix(lambda i, j: (0, 0)),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((T_CHUNK, sub, LANES), ix(lambda i, j: (j, i, 0)),
+        pl.BlockSpec((d_rows, sub, LANES), ix(lambda i, j: (j, i, 0)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, sub, LANES), ix(lambda i, j: (0, i, 0)),
                      memory_space=pltpu.VMEM),
@@ -306,15 +330,33 @@ def _agc_apply_call(d3, g03, x, scal, interpret: bool = False,
     scratch = [pltpu.VMEM((sub, LANES), jnp.float32),
                pltpu.VMEM((T_CHUNK, sub, LANES), jnp.float32)]
     gl_shape = jax.ShapeDtypeStruct((Bs, LANES), jnp.float32)
+    # per-stream policy vectors ride [1, sub, LANES] tiles like the carry
+    nv = 0 if vecs is None else len(vecs)
+    if vecs is not None:
+        in_specs += [pl.BlockSpec((1, sub, LANES),
+                                  ix(lambda i, j: (0, i, 0)),
+                                  memory_space=pltpu.VMEM)] * nv
+    args = (scal, d3, g03, x) + (tuple(vecs) if vecs is not None else ())
+
+    def _kern(a, d, g0, xx, *rest):
+        vr = rest[:nv] if nv else None
+        rest = rest[nv:]
+        if emit_split:
+            yh, gl, yl, g_scr, c_scr = rest
+            return _agc_apply_kernel(a, d, g0, xx, yh, gl, g_scr, c_scr,
+                                     sub=sub, yl_ref=yl, chunk=chunk,
+                                     d_means=d_means, vec_refs=vr)
+        yy, gl, g_scr, c_scr = rest
+        return _agc_apply_kernel(a, d, g0, xx, yy, gl, g_scr, c_scr,
+                                 sub=sub, chunk=chunk, d_means=d_means,
+                                 vec_refs=vr)
+
+    kern = _kern
     if emit_split:
-        kern = lambda a, d, g0, xx, yh, gl, yl, g_scr, c_scr: (
-            _agc_apply_kernel(a, d, g0, xx, yh, gl, g_scr, c_scr,
-                              sub=sub, yl_ref=yl, chunk=chunk))
         out_specs = [y_spec, gl_spec, y_spec]
         out_shape = [jax.ShapeDtypeStruct((B, T), jnp.bfloat16), gl_shape,
                      jax.ShapeDtypeStruct((B, T), jnp.bfloat16)]
     else:
-        kern = functools.partial(_agc_apply_kernel, sub=sub, chunk=chunk)
         out_specs = [y_spec, gl_spec]
         out_shape = [jax.ShapeDtypeStruct((B, T), jnp.float32), gl_shape]
     if ring:
@@ -327,12 +369,12 @@ def _agc_apply_call(d3, g03, x, scal, interpret: bool = False,
         return pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
-        )(idx, scal, d3, g03, x)
+        )(idx, *args)
     return pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
         out_specs=out_specs, out_shape=out_shape,
         scratch_shapes=scratch, interpret=interpret,
-    )(scal, d3, g03, x)
+    )(*args)
 
 
 def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
@@ -341,7 +383,8 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
                              interpret: bool = False,
                              emit_split: bool = False,
                              ring_idx=None,
-                             blockwise: int | None = None):
+                             blockwise: int | None = None,
+                             d_is_means: bool = False):
     """Fully fused AGC back half: scan + clip + apply + carry in one kernel.
 
     `desired_tm`: [T, B] time-major desired gain (the layout
@@ -379,12 +422,24 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
     restarting at the FIRST CHUNK MEAN (the blockwise restart semantics).
     The serial chain shrinks `chunk`×; everything else (clip, apply,
     carry, pair split, ring streaming) is unchanged.
+
+    With ``d_is_means=True`` (requires `blockwise`), `desired_tm` is the
+    time-major [T/blockwise, B] CHUNK-MEAN matrix the RMS kernel emits
+    with ``mean_chunk=blockwise`` — the kernel consumes the means
+    directly instead of reducing per-sample rows, and the d intermediate
+    carries blockwise× fewer HBM bytes through the fast chain.
     """
     d = jnp.asarray(desired_tm, dtype=jnp.float32)
     x = jnp.asarray(x)
     if x.dtype != jnp.int16:
         x = x.astype(jnp.float32)
-    T, B = d.shape
+    if d_is_means:
+        if blockwise is None:
+            raise ValueError("d_is_means requires blockwise")
+        Tm, B = d.shape
+        T = Tm * blockwise
+    else:
+        T, B = d.shape
     sub = _pick_sublanes(B)
     if B % (sub * LANES) or T % T_CHUNK:
         raise ValueError(
@@ -398,21 +453,39 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
         # computed in f32 jnp ops so the fused and XLA paths agree bitwise
         a_att = 1.0 - (1.0 - jnp.asarray(a_att, jnp.float32)) ** blockwise
         a_rel = 1.0 - (1.0 - jnp.asarray(a_rel, jnp.float32)) ** blockwise
+    # per-stream policy banks: [B] α / max-gain vectors (any one vector
+    # promotes all three — ONE kernel variant, vectors tiled like the carry)
+    a_att = jnp.asarray(a_att, jnp.float32)
+    a_rel = jnp.asarray(a_rel, jnp.float32)
+    mg = jnp.asarray(max_gain, jnp.float32)
+    vecs = None
+    if a_att.ndim == 1 or a_rel.ndim == 1 or mg.ndim == 1:
+        vecs = tuple(
+            jnp.broadcast_to(v.reshape(-1 if v.ndim else ()), (B,))
+            .reshape(1, B // LANES, LANES)
+            for v in (a_att, a_rel, mg))
+        mg = jnp.float32(3.4e38)  # scal slot unused in vector mode
     if init is not None:
         g0 = jnp.broadcast_to(
             jnp.asarray(init, dtype=jnp.float32).reshape(-1), (B,))
     elif blockwise is not None:
         # blockwise restart: g₋₁ := mean(d[:chunk]) makes the first segment
         # exactly flat at the first chunk mean under either α branch —
-        # smooth_gain_blockwise's init=None semantics
-        g0 = d[:blockwise].mean(axis=0)
+        # smooth_gain_blockwise's init=None semantics (with d_is_means the
+        # first row IS that mean)
+        g0 = d[0] if d_is_means else d[:blockwise].mean(axis=0)
     else:
         g0 = d[0]
-    d3 = d.reshape(T, B // LANES, LANES)
+    d3 = d.reshape(d.shape[0], B // LANES, LANES)
     g03 = g0.reshape(1, B // LANES, LANES)
+    # scalar-mode values ride SMEM; in vector mode the first three slots
+    # are inert placeholders (the kernel reads the VMEM vector tiles)
+    z = jnp.float32(0.0)
     scal = jnp.stack([
-        jnp.asarray(a_att, jnp.float32), jnp.asarray(a_rel, jnp.float32),
-        jnp.asarray(max_gain, jnp.float32), jnp.asarray(out_clip, jnp.float32),
+        z if vecs is not None else a_att.astype(jnp.float32),
+        z if vecs is not None else a_rel.astype(jnp.float32),
+        mg if vecs is None else z,
+        jnp.asarray(out_clip, jnp.float32),
     ]).reshape(1, 4)
     idx = None
     if ring_idx is not None:
@@ -421,8 +494,10 @@ def smooth_gain_apply_pallas(desired_tm: jnp.ndarray, x: jnp.ndarray,
     if emit_split:
         y_hi, gl, y_lo = _agc_apply_call(d3, g03, x, scal, interpret=interpret,
                                          sub=sub, emit_split=True, idx=idx,
-                                         chunk=blockwise)
+                                         chunk=blockwise, d_means=d_is_means,
+                                         vecs=vecs)
         return (y_hi, y_lo), gl.reshape(B)
     y, gl = _agc_apply_call(d3, g03, x, scal, interpret=interpret, sub=sub,
-                            idx=idx, chunk=blockwise)
+                            idx=idx, chunk=blockwise, d_means=d_is_means,
+                            vecs=vecs)
     return y, gl.reshape(B)

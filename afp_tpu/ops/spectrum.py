@@ -19,7 +19,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["spectrum_db", "spectrum_peak", "waterfall_init", "waterfall_push",
+__all__ = ["spectrum_db", "spectrum_db_np", "spectrum_peak",
+           "waterfall_init", "waterfall_push",
            "WATERFALL_DEPTH"]
 
 #: History depth of the reference's waterfall deque
@@ -48,6 +49,24 @@ def spectrum_db(x: jnp.ndarray, window: np.ndarray | None = None,
 def spectrum_freqs(T: int, fs: float) -> np.ndarray:
     """rfft bin frequencies in Hz (host-side, static)."""
     return np.fft.rfftfreq(T, d=1.0 / fs)
+
+
+def spectrum_db_np(x: np.ndarray, window: np.ndarray | None = None,
+                   floor: float = 1e-10) -> np.ndarray:
+    """Host-side (numpy) :func:`spectrum_db` — the serving drain tap's
+    analysis path (`runtime.serving.RingServer(spectrum_every=)`): a
+    device dispatch per observed block would steal serving throughput,
+    and the drained block is already host-resident.  Same Hann window
+    and dB mapping as the device version (float32 end to end)."""
+    x = np.asarray(x, dtype=np.float32)
+    T = x.shape[-1]
+    if window is None:
+        from ..design.windows import hann
+
+        window = hann(T)
+    w = np.asarray(window, dtype=np.float32)
+    mag = np.abs(np.fft.rfft(x * w)).astype(np.float32)
+    return 20.0 * np.log10(mag + np.float32(floor))
 
 
 def spectrum_peak(db: jnp.ndarray, freqs: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -88,13 +88,34 @@ class RingServer:
         and pcm16-conv forms (no fused-AGC form); off-TPU it additionally requires
         ``dither_kind='off'`` (the fused dither epilogue has no interpret
         lowering).
+    packing:
+        A `~afp_tpu.engine.batch.StreamPacking` from
+        ``with_per_stream_filters(..., pack=True)``: blocks are packed
+        into tile-sorted device order at ingest and unpacked on drain,
+        so ARBITRARY interleaved per-stream designs serve at
+        banked-kernel speed with the caller's stream order preserved
+        end-to-end.
+    spectrum_every:
+        Serving-path observability (VERDICT r4 #5 — the reference
+        captures spectra inside its hot callback,
+        `/root/reference/stream_process_GUI_Waterfall.py:471-478`):
+        every Nth DRAINED block, compute the host-FFT dB spectrum of
+        row ``spectrum_row`` (numpy — the drained block is already
+        host-resident, so the tap steals no device time) and push it
+        into the server's own depth-50 :attr:`waterfall_ring`
+        (newest-last, the reference's deque layout) + the
+        :attr:`spectrum_peak` readout.  Set :attr:`spectrum_sink` to a
+        callable to ALSO receive the observed f32 [batch, L] block —
+        the GUI hookup (`EqualizerController.update_spectrum`).
+        0 disables the tap.
     """
 
     def __init__(self, pipeline: Pipeline,
                  params: Optional[DeviceParams] = None,
                  slots: int = 16, chunk: int = 4,
                  max_inflight: int = 2, seed: int = 0,
-                 mega: bool = False):
+                 mega: bool = False, packing=None,
+                 spectrum_every: int = 0, spectrum_row: int = 0):
         if not pipeline.supports_ring_step:
             raise ValueError(
                 "RingServer requires a ring-capable pipeline: pair ingest "
@@ -119,6 +140,11 @@ class RingServer:
                                  "for the fused dither epilogue)")
         self.mega = bool(mega)
         self.pipe = pipeline
+        #: stream→tile design packing (None, or identity → no-op): pack at
+        #: ingest, unpack on drain — the caller always sees its own order
+        self.packing = None
+        if packing is not None and not packing.identity:
+            self.packing = packing
         #: reconfig (control thread) vs dispatch (serving thread) meet here —
         #: the serving-surface analog of the reference's `filter_lock`
         #: (`/root/reference/stream_process_EQ_GUI.py:50-55, 380-385`) and of
@@ -179,6 +205,13 @@ class RingServer:
         from collections import deque
 
         self._latencies: deque = deque(maxlen=65536)
+        #: drain-side spectrum tap (see `spectrum_every` in the class doc)
+        self.spectrum_every = int(spectrum_every)
+        self.spectrum_row = int(spectrum_row)
+        self.spectrum_sink = None  # optional callable([batch, L] f32 block)
+        self.waterfall_ring: Optional[np.ndarray] = None  # [50, n_bins]
+        self.last_spectrum: Optional[np.ndarray] = None  # [n_bins] dB
+        self.spectrum_peak: Optional[tuple] = None  # (freq_hz, level_db)
 
         from ..ops.pallas.fir_td import split_bf16
 
@@ -273,11 +306,39 @@ class RingServer:
         self.pipe.refresh_dynamic(new_cfg)
         self.swap_params(params)
 
+    # -------------------------------------------------- spectrum tap
+
+    def _tap_spectrum(self, block: np.ndarray) -> None:
+        """Observe one drained [batch, L] block: host-FFT dB of the chosen
+        row into the depth-50 ring + peak readout; forward the f32 block
+        to `spectrum_sink` when set (the GUI/controller feed)."""
+        from ..ops.spectrum import (WATERFALL_DEPTH, spectrum_db_np,
+                                    spectrum_freqs)
+
+        if block.dtype == np.int16:  # emit='pcm16': dequantize (exact)
+            block = block.astype(np.float32) / np.float32(32768.0)
+        db = spectrum_db_np(block[self.spectrum_row])
+        if (self.waterfall_ring is None
+                or self.waterfall_ring.shape[-1] != db.shape[-1]):
+            self.waterfall_ring = np.full(
+                (WATERFALL_DEPTH, db.shape[-1]), -200.0, dtype=np.float32)
+        self.waterfall_ring = np.roll(self.waterfall_ring, -1, axis=0)
+        self.waterfall_ring[-1] = db
+        self.last_spectrum = db
+        freqs = spectrum_freqs(block.shape[-1], self.pipe.cfg.samplerate)
+        i = int(np.argmax(db))
+        self.spectrum_peak = (float(freqs[i]), float(db[i]))
+        if self.spectrum_sink is not None:
+            self.spectrum_sink(block)
+
     # -------------------------------------------------- core pump
 
     def _land(self, slot: int, block) -> None:
         """Stage one engine-sized block into ring slot `slot` (in-place
         donated write — the ingest DMA analog)."""
+        if self.packing is not None:
+            block = (tuple(self.packing.pack(b) for b in block)
+                     if isinstance(block, tuple) else self.packing.pack(block))
         if self.pcm16:
             blk = jnp.asarray(block)
             if blk.dtype != jnp.int16:  # never silently quantize floats
@@ -352,10 +413,19 @@ class RingServer:
             while len(inflight) > limit:
                 dev, ts = inflight.pop(0)
                 arr = np.asarray(dev)
+                if self.packing is not None:  # restore caller stream order
+                    arr = self.packing.unpack(arr, axis=1)
                 now = _time.perf_counter()
                 self._latencies.extend(now - t for t in ts)
-                self.blocks_served += arr.shape[0]
-                yield from arr
+                if not self.spectrum_every:
+                    self.blocks_served += arr.shape[0]
+                    yield from arr
+                    continue
+                for blk in arr:  # per-block drain: the Nth-block tap
+                    if self.blocks_served % self.spectrum_every == 0:
+                        self._tap_spectrum(blk)
+                    self.blocks_served += 1
+                    yield blk
 
     def serve(self, source: Iterable,
               sink: Callable[[np.ndarray], None]) -> dict:

@@ -216,14 +216,62 @@ class EqualizerController:
             daemon=True, name="afp-gui-stream")
         self._stream_thread.start()
 
+    def start_ring_stream(self, server, source, sink=None,
+                          spectrum_every: int = 8) -> None:
+        """Serve through a :class:`~afp_tpu.runtime.serving.RingServer`
+        while the GUI observes — the serving-path observability hookup
+        (VERDICT r4 #5): the server's drain-side spectrum tap feeds
+        :meth:`update_spectrum`, so the live overlay, peak readout, and
+        :meth:`waterfall` all work AT the serving operating point (the
+        reference captures spectra inside its hot callback,
+        `stream_process_GUI_Waterfall.py:471-478` — here the tap rides
+        the drain, stealing no device time).
+
+        `server`: a RingServer over this controller's config class;
+        `source`: iterable of input blocks (the server's `stream`
+        contract); `sink`: optional callable for every output block
+        (default: discard — observation-only); `spectrum_every`: applied
+        to the server when its own tap is off.
+        """
+        import threading
+
+        if self.streaming:
+            raise RuntimeError("stream already running; stop_stream() first")
+        if not server.spectrum_every:
+            server.spectrum_every = int(spectrum_every)
+        self.show_spectrum = True
+        server.spectrum_sink = self.update_spectrum
+        self._ring_stop = threading.Event()
+        stop = self._ring_stop
+
+        def gated():
+            for blk in source:
+                if stop.is_set():
+                    return
+                yield blk
+
+        def run():
+            for out in server.stream(gated()):
+                if sink is not None:
+                    sink(out)
+
+        self._stream = server
+        self._stream_thread = threading.Thread(
+            target=run, daemon=True, name="afp-gui-ring-stream")
+        self._stream_thread.start()
+
     def stop_stream(self, timeout: float = 5.0) -> None:
         """Stop the live stream (either backend); idempotent."""
+        ring_stop = getattr(self, "_ring_stop", None)
+        if ring_stop is not None:
+            ring_stop.set()
         if self._audio_stream is not None:
             self._audio_stream.stop()
             self._audio_stream.close()
             self._audio_stream = None
-        if self._stream is not None:
-            self._stream.stop()
+        if self._stream is not None and hasattr(self._stream, "stop"):
+            self._stream.stop()  # SimulatedStream; RingServer stops via
+            # the gated source (`_ring_stop`)
         if self._stream_thread is not None:
             self._stream_thread.join(timeout=timeout)
             if self._stream_thread.is_alive():
@@ -236,6 +284,7 @@ class EqualizerController:
                     f"{timeout}s; retry stop_stream()")
             self._stream_thread = None
         self._stream = None
+        self._ring_stop = None
 
     def metrics_snapshot(self) -> dict:
         """Live counters + xRT for the GUI's metrics readout (the cpu_load

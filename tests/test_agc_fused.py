@@ -348,3 +348,58 @@ def test_pipeline_fast_ring_matches_step(rng, monkeypatch):
         np.testing.assert_array_equal(np.asarray(out_ring)[i], ref[i])
     np.testing.assert_array_equal(np.asarray(st.agc_gain),
                                   np.asarray(st2.agc_gain))
+
+
+# ---------------- chunk-mean d emission (fast-mode HBM cut) ----------------
+
+@pytest.mark.parametrize("w", [64, 256])
+def test_rms_mean_chunk_matches_full(rng, w):
+    """rms_desired_pallas(mean_chunk=32) ≡ the chunk means of the full
+    per-sample d (reassociation-only delta) — on both boxcar kernels
+    (direct w=64, two-level w=256)."""
+    from afp_tpu.ops.pallas.agc_rms import rms_desired_pallas
+    from afp_tpu.ops.pallas.fir_td import band_matrix
+
+    B, T = 256, 512
+    x = (rng.normal(size=(B, T)) * 0.3).astype(np.float32)
+    band = band_matrix(np.full(w, 1.0 / w, dtype=np.float32))
+    lp, rp = w // 2, w - 1 - w // 2
+    args = (jnp.asarray(x), jnp.asarray(band), lp, rp, 0.1, 10.0)
+    kw = dict(exact_band=False, interpret=True, transposed=True)
+    d = rms_desired_pallas(*args, **kw)
+    dm = rms_desired_pallas(*args, mean_chunk=32, **kw)
+    assert dm.shape == (T // 32, B)
+    ref = np.asarray(d).reshape(T // 32, 32, B).mean(axis=1)
+    np.testing.assert_allclose(np.asarray(dm), ref, rtol=2e-6, atol=1e-7)
+
+    with pytest.raises(ValueError, match="mean_chunk"):
+        rms_desired_pallas(*args, exact_band=False, interpret=True,
+                           transposed=False, mean_chunk=32)
+
+
+def test_apply_d_means_matches_blockwise(rng):
+    """smooth_gain_apply_pallas(d_is_means=True) with precomputed means is
+    bit-identical to blockwise mode fed the equivalent per-sample d
+    (chunkwise-constant with dyadic values, so the in-kernel mean is
+    exact)."""
+    from afp_tpu.ops.pallas.agc_scan import smooth_gain_apply_pallas
+
+    B, T = 1024, 512
+    d_c = (rng.integers(1, 200, size=(T // 32, B)) / 64.0).astype(np.float32)
+    d_full = np.repeat(d_c, 32, axis=0)  # [T, B] time-major
+    x = (rng.normal(size=(B, T)) * 0.2).astype(np.float32)
+    for init in (None, (0.5 + rng.random(B)).astype(np.float32)):
+        y1, g1 = smooth_gain_apply_pallas(
+            jnp.asarray(d_full), x, jnp.float32(0.05), jnp.float32(0.008),
+            10.0, init=init, out_clip=0.99, interpret=True, blockwise=32)
+        y2, g2 = smooth_gain_apply_pallas(
+            jnp.asarray(d_c), x, jnp.float32(0.05), jnp.float32(0.008),
+            10.0, init=init, out_clip=0.99, interpret=True, blockwise=32,
+            d_is_means=True)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+    with pytest.raises(ValueError, match="blockwise"):
+        smooth_gain_apply_pallas(
+            jnp.asarray(d_c), x, jnp.float32(0.05), jnp.float32(0.008),
+            10.0, interpret=True, d_is_means=True)

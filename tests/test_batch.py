@@ -443,3 +443,223 @@ def test_td_banked_with_agc(rng):
                                out)
     finally:
         del os.environ["AFP_AGC_FUSED_FORCE"]
+
+
+# ------- stream→tile design packing (VERDICT r4 #4) --
+
+
+def test_design_sort_perm_link_groups():
+    """Whole agc_link_group blocks move together; mixed-design groups are
+    rejected."""
+    from afp_tpu.engine.batch import _design_sort_perm
+
+    assign = np.array([1, 1, 0, 0, 1, 1, 0, 0], dtype=np.int32)
+    perm = _design_sort_perm(assign, link=2)
+    np.testing.assert_array_equal(assign[perm],
+                                  np.array([0, 0, 0, 0, 1, 1, 1, 1]))
+    # pairs stay adjacent and intact
+    np.testing.assert_array_equal(perm, np.array([2, 3, 6, 7, 0, 1, 4, 5]))
+    with pytest.raises(ValueError, match="agc_link_group"):
+        _design_sort_perm(np.array([0, 1, 0, 1], dtype=np.int32), link=2)
+
+
+def test_td_banked_packed_interleaved(rng):
+    """pack=True (VERDICT r4 #4): a strictly INTERLEAVED design ordering —
+    un-tileable as given — serves through the banked MXU kernels via the
+    stream→tile permutation, with unpacked outputs row-for-row equal to
+    per-design shared-kernel pipelines."""
+    import dataclasses
+
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    cfg = _td_cfg()
+    pipe = Pipeline(cfg)
+    cuts = [4000.0, 12000.0]
+    variants = [dict(cutoff=cuts[i % 2]) for i in range(16)]
+    # the raw ordering is rejected (this is exactly what pack lifts)
+    with pytest.raises(ValueError, match="constant within aligned"):
+        with_per_stream_filters(pipe, variants)
+    bank, pk = with_per_stream_filters(pipe, variants, pack=True)
+    assert not pk.identity and bank.casc_bank.shape[0] == 2
+    # pack/unpack round-trips the caller order
+    probe = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    np.testing.assert_array_equal(pk.unpack(pk.pack(probe)), probe)
+
+    blocks = (rng.normal(size=(3, 16, cfg.blocksize)) * 0.3
+              ).astype(np.float32)
+    st = pipe.init_state(seed=1)
+    out = []
+    for b in blocks:
+        st, y = pipe.step(bank, st, pk.pack(b))
+        out.append(pk.unpack(np.asarray(y)))
+    for ci, cut in enumerate(cuts):
+        rows = [i for i in range(16) if i % 2 == ci]
+        p2 = Pipeline(dataclasses.replace(cfg, cutoff=cut))
+        pp2 = p2.device_params(PipelineParams.design(p2.cfg))
+        st2 = p2.init_state(seed=1)
+        for i, b in enumerate(blocks):
+            st2, g = p2.step(pp2, st2, b)
+            np.testing.assert_allclose(out[i][rows], np.asarray(g)[rows],
+                                       atol=1e-6)
+
+
+def test_ring_server_packed_banked(rng):
+    """RingServer(packing=...): interleaved per-stream designs serve on
+    the banked f32 conv ring with caller order preserved end-to-end —
+    outputs match the staged banked step with manual pack/unpack."""
+    from afp_tpu.engine.batch import with_per_stream_filters
+    from afp_tpu.runtime import RingServer
+
+    cfg = _td_cfg()
+    pipe = Pipeline(cfg)
+    assert pipe.supports_ring_step
+    variants = [dict(cutoff=4000.0 if i % 2 == 0 else 12000.0)
+                for i in range(16)]
+    bank, pk = with_per_stream_filters(pipe, variants, pack=True)
+    blocks = (rng.normal(size=(5, 16, cfg.blocksize)) * 0.3
+              ).astype(np.float32)
+    st = pipe.init_state(seed=2)
+    gold = []
+    for b in blocks:
+        st, y = pipe.step(bank, st, pk.pack(b))
+        gold.append(pk.unpack(np.asarray(y)))
+    srv = RingServer(pipe, bank, slots=8, chunk=2, max_inflight=2, seed=2,
+                     packing=pk)
+    outs = list(srv.stream(iter(blocks)))
+    assert len(outs) == 5
+    for i in range(5):
+        np.testing.assert_allclose(outs[i], gold[i], atol=1e-6)
+
+
+def test_packed_fft_identity(rng):
+    """pack=True on the fft strategy returns an identity packing (row-level
+    banks never need sorting)."""
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    pipe = Pipeline(_td_cfg(conv_strategy="fft"))
+    bank, pk = with_per_stream_filters(
+        pipe, [dict(cutoff=1000.0 + 500 * i) for i in range(16)], pack=True)
+    assert pk.identity and bank.H_main.shape[0] == 16
+
+
+# ------- per-stream AGC parameter banks (VERDICT r4 #6) --
+
+
+def _agc_vec_cfg(mode="exact"):
+    from afp_tpu.engine import StreamConfig
+
+    return StreamConfig(
+        samplerate=44100, blocksize=256, upsample_factor=1, numtaps=33,
+        batch=1024, eq_enabled=False, agc_enabled=True, agc_mode=mode,
+        agc_window_size=64, agc_carry=True, dither_kind="off",
+        output_clip=0.99, conv_strategy="td_mxu", resample_quality="fast")
+
+
+_AGC_POLICIES = (dict(target=0.1, mg=10.0, att=0.01, rel=0.1),
+                 dict(target=0.3, mg=4.0, att=0.05, rel=0.2))
+
+
+def _agc_vec_params(pipe):
+    from afp_tpu.engine.batch import with_per_stream_agc
+
+    B = pipe.batch
+    h = B // 2
+
+    def halves(key):
+        return np.r_[np.full(h, _AGC_POLICIES[0][key]),
+                     np.full(h, _AGC_POLICIES[1][key])].astype(np.float32)
+
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    return with_per_stream_agc(
+        pipe, params, target_level=halves("target"), max_gain=halves("mg"),
+        attack=halves("att"), release=halves("rel"))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode,force", [
+    ("exact", True), ("fast", True), ("exact", False), ("parallel", False)])
+def test_per_stream_agc_matches_scalar_runs(rng, mode, force, monkeypatch):
+    """[B]-vector AGC policy banks ≡ N scalar-policy runs, row for row —
+    on the fused TPU chain (forced interpret) and the XLA fallbacks,
+    across exact/fast/parallel modes."""
+    import dataclasses
+
+    if force:
+        monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    cfg = _agc_vec_cfg(mode)
+    pipe = Pipeline(cfg)
+    vparams = _agc_vec_params(pipe)
+    blocks = (rng.normal(size=(3, cfg.batch, cfg.blocksize)) * 0.1
+              ).astype(np.float32)
+    st = pipe.init_state(seed=3)
+    out = []
+    for b in blocks:
+        st, y = pipe.step(vparams, st, b)
+        out.append(np.asarray(y))
+
+    h = cfg.batch // 2
+    for k, pol in enumerate(_AGC_POLICIES):
+        rows = slice(0, h) if k == 0 else slice(h, cfg.batch)
+        cfg_k = dataclasses.replace(
+            cfg, agc_target_level=pol["target"], agc_max_gain=pol["mg"],
+            agc_attack=pol["att"], agc_release=pol["rel"]).validate()
+        p2 = Pipeline(cfg_k)
+        pp2 = p2.device_params(PipelineParams.design(p2.cfg))
+        st2 = p2.init_state(seed=3)
+        for i, b in enumerate(blocks):
+            st2, g = p2.step(pp2, st2, b)
+            if mode == "fast":
+                # the chunk-mean reduction order shifts under tensor-vs-
+                # scalar clip operands (~5e-6 through the gain) — the
+                # documented f32-reassociation class of the approximation
+                # mode; exact/parallel stay bit-identical
+                np.testing.assert_allclose(out[i][rows],
+                                           np.asarray(g)[rows], atol=2e-5)
+            else:
+                np.testing.assert_array_equal(out[i][rows],
+                                              np.asarray(g)[rows])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_per_stream_agc_ring_matches_step(rng, mode, monkeypatch):
+    """Vector AGC params through the serving-ring chain ≡ the staged fused
+    step, bit-exact (same kernels, slot-select BlockSpec only)."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("AFP_AGC_FUSED_FORCE", "1")
+    cfg = _agc_vec_cfg(mode)
+    pipe = Pipeline(cfg)
+    assert pipe.supports_ring_step
+    vparams = _agc_vec_params(pipe)
+    blocks = (rng.normal(size=(3, cfg.batch, cfg.blocksize)) * 0.1
+              ).astype(np.float32)
+    st = pipe.init_state(seed=4)
+    ref = []
+    for b in blocks:
+        st, y = pipe.step(vparams, st, b)
+        ref.append(np.asarray(y))
+    ring = jnp.asarray(blocks)
+    orng = jnp.zeros(blocks.shape, jnp.float32)
+    st2 = pipe.init_state(seed=4)
+    for i in range(3):
+        st2, orng = pipe._ring_step_impl(vparams, st2, ring, None, i, orng)
+        np.testing.assert_array_equal(np.asarray(orng)[i], ref[i])
+    np.testing.assert_array_equal(np.asarray(st.agc_gain),
+                                  np.asarray(st2.agc_gain))
+
+
+def test_per_stream_agc_validation():
+    from afp_tpu.engine.batch import with_per_stream_agc
+
+    pipe = Pipeline(_td_cfg())  # agc disabled
+    pp = pipe.device_params(PipelineParams.design(pipe.cfg))
+    with pytest.raises(ValueError, match="agc_enabled"):
+        with_per_stream_agc(pipe, pp, target_level=0.2)
+    p2 = Pipeline(_agc_vec_cfg())
+    pp2 = p2.device_params(PipelineParams.design(p2.cfg))
+    with pytest.raises(ValueError, match="vector"):
+        with_per_stream_agc(p2, pp2, target_level=np.ones(3, np.float32))
+    # scalar knobs stay scalars (no silent promotion)
+    out = with_per_stream_agc(p2, pp2, target_level=0.25, attack=0.02)
+    assert out.agc_target.ndim == 0 and out.agc_a_att.ndim == 0

@@ -432,3 +432,69 @@ def test_swap_params_validation():
     with pytest.raises(ValueError, match="presence"):
         fsrv.swap_params(fsrv.params._replace(
             casc_bank=banked.casc_bank, casc_assign=banked.casc_assign))
+
+
+# ---------------------------------------------------------------- spectrum tap
+
+
+def test_ring_server_spectrum_tap(rng):
+    """`spectrum_every=N` (VERDICT r4 #5): every Nth drained block lands a
+    host-FFT dB spectrum in the server's depth-50 ring (newest-last) and
+    the peak readout — while outputs stay bit-identical to an untapped
+    server (the tap rides the drain, not the device)."""
+    from afp_tpu.ops.spectrum import spectrum_db_np
+
+    cfg = make_cfg(ingest="f32", dither_kind="off")
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    n = 6
+    blocks = (rng.normal(size=(n, cfg.batch, cfg.blocksize)) * 0.3
+              ).astype(np.float32)
+    plain = RingServer(pipe, params, slots=8, chunk=2, seed=1)
+    gold = list(plain.stream(iter(blocks)))
+    srv = RingServer(pipe, params, slots=8, chunk=2, seed=1,
+                     spectrum_every=2, spectrum_row=1)
+    seen = []
+    srv.spectrum_sink = lambda blk: seen.append(blk.copy())
+    outs = list(srv.stream(iter(blocks)))
+    np.testing.assert_array_equal(np.stack(outs), np.stack(gold))
+    # blocks 0, 2, 4 observed; ring newest-last = spectrum of block 4 row 1
+    assert len(seen) == 3
+    assert srv.waterfall_ring is not None and srv.waterfall_ring.shape[0] == 50
+    np.testing.assert_allclose(
+        srv.waterfall_ring[-1], spectrum_db_np(np.asarray(outs[4][1])),
+        rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(seen[-1], np.asarray(outs[4]))
+    f, lvl = srv.spectrum_peak
+    assert 0 <= f <= cfg.samplerate / 2 and np.isfinite(lvl)
+    assert srv.last_spectrum.shape == (cfg.blocksize // 2 + 1,)
+
+
+def test_controller_ring_stream_waterfall(rng, tmp_path):
+    """GUI hookup: the controller serves through a RingServer while its
+    live spectrum overlay + waterfall render from the serving drain."""
+    import time
+
+    from afp_tpu.ui.controller import EqualizerController
+    from afp_tpu.engine import StreamEngine
+
+    cfg = make_cfg(ingest="f32", dither_kind="off")
+    pipe = Pipeline(cfg)
+    srv = RingServer(pipe, slots=8, chunk=2)
+    ctrl = EqualizerController(StreamEngine(cfg))
+    blocks = [(rng.normal(size=(cfg.batch, cfg.blocksize)) * 0.3
+               ).astype(np.float32) for _ in range(6)]
+    got = []
+    ctrl.start_ring_stream(srv, iter(blocks), sink=got.append,
+                           spectrum_every=2)
+    assert ctrl.streaming
+    for _ in range(200):
+        if len(got) == 6:
+            break
+        time.sleep(0.1)
+    ctrl.stop_stream(timeout=30.0)
+    assert len(got) == 6 and not ctrl.streaming
+    assert ctrl.waterfall_ring is not None
+    fig = ctrl.waterfall(save_path=str(tmp_path / "wf.png"))
+    assert fig is not None and (tmp_path / "wf.png").exists()
+    assert ctrl.spectrum_peak is not None
