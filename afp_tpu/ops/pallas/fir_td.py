@@ -998,7 +998,8 @@ def fir_td_mxu_ring(ring_hi: jnp.ndarray, ring_lo: jnp.ndarray, idx,
 
 def _fir_kernel_b3t_f32(x_ref, t_ref, bhi_ref, blo_ref, o_ref, *, k_pad: int,
                         t_tiles: int, seed_ref=None, lsb: float = 0.0,
-                        tpdf: bool = True, out_clip=None, t_o=None):
+                        tpdf: bool = True, out_clip=None, t_o=None,
+                        bank_assign_ref=None):
     """f32-input variant of :func:`_fir_kernel_b3t`: the block and carried
     overlap tail arrive as RAW f32 refs and the bf16 hi/lo split happens
     once in VMEM (`_split_bf16_in_kernel` — measured bit-identical to the
@@ -1020,6 +1021,20 @@ def _fir_kernel_b3t_f32(x_ref, t_ref, bhi_ref, blo_ref, o_ref, *, k_pad: int,
     samples of concat(tail, x)) from VMEM."""
     if seed_ref is not None:
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    if bank_assign_ref is not None:
+        # RESIDENT design bank (banked per-step ring): the refs hold the
+        # whole [D, rows, LANE] hi/lo stacks, fetched ONCE per launch
+        # (constant-index block — the same revisit hoist the shared band
+        # enjoys); each tile selects its design by a dynamic leading-axis
+        # VMEM read.  The per-tile BlockSpec selection re-DMAs the band
+        # from HBM for every batch tile (B/bt fetches per step — the
+        # measured per-step banked ring gap, BENCHMARKS.md r5).
+        a_i = bank_assign_ref[pl.program_id(0)]
+        b_hi = bhi_ref[pl.ds(a_i, 1)].reshape(bhi_ref.shape[1:])
+        b_lo = blo_ref[pl.ds(a_i, 1)].reshape(blo_ref.shape[1:])
+    else:
+        b_hi = bhi_ref[:, :]
+        b_lo = blo_ref[:, :]
     x_hi, x_lo = _split_bf16_in_kernel(_load_f32(x_ref[:, :]))
     t_hi, t_lo = _split_bf16_in_kernel(_load_f32(t_ref[:, :]))
     for t in range(t_tiles):
@@ -1034,9 +1049,9 @@ def _fir_kernel_b3t_f32(x_ref, t_ref, bhi_ref, blo_ref, o_ref, *, k_pad: int,
             w_hi = x_hi[:, s : s + k_pad + LANE]
             w_lo = x_lo[:, s : s + k_pad + LANE]
         y = (
-            jnp.dot(w_hi, bhi_ref[:, :], preferred_element_type=jnp.float32)
-            + jnp.dot(w_hi, blo_ref[:, :], preferred_element_type=jnp.float32)
-            + jnp.dot(w_lo, bhi_ref[:, :], preferred_element_type=jnp.float32)
+            jnp.dot(w_hi, b_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, b_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, b_hi, preferred_element_type=jnp.float32)
         )
         o_ref[:, t * LANE : (t + 1) * LANE] = _finish_tile(
             y, seed_ref, lsb, tpdf, out_clip, out_dtype=o_ref.dtype)
@@ -1062,13 +1077,15 @@ def _pick_b_tile_b3t_f32(B: int, k_pad: int, T: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "dither_bits", "dither_tpdf", "out_clip", "bt_override"))
+    "interpret", "dither_bits", "dither_tpdf", "out_clip", "bt_override",
+    "resident"))
 def _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
                           interpret: bool = False, seed=None,
                           dither_bits: int | None = None,
                           dither_tpdf: bool = True,
                           out_clip: float | None = None,
-                          assign_t=None, bt_override: int | None = None):
+                          assign_t=None, bt_override: int | None = None,
+                          resident: bool = False):
     S, B, T = ring.shape
     banked = band.ndim == 3  # [D, rows, LANE] per-design stack + assign_t
     k_pad = tail.shape[1]
@@ -1087,7 +1104,15 @@ def _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
                              memory_space=pltpu.VMEM)
     t_spec = pl.BlockSpec((bt, k_pad), lambda i, *pref: (i, 0),
                           memory_space=pltpu.VMEM)
-    if banked:
+    if banked and resident:
+        # whole-bank VMEM residency: constant-index [D, rows, LANE] block →
+        # fetched once per launch (revisit hoist), per-tile design selected
+        # in-kernel from the prefetched assignment — closes the per-tile
+        # band re-DMA gap of the per-step banked ring (BENCHMARKS.md r5)
+        band_spec = pl.BlockSpec(
+            (band_p.shape[0], band_p.shape[-2], LANE),
+            lambda i, *pref: (0, 0, 0), memory_space=pltpu.VMEM)
+    elif banked:
         band_spec = pl.BlockSpec((None, band_p.shape[-2], LANE),
                                  lambda i, *pref: (pref[1][i], 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -1115,10 +1140,12 @@ def _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
                                t_tiles=t_tiles, **dkw)
     n_pref = 2 if banked else 1
     pref_args = (idx, assign_t) if banked else (idx,)
+    rkw = lambda a: {"bank_assign_ref": a[1]} if (banked and resident) else {}
     if dither_bits is not None:
         kern = lambda *a: kernel(a[n_pref + 1], a[n_pref + 2], a[n_pref + 3],
                                  a[n_pref + 4], a[n_pref + 6],
-                                 seed_ref=a[n_pref], t_o=a[n_pref + 7])
+                                 seed_ref=a[n_pref], t_o=a[n_pref + 7],
+                                 **rkw(a))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_pref, grid=grid,
             in_specs=[seed_spec, ring_spec, t_spec, band_spec, band_spec,
@@ -1131,7 +1158,7 @@ def _fir_td_ring_f32_call(idx, ring, tail, band, out_ring,
         )(*pref_args, seed, ring, tail, b_hi, b_lo, out_ring)
     kern = lambda *a: kernel(a[n_pref], a[n_pref + 1], a[n_pref + 2],
                              a[n_pref + 3], a[n_pref + 5],
-                             t_o=a[n_pref + 6])
+                             t_o=a[n_pref + 6], **rkw(a))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_pref, grid=grid,
         in_specs=[ring_spec, t_spec, band_spec, band_spec, ring_io_spec],
@@ -1181,7 +1208,27 @@ def fir_td_mxu_ring_f32(ring: jnp.ndarray, idx, tail: jnp.ndarray,
                                  interpret=interpret, seed=dither_seed,
                                  dither_bits=dither_bits,
                                  dither_tpdf=dither_tpdf, out_clip=out_clip,
-                                 assign_t=a_t, bt_override=bt)
+                                 assign_t=a_t, bt_override=bt,
+                                 resident=_bank_resident(
+                                     band, tail.shape[1]))
+
+
+def _bank_resident(band, k_pad: int) -> bool:
+    """Whole-bank VMEM residency decision for the BANKED per-step ring
+    kernels: resident when the padded [D, k_pad+LANE, LANE] hi/lo stacks
+    fit the budget (``AFP_RESIDENT_BANK_MB``, default 3 MB) — then the
+    bank is DMA'd once per launch instead of once per batch tile
+    (`_fir_kernel_b3t_f32` bank_assign_ref note).  ``AFP_BANKED_RESIDENT``
+    forces it on ('1') or off ('0') for A/B measurement."""
+    if band.ndim != 3:
+        return False
+    mode = _os.environ.get("AFP_BANKED_RESIDENT", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    budget = float(_os.environ.get("AFP_RESIDENT_BANK_MB", "3")) * 2 ** 20
+    return 2 * 2 * band.shape[0] * (k_pad + LANE) * LANE <= budget
 
 
 def _ring_geometry(ring, tail, band):
@@ -1252,7 +1299,9 @@ def fir_td_mxu_ring_pcm16(ring: jnp.ndarray, idx, tail: jnp.ndarray,
                                  interpret=interpret, seed=dither_seed,
                                  dither_bits=dither_bits,
                                  dither_tpdf=dither_tpdf, out_clip=out_clip,
-                                 assign_t=a_t, bt_override=bt)
+                                 assign_t=a_t, bt_override=bt,
+                                 resident=_bank_resident(
+                                     band, tail.shape[1]))
 
 
 def _fir_kernel_b3mega(xhi_ref, xlo_ref, thi_ref, tlo_ref, bhi_ref, blo_ref,

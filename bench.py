@@ -913,10 +913,50 @@ def run_agc_config(batch: int, nblocks: int, reps: int, strategy: str,
             except Exception as e:  # noqa: BLE001
                 print(f"bench: agc pcm16 ring failed ({e})",
                       file=sys.stderr, flush=True)
+    hbm_frac = None
+    if ring_asym:
+        hbm_frac = _agc_ring_hbm_frac(pipe, batch, cfg.blocksize, ring_asym)
     return {"chained": float(round(xrt, 1)), "sustained": sustained,
             "ring": ring, "ring_asym": ring_asym,
             "ring_pcm16": ring_pcm16, "ring_pcm16_asym": ring_pcm16_asym,
-            "ring_i16io_asym": ring_i16io_asym}
+            "ring_i16io_asym": ring_i16io_asym, "ring_hbm_frac": hbm_frac}
+
+
+def _agc_ring_hbm_frac(pipe, batch: int, blocksize: int,
+                       xrt: float) -> float:
+    """Achieved fraction of the HBM-bandwidth roofline for the fused AGC
+    serving chain at the measured asymptote (VERDICT r4 #2's
+    decomposition leg): analytic bytes/step over `wall × peak_BW`.
+
+    Bytes/step (f32 ring, exact mode): x read twice (RMS + apply), the
+    per-sample desired gain written + read, the bf16 pair written + read,
+    the output written — 7 full [B, T] f32 arrays — plus the pair tail
+    round trip and the conv band's per-tile fetches.  'fast' mode's
+    chunk-mean d path (r5) shrinks the d term 32×.  A frac ≳ 0.9 means
+    the chain is HBM-bound: fewer kernel launches (a mega form) cannot
+    help, only fewer bytes can — the r3 fused-kernel experiments and the
+    r5 fast-mode means path are exactly that lever (BENCHMARKS.md 'AGC
+    chain roofline')."""
+    from afp_tpu.ops.pallas.fir_td import LANE, _pick_b_tile_b3t_f32
+
+    B, T = batch, blocksize
+    arr = B * T * 4  # one full f32 array
+    d_factor = 2.0 / (pipe._agc_blockwise or 1) if pipe._agc_means else 2.0
+    k_pad = pipe._k_pad
+    # x is read twice (RMS + apply): f32 at 4 B/sample, pcm16 at 2
+    x_rd = arr if pipe._i16_ingest else 2 * arr
+    bytes_step = (
+        x_rd                      # x read by RMS + apply
+        + d_factor * arr          # d write + read (means: /chunk)
+        + 2 * arr                 # bf16 pair write + read
+        + (arr // 2 if pipe._emit16 else arr)  # output write
+        + 8 * B * k_pad           # bf16 pair tail r/w
+    )
+    bt = _pick_b_tile_b3t_f32(B, k_pad, T)
+    bytes_step += (B // bt) * (k_pad + LANE) * LANE * 2 * 2  # conv band DMA
+    peak = float(os.environ.get("AFP_HBM_GBPS", "819")) * 1e9
+    wall = B * T / pipe.cfg.samplerate / xrt
+    return float(round(bytes_step / (wall * peak), 4))
 
 
 def _sustained_agc_ring_xrt(pipe, params, blocks, reps: int,
@@ -1034,11 +1074,7 @@ def run_per_stream_ring_xrt(batch: int, reps: int) -> dict:
         downsample_mode="decimate", dither_kind="tpdf", output_clip=None,
         conv_strategy="td_mxu", resample_quality="vhq",
     )
-    pipe = Pipeline(cfg)
     cuts = [8000.0, 10000.0, 11000.0, 12000.0]
-    variants = [dict(cutoff=cuts[4 * i // batch]) for i in range(batch)]
-    params = with_per_stream_filters(pipe, variants)
-    assert params.casc_bank.shape[0] == 4
     K = int(os.environ.get("AFP_BENCH_RING_BLOCKS", "16"))
     rng = np.random.default_rng(2)
     base = rng.standard_normal((batch, cfg.blocksize),
@@ -1046,14 +1082,102 @@ def run_per_stream_ring_xrt(batch: int, reps: int) -> dict:
     ring = jnp.broadcast_to(jnp.asarray(base), (K, batch, cfg.blocksize)) + 0.0
     n_sust = int(os.environ.get("AFP_BENCH_SUSTAIN", "512"))
     out = {}
-    out["per_stream_ring_xrt"] = _time_sustained(
-        "per-stream banked ring",
-        lambda st, rg: pipe.run_ring(params, st, ring, None, rg, n_sust),
-        pipe, n_sust, K, batch, cfg.blocksize, reps)
-    out["per_stream_ring_mega_xrt"] = _time_sustained(
-        "per-stream banked ring-mega",
-        lambda st, rg: pipe.run_ring_mega(params, st, ring, None, rg, n_sust),
-        pipe, n_sust, K, batch, cfg.blocksize, reps)
+    # r5 A/B: the per-step banked ring's r4 gap (−23% vs the shared ring)
+    # was band re-DMA — the per-TILE BlockSpec selection refetches the
+    # design band for every batch tile, where the shared kernel's
+    # constant-index band is fetched once per launch.  The shipped 'auto'
+    # mode keeps the whole bank VMEM-resident (one fetch per launch,
+    # in-kernel select — fir_td._bank_resident); '0' re-measures the r4
+    # per-tile form as the ablation baseline.
+    prev = os.environ.get("AFP_BANKED_RESIDENT")
+    try:
+        for mode, key, label in (
+                ("1", "per_stream_ring_xrt", "per-stream banked ring"),
+                ("0", "per_stream_ring_pertile_xrt",
+                 "per-stream banked ring (per-tile band DMA)")):
+            os.environ["AFP_BANKED_RESIDENT"] = mode
+            pipe = Pipeline(cfg)
+            variants = [dict(cutoff=cuts[4 * i // batch])
+                        for i in range(batch)]
+            params = with_per_stream_filters(pipe, variants)
+            assert params.casc_bank.shape[0] == 4
+            out[key] = _time_sustained(
+                label,
+                lambda st, rg: pipe.run_ring(params, st, ring, None, rg,
+                                             n_sust),
+                pipe, n_sust, K, batch, cfg.blocksize, reps)
+            if mode == "1":
+                out["per_stream_ring_mega_xrt"] = _time_sustained(
+                    "per-stream banked ring-mega",
+                    lambda st, rg: pipe.run_ring_mega(params, st, ring,
+                                                      None, rg, n_sust),
+                    pipe, n_sust, K, batch, cfg.blocksize, reps)
+    finally:
+        if prev is None:
+            os.environ.pop("AFP_BANKED_RESIDENT", None)
+        else:
+            os.environ["AFP_BANKED_RESIDENT"] = prev
+    return out
+
+
+def run_reconfig_latency(reps: int) -> dict:
+    """Live-reconfig-on-the-rings latency (VERDICT r4 #1's hardware leg):
+    a mid-serve `RingServer.set_eq_gains` (gain ×2 — runtime data, no
+    redesign) lands while the pump streams a constant tone; detect the
+    first drained block whose energy reflects the new bank.
+
+    Reports `reconfig_effect_blocks` (output blocks between the swap call
+    and the first affected block — 0 when the swap lands on a chunk
+    boundary, the contract's bound is the next chunk) and
+    `reconfig_to_effect_ms` (wall time from the swap call to DRAINING the
+    first affected block — includes the in-flight pipeline the server was
+    configured to run ahead by, `(max_inflight+1)·chunk` blocks)."""
+    import time as _time
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+    from afp_tpu.runtime import RingServer
+
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=4096, upsample_factor=4, numtaps=1001,
+        batch=1024, filter_type="lowpass", cutoff=11000.0,
+        window_type="hamming", eq_enabled=True, agc_enabled=False,
+        downsample_mode="decimate", dither_kind="off", output_clip=None,
+        conv_strategy="td_mxu", resample_quality="vhq",
+    )
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    rng = np.random.default_rng(5)
+    tone = (rng.standard_normal((cfg.batch, cfg.blocksize))
+            .astype(np.float32) * 0.05)
+    g2 = np.asarray(params.eq_gains) * 2.0
+    n, swap_at, chunk = 32, 16, 4
+    out = {}
+    for rep in range(max(2, min(reps, 3))):  # first rep compiles; keep last
+        srv = RingServer(pipe, params, slots=16, chunk=chunk, max_inflight=2)
+        t_swap = [0.0]
+
+        def src():
+            for i in range(n):
+                if i == swap_at:
+                    srv.set_eq_gains(g2)
+                    t_swap[0] = _time.perf_counter()
+                yield tone
+
+        e0 = None
+        eff_idx = t_eff = None
+        for i, blk in enumerate(srv.stream(src())):
+            e = float(np.mean(np.square(blk[0], dtype=np.float64)))
+            if e0 is None:
+                e0 = e
+            if eff_idx is None and e > 2.0 * e0:
+                eff_idx, t_eff = i, _time.perf_counter()
+        assert eff_idx is not None, "gain swap never took effect"
+        out = {"reconfig_effect_blocks": int(eff_idx - swap_at),
+               "reconfig_to_effect_ms": float(round(
+                   (t_eff - t_swap[0]) * 1e3, 2))}
+    print(f"bench: reconfig effect after {out['reconfig_effect_blocks']} "
+          f"blocks, {out['reconfig_to_effect_ms']} ms wall",
+          file=sys.stderr, flush=True)
     return out
 
 
@@ -1125,15 +1249,40 @@ def latency_sla_report(reps: int) -> dict:
                 st, rg = dispatch(st, rg)  # compile + warm
                 float(jnp.sum(rg))
                 samples = []
+                rejected = 0
+                rtt_med = float(np.median(rtts))
                 for _ in range(n_samp):
                     t0 = _time.perf_counter()
                     st, rg = dispatch(st, rg)
                     float(jnp.sum(rg))
-                    samples.append((_time.perf_counter() - t0) / K * 1e6)
+                    dt = (_time.perf_counter() - t0) / K * 1e6
+                    # stall rejection (VERDICT r4 #7): the dev tunnel
+                    # stalls for whole seconds at a time, polluting p99
+                    # with link weather (r4: ring p99 85–448 ms vs p50
+                    # 1.4 ms).  A paired no-op fetch right after the
+                    # sample sees the same stall — discard the sample
+                    # when the probe blows past the link's median RTT,
+                    # so the published tail measures the ENGINE.
+                    t1 = _time.perf_counter()
+                    float(jnp.sum(tiny + 1.0))
+                    probe = _time.perf_counter() - t1
+                    if probe > 3.0 * rtt_med:
+                        rejected += 1
+                        continue
+                    samples.append(dt)
+                if len(samples) < max(8, n_samp // 4):
+                    print(f"bench: latency {name} b{batch}: only "
+                          f"{len(samples)} clean samples "
+                          f"({rejected} stall-rejected) — tail not "
+                          "trustworthy this run", file=sys.stderr,
+                          flush=True)
                 out[f"latency_us_{name}_b{batch}_p50"] = round(
                     float(np.percentile(samples, 50)), 1)
                 out[f"latency_us_{name}_b{batch}_p99"] = round(
                     float(np.percentile(samples, 99)), 1)
+                if rejected:
+                    out[f"latency_us_{name}_b{batch}_stall_rejected"] = (
+                        rejected)
             except Exception as e:  # noqa: BLE001
                 print(f"bench: latency {name} b{batch} failed ({e})",
                       file=sys.stderr, flush=True)
@@ -1272,6 +1421,8 @@ def main() -> None:
             if r.get("ring_i16io_asym") is not None:
                 result[f"agc_{mode}_ring_i16io_asym2048_xrt"] = (
                     r["ring_i16io_asym"])
+            if r.get("ring_hbm_frac") is not None:
+                result[f"agc_{mode}_ring_hbm_frac"] = r["ring_hbm_frac"]
         except (BenchTimeout, Exception) as e:  # noqa: BLE001
             signal.alarm(0)
             print(f"bench: agc {mode} failed ({e})", file=sys.stderr, flush=True)
@@ -1348,6 +1499,17 @@ def main() -> None:
         except (BenchTimeout, Exception) as e:  # noqa: BLE001
             signal.alarm(0)
             print(f"bench: per-stream ring failed ({e})",
+                  file=sys.stderr, flush=True)
+
+    # live-reconfig-on-the-rings latency (VERDICT r4 #1)
+    if result.get("strategy") == "td_mxu":
+        try:
+            _alarm(600)
+            result.update(run_reconfig_latency(reps))
+            signal.alarm(0)
+        except (BenchTimeout, Exception) as e:  # noqa: BLE001
+            signal.alarm(0)
+            print(f"bench: reconfig latency failed ({e})",
                   file=sys.stderr, flush=True)
 
     # latency SLA table (VERDICT r3 #7)

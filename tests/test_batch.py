@@ -663,3 +663,46 @@ def test_per_stream_agc_validation():
     # scalar knobs stay scalars (no silent promotion)
     out = with_per_stream_agc(p2, pp2, target_level=0.25, attack=0.02)
     assert out.agc_target.ndim == 0 and out.agc_a_att.ndim == 0
+
+
+def test_td_banked_ring_resident_bank_matches(rng, monkeypatch):
+    """The resident-bank banked ring form (whole [D, rows, LANE] stack
+    fetched once per launch, in-kernel design select — the r5 fix for the
+    per-step banked ring's per-tile band re-DMA) is bit-identical to the
+    per-tile-selection form, on both the f32 and pcm16 rings."""
+    import jax.numpy as jnp
+
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    cfg = _td_cfg()
+    variants = [dict(cutoff=4000.0 if i < 8 else 12000.0) for i in range(16)]
+    blocks = (rng.normal(size=(2, 16, cfg.blocksize)) * 0.3
+              ).astype(np.float32)
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("AFP_BANKED_RESIDENT", mode)
+        pipe = Pipeline(cfg)
+        bank = with_per_stream_filters(pipe, variants)
+        ring = jnp.asarray(blocks)
+        orng = jnp.zeros(blocks.shape, jnp.float32)
+        st = pipe.init_state(seed=1)
+        for i in range(2):
+            st, orng = pipe._ring_step_impl(bank, st, ring, None, i, orng)
+        outs[mode] = np.asarray(orng)
+    np.testing.assert_array_equal(outs["0"], outs["1"])
+
+    icfg = _td_cfg(ingest="pcm16")
+    iblocks = np.clip(np.round(blocks * 32768.0), -32768, 32767
+                      ).astype(np.int16)
+    iouts = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("AFP_BANKED_RESIDENT", mode)
+        pipe = Pipeline(icfg)
+        bank = with_per_stream_filters(pipe, variants)
+        ring = jnp.asarray(iblocks)
+        orng = jnp.zeros(blocks.shape, jnp.float32)
+        st = pipe.init_state(seed=1)
+        for i in range(2):
+            st, orng = pipe._ring_step_impl(bank, st, ring, None, i, orng)
+        iouts[mode] = np.asarray(orng)
+    np.testing.assert_array_equal(iouts["0"], iouts["1"])

@@ -143,6 +143,40 @@ def test_per_stream_ring_leg_wiring(flow_env, monkeypatch):
     out = bench.run_per_stream_ring_xrt(32, 2)
     assert out["per_stream_ring_xrt"] == 777000
     assert out["per_stream_ring_mega_xrt"] == 777000
+    # r5: the per-tile band-DMA ablation baseline publishes alongside
+    assert out["per_stream_ring_pertile_xrt"] == 777000
+
+
+def test_reconfig_latency_leg(flow_env, rng):
+    """The r5 live-reconfig leg: a mid-serve gain swap is detected at the
+    chunk boundary (effect_blocks == 0 for a boundary-aligned swap) with
+    a finite wall latency."""
+    out = bench.run_reconfig_latency(1)
+    assert out["reconfig_effect_blocks"] == 0
+    assert 0.0 < out["reconfig_to_effect_ms"] < 60000.0
+
+
+def test_agc_ring_hbm_frac_model():
+    """The analytic HBM roofline model: exact mode counts 7 full arrays;
+    the fast-mode means path shrinks the d term 32x; pcm16 halves the x
+    reads."""
+    from afp_tpu.engine import Pipeline, StreamConfig
+
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=2048, upsample_factor=2, numtaps=129,
+        batch=256, eq_enabled=True, agc_enabled=True, agc_mode="exact",
+        agc_window_size=512, agc_carry=True, dither_kind="tpdf",
+        output_clip=0.99, conv_strategy="td_mxu")
+    pipe = Pipeline(cfg)
+    xrt = 500000.0
+    f_exact = bench._agc_ring_hbm_frac(pipe, 256, 2048, xrt)
+    import dataclasses
+
+    fast = Pipeline(dataclasses.replace(cfg, agc_mode="fast"))
+    f_fast = bench._agc_ring_hbm_frac(fast, 256, 2048, xrt)
+    assert 0 < f_fast < f_exact  # fewer bytes at the same wall → lower frac
+    # d term: exact carries 2 full arrays of the 7+; means cuts ~27%
+    assert f_fast / f_exact < 0.80
 
 
 def test_chain_imaging_report_keys_and_gate():
