@@ -44,6 +44,11 @@ def main():
                     help="one-launch megakernel dispatch (run_ring_mega)")
     ap.add_argument("--pcm16", action="store_true",
                     help="serve raw int16 PCM blocks (ingest='pcm16')")
+    ap.add_argument("--retune", action="store_true",
+                    help="swap the filter design mid-serve — glitch-free "
+                         "live reconfiguration ON the rings (r5): the new "
+                         "bank is designed on this thread and takes effect "
+                         "atomically at the next chunk dispatch")
     args = ap.parse_args()
     dither = "tpdf"
     if args.mega:
@@ -86,9 +91,23 @@ def main():
 
     # warm-up dispatch (compile), then the timed serve
     _ = list(srv.stream(iter(blocks[: args.chunk])))
+    source = iter(blocks)
+    if args.retune:
+        import dataclasses
+
+        half = args.blocks // 2
+
+        def source():
+            for i, b in enumerate(blocks):
+                if i == half:
+                    srv.retune(dataclasses.replace(cfg, cutoff=6000.0))
+                    print(f"retuned to 6 kHz at block {i} "
+                          "(effective next chunk)")
+                yield b
+        source = source()
     peak = [0.0]
     t0 = time.time()
-    m = srv.serve(iter(blocks), lambda out: peak.__setitem__(
+    m = srv.serve(source, lambda out: peak.__setitem__(
         0, max(peak[0], float(np.max(np.abs(out))))))
     print(f"served {m['blocks']} blocks x {args.streams} streams "
           f"in {m['wall_s']:.3f}s -> {m['xrt']:.0f}x realtime "
