@@ -47,6 +47,22 @@ def band_is_exact_bf16(band: np.ndarray) -> bool:
     return bool(np.all(b.astype(jnp.bfloat16).astype(np.float32) == b))
 
 
+def _mean_matrix(mean_chunk: int):
+    """[LANE, LANE/mean_chunk] bf16 chunk-mean selection matrix: entry
+    (j, c) = 1/mean_chunk when chunk c covers lane j.  Exactly bf16 for
+    power-of-two chunks (the only ones the wrapper accepts), so the
+    two-pass bf16 split of `d` computes the mean EXACTLY up to the f32
+    accumulation (every product is a bf16×bf16 → f32, exact)."""
+    import jax
+
+    ncols = LANE // mean_chunk
+    j = jax.lax.broadcasted_iota(jnp.int32, (LANE, ncols), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (LANE, ncols), 1)
+    sel = (j // mean_chunk == c)
+    return jnp.where(sel, jnp.float32(1.0 / mean_chunk), 0.0
+                     ).astype(jnp.bfloat16)
+
+
 def _store_d(o_ref, d, t: int, transposed: bool, mean_chunk: int, acc: list):
     """Shared desired-gain epilogue: store the [bt, LANE] tile — or, with
     `mean_chunk`, reduce it to its LANE/mean_chunk chunk means and
@@ -54,11 +70,18 @@ def _store_d(o_ref, d, t: int, transposed: bool, mean_chunk: int, acc: list):
     means are what the blockwise 'fast' recurrence consumes
     (`agc_scan.smooth_gain_apply_pallas(d_is_means=True)`): emitting them
     here shrinks the d intermediate HBM traffic mean_chunk× (the chain's
-    largest remaining intermediate — BENCHMARKS.md 'AGC chain roofline')."""
+    largest remaining intermediate — BENCHMARKS.md 'AGC chain roofline').
+
+    The mean rides a banded MXU dot, not a reshape-mean: Mosaic rejects
+    the lane-splitting shape cast ([bt, 128] → [bt, 4, 32]) on hardware
+    (r5 hw_check find — interpret mode accepted it), and the dot is exact
+    to the f32 accumulation (see `_mean_matrix`)."""
     if mean_chunk:
-        bt = d.shape[0]
-        acc.append(jnp.mean(
-            d.reshape(bt, LANE // mean_chunk, mean_chunk), axis=-1))
+        d_hi, d_lo = _split_bf16_in_kernel(d)
+        m = _mean_matrix(mean_chunk)
+        acc.append(
+            jnp.dot(d_hi, m, preferred_element_type=jnp.float32)
+            + jnp.dot(d_lo, m, preferred_element_type=jnp.float32))
         return
     if transposed:
         o_ref[t * LANE : (t + 1) * LANE, :] = d.T
@@ -339,10 +362,12 @@ def rms_desired_pallas(x: jnp.ndarray, band: jnp.ndarray, lp: int, rp: int,
     roofline').  The means reduce the same f32 `d` values in VMEM
     (reassociation-only delta vs a host-side reshape-mean, ≲2⁻²⁰).
     """
-    if mean_chunk and (not transposed or LANE % mean_chunk):
+    if mean_chunk and (not transposed or LANE % mean_chunk
+                       or mean_chunk & (mean_chunk - 1)):
         raise ValueError(
-            f"mean_chunk={mean_chunk} requires transposed=True and must "
-            f"divide {LANE}")
+            f"mean_chunk={mean_chunk} requires transposed=True and a "
+            f"power of two dividing {LANE} (the 1/chunk selection weight "
+            "must be exactly bf16)")
     x = jnp.asarray(x)
     if x.dtype != jnp.int16:
         x = x.astype(jnp.float32)

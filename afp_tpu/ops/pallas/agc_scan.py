@@ -222,17 +222,18 @@ def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
     if vec_refs is not None:
         # per-stream AGC policy banks (`batch.with_per_stream_agc`): the
         # α/max-gain vectors ride [1, sub, LANES] tiles exactly like the
-        # gain carry — same elementwise ops, zero extra serial work
+        # gain carry — same elementwise ops, zero extra serial work.
+        # (The clip below runs in the [T_CHUNK, sub, LANES] layout where
+        # the vector broadcasts naturally — a [sub·LANES, 1] column
+        # operand is an unsupported Mosaic shape cast, r5 hw_check find.)
         att_ref, rel_ref, mg_ref = vec_refs
         a_att = att_ref[0]
         a_rel = rel_ref[0]
         max_gain = mg_ref[0]
-        mg_bm = max_gain.reshape(sub * LANES)[:, None]  # batch-major clip
     else:
         a_att = a_ref[0, 0]
         a_rel = a_ref[0, 1]
         max_gain = a_ref[0, 2]
-        mg_bm = max_gain
     out_clip = a_ref[0, 3]
 
     @pl.when(pl.program_id(1) == 0)
@@ -264,8 +265,11 @@ def _agc_apply_kernel(a_ref, d_ref, g0_ref, x_ref, y_ref, gl_ref, g_scr,
             c_scr[c * chunk:(c + 1) * chunk] = g[None] + (gn - g)[None] * fr
             g = gn
     g_scr[...] = g
-    chunk = c_scr[...].reshape(T_CHUNK, sub * LANES)
-    gcl = jnp.clip(chunk.T, 0.1, mg_bm)  # [sub·128, T_CHUNK]
+    # clip in the [T_CHUNK, sub, LANES] layout (the per-stream max-gain
+    # tile broadcasts over time there), THEN flip batch-major — clip is
+    # elementwise, so the order change is bit-neutral for scalars too
+    gcl3 = jnp.clip(c_scr[...], 0.1, max_gain)
+    gcl = gcl3.reshape(T_CHUNK, sub * LANES).T  # [sub·128, T_CHUNK]
     from .fir_td import _load_f32
 
     # int16 PCM x converts on the VPU first (n/32768, exact) — the gain

@@ -648,6 +648,169 @@ def _fold_bound(int16: bool) -> float:
     return 1.0 if int16 else 1e-5
 
 
+def check_agc_fast_means() -> dict:
+    """r5 fast-mode chunk-mean d path on the compiled lowering:
+    `rms_desired_pallas(mean_chunk=32)` ≡ the chunk means of the full
+    per-sample d, and the fast PIPELINE serving ring ≡ the staged fused
+    step bit-for-bit with the means path engaged (`Pipeline._agc_means`)."""
+    import jax.numpy as jnp
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+    from afp_tpu.ops.pallas.agc_rms import (band_is_exact_bf16,
+                                            rms_desired_pallas)
+    from afp_tpu.ops.pallas.fir_td import band_matrix
+
+    rng = np.random.default_rng(9)
+    results = {}
+    W, B, T = 512, 1024, 2048
+    x = (rng.standard_normal((B, T)) * 0.1).astype(np.float32)
+    band = band_matrix(np.full(W, 1.0 / W, dtype=np.float32))
+    lp, rp = W // 2, W - 1 - W // 2
+    kw = dict(exact_band=band_is_exact_bf16(band), transposed=True,
+              interpret=INTERPRET)
+    d = np.asarray(rms_desired_pallas(
+        jnp.asarray(x), jnp.asarray(band), lp, rp, 0.1, 10.0, **kw))
+    dm = np.asarray(rms_desired_pallas(
+        jnp.asarray(x), jnp.asarray(band), lp, rp, 0.1, 10.0,
+        mean_chunk=32, **kw))
+    ref = d.reshape(T // 32, 32, B).mean(axis=1)
+    e = db(np.max(np.abs(dm - ref)), np.max(np.abs(ref)) + 1e-300)
+    results["agc_means_rms_db"] = round(e, 1)
+    assert e < -110, f"mean emission diverged: {e:.1f} dB"
+
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=T, upsample_factor=2, numtaps=129,
+        batch=B, eq_enabled=True, agc_enabled=True, agc_mode="fast",
+        agc_window_size=W, agc_carry=True,
+        dither_kind="off" if FLOW else "tpdf", output_clip=0.99,
+        downsample_mode="decimate", conv_strategy="td_mxu")
+    pipe = Pipeline(cfg)
+    assert pipe._agc_means and pipe.supports_ring_step
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    sig = (rng.standard_normal((3, B, T)) * 0.1).astype(np.float32)
+    st = pipe.init_state(seed=2)
+    refs = []
+    for b in sig:
+        st, y = pipe.step(params, st, jnp.asarray(b))
+        refs.append(np.asarray(y))
+    st2 = pipe.init_state(seed=2)
+    st2, org = pipe.run_ring(params, st2, jnp.asarray(sig), None,
+                             jnp.zeros(sig.shape, jnp.float32), 3)
+    org = np.asarray(org)
+    for i in range(3):
+        assert np.array_equal(org[i], refs[i]), f"fast ring != staged @ {i}"
+    results["agc_means_ring_bitexact"] = True
+    return results
+
+
+def check_banked_resident() -> dict:
+    """r5 resident-bank banked serving ring (whole-stack constant-index
+    fetch + in-kernel dynamic design select) bit-identical to the per-tile
+    BlockSpec selection on the compiled lowering, f32 and pcm16 rings."""
+    import os
+
+    import jax.numpy as jnp
+
+    from afp_tpu.engine import Pipeline, StreamConfig
+    from afp_tpu.engine.batch import with_per_stream_filters
+
+    rng = np.random.default_rng(10)
+    B, T = 256, 2048
+    blocks = (rng.standard_normal((2, B, T)) * 0.2).astype(np.float32)
+    results = {}
+    prev = os.environ.get("AFP_BANKED_RESIDENT")
+    try:
+        for ingest, blk in (("f32", blocks),
+                            ("pcm16", np.clip(np.round(blocks * 32768.0),
+                                              -32768, 32767
+                                              ).astype(np.int16))):
+            outs = {}
+            for mode in ("0", "1"):
+                os.environ["AFP_BANKED_RESIDENT"] = mode
+                cfg = StreamConfig(
+                    samplerate=44100, blocksize=T, upsample_factor=2,
+                    numtaps=129, batch=B, eq_enabled=False,
+                    agc_enabled=False,
+                    dither_kind="off" if FLOW else "tpdf",
+                    output_clip=0.99, downsample_mode="decimate",
+                    conv_strategy="td_mxu", ingest=ingest)
+                pipe = Pipeline(cfg)
+                bank = with_per_stream_filters(
+                    pipe, [dict(cutoff=4000.0 if i < B // 2 else 12000.0)
+                           for i in range(B)])
+                st = pipe.init_state(seed=1)
+                st, org = pipe.run_ring(
+                    bank, st, jnp.asarray(blk), None,
+                    jnp.zeros(blocks.shape, jnp.float32), 2)
+                outs[mode] = np.asarray(org)
+            assert np.array_equal(outs["0"], outs["1"]), (
+                f"resident != per-tile ({ingest})")
+            results[f"banked_resident_bitexact_{ingest}"] = True
+    finally:
+        if prev is None:
+            os.environ.pop("AFP_BANKED_RESIDENT", None)
+        else:
+            os.environ["AFP_BANKED_RESIDENT"] = prev
+    return results
+
+
+def check_per_stream_agc() -> dict:
+    """r5 [B]-vector AGC policy banks on the compiled lowering: the vector
+    run must match per-policy scalar runs row-for-row (exact mode; ulp
+    tolerance for the vector-operand lowering)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
+    from afp_tpu.engine.batch import with_per_stream_agc
+
+    rng = np.random.default_rng(11)
+    B, T, W = 1024, 2048, 512
+    cfg = StreamConfig(
+        samplerate=44100, blocksize=T, upsample_factor=2, numtaps=129,
+        batch=B, eq_enabled=True, agc_enabled=True, agc_mode="exact",
+        agc_window_size=W, agc_carry=True,
+        dither_kind="off" if FLOW else "tpdf", output_clip=0.99,
+        downsample_mode="decimate", conv_strategy="td_mxu")
+    pipe = Pipeline(cfg)
+    params = pipe.device_params(PipelineParams.design(pipe.cfg))
+    h = B // 2
+    pol = ((0.1, 10.0, 0.01, 0.1), (0.3, 4.0, 0.05, 0.2))
+    vp = with_per_stream_agc(
+        pipe, params,
+        target_level=np.r_[np.full(h, pol[0][0]), np.full(h, pol[1][0])],
+        max_gain=np.r_[np.full(h, pol[0][1]), np.full(h, pol[1][1])],
+        attack=np.r_[np.full(h, pol[0][2]), np.full(h, pol[1][2])],
+        release=np.r_[np.full(h, pol[0][3]), np.full(h, pol[1][3])])
+    sig = (rng.standard_normal((2, B, T)) * 0.1).astype(np.float32)
+    st = pipe.init_state(seed=3)
+    outs = []
+    for b in sig:
+        st, y = pipe.step(vp, st, jnp.asarray(b))
+        outs.append(np.asarray(y))
+    results = {}
+    worst = -np.inf
+    for k, (tg, mg, at, rl) in enumerate(pol):
+        rows = slice(0, h) if k == 0 else slice(h, B)
+        cfg_k = dataclasses.replace(
+            cfg, agc_target_level=tg, agc_max_gain=mg, agc_attack=at,
+            agc_release=rl).validate()
+        p2 = Pipeline(cfg_k)
+        pp2 = p2.device_params(PipelineParams.design(p2.cfg))
+        st2 = p2.init_state(seed=3)
+        for i, b in enumerate(sig):
+            st2, g = p2.step(pp2, st2, jnp.asarray(b))
+            dmax = np.max(np.abs(outs[i][rows] - np.asarray(g)[rows]))
+            peak = np.max(np.abs(np.asarray(g)[rows])) + 1e-300
+            worst = max(worst, db(dmax, peak))
+    # bit-exact runs give -inf; clamp so the JSON stays parseable
+    results["per_stream_agc_vs_scalar_db"] = round(max(float(worst),
+                                                       -999.0), 1)
+    assert worst < -120, f"vector AGC diverged: {worst:.1f} dB"
+    return results
+
+
 def check_offline_fold() -> dict:
     """The offline time-folded fast path vs the streaming scan on the
     compiled lowering.  The bit-exact claim rests on a HARDWARE property —
@@ -774,7 +937,9 @@ def main() -> None:
     checks = [check_fir_td, check_fir_per_stream, check_agc_scan,
               check_dither, check_fused_dither, check_fused_clip,
               check_agc_fused, check_agc_one_kernel, check_conv_pair,
-              check_serving_ring, check_offline_fold]
+              check_serving_ring, check_offline_fold,
+              check_agc_fast_means, check_banked_resident,
+              check_per_stream_agc]
     if FLOW:
         # pltpu PRNG has no CPU interpret lowering (tests/test_agc_dither.py)
         skipped = {check_dither, check_fused_dither}
