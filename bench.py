@@ -932,11 +932,17 @@ def _agc_ring_hbm_frac(pipe, batch: int, blocksize: int,
     per-sample desired gain written + read, the bf16 pair written + read,
     the output written — 7 full [B, T] f32 arrays — plus the pair tail
     round trip and the conv band's per-tile fetches.  'fast' mode's
-    chunk-mean d path (r5) shrinks the d term 32×.  A frac ≳ 0.9 means
-    the chain is HBM-bound: fewer kernel launches (a mega form) cannot
-    help, only fewer bytes can — the r3 fused-kernel experiments and the
-    r5 fast-mode means path are exactly that lever (BENCHMARKS.md 'AGC
-    chain roofline')."""
+    chunk-mean d path (r5) shrinks the d term 32×.
+
+    Read it as the chain's HBM byte DEMAND against the nominal 819 GB/s:
+    ≥ ~1.0 (exact mode measured 1.09 in r5 — the analytic count slightly
+    exceeds nominal-peak × wall) means the DMA engine is saturated for
+    essentially the whole step.  r5's byte-cut experiments (pcm16 −14%,
+    the means path −27%) moved the wall by ~0 — so at this operating
+    point the wall is set by the overlapping COMPUTE/serial envelope of
+    the three kernels, with the DMA fully hidden beneath it; neither
+    fewer launches (mega) nor fewer bytes buys wall time until that
+    envelope shrinks (BENCHMARKS.md 'AGC chain roofline, r5 measured')."""
     from afp_tpu.ops.pallas.fir_td import LANE, _pick_b_tile_b3t_f32
 
     B, T = batch, blocksize
@@ -1131,7 +1137,14 @@ def run_reconfig_latency(reps: int) -> dict:
     boundary, the contract's bound is the next chunk) and
     `reconfig_to_effect_ms` (wall time from the swap call to DRAINING the
     first affected block — includes the in-flight pipeline the server was
-    configured to run ahead by, `(max_inflight+1)·chunk` blocks)."""
+    configured to run ahead by, `(max_inflight+1)·chunk` blocks).
+
+    Batch 64, deliberately: the metric times land→dispatch→DRAIN, and at
+    batch 4096 the drain is 64 MB/chunk of device→host transfer — on the
+    ~50 MB/s dev tunnel that measures the LINK (first run at batch 1024:
+    8.5 s of pure drain bandwidth), not the engine's reconfig behavior.
+    At batch 64 the drain is 4 MB/chunk and the number is dominated by
+    the dispatch pipeline it exists to measure."""
     import time as _time
 
     from afp_tpu.engine import Pipeline, PipelineParams, StreamConfig
@@ -1139,7 +1152,7 @@ def run_reconfig_latency(reps: int) -> dict:
 
     cfg = StreamConfig(
         samplerate=44100, blocksize=4096, upsample_factor=4, numtaps=1001,
-        batch=1024, filter_type="lowpass", cutoff=11000.0,
+        batch=64, filter_type="lowpass", cutoff=11000.0,
         window_type="hamming", eq_enabled=True, agc_enabled=False,
         downsample_mode="decimate", dither_kind="off", output_clip=None,
         conv_strategy="td_mxu", resample_quality="vhq",
@@ -1280,6 +1293,21 @@ def latency_sla_report(reps: int) -> dict:
                     float(np.percentile(samples, 50)), 1)
                 out[f"latency_us_{name}_b{batch}_p99"] = round(
                     float(np.percentile(samples, 99)), 1)
+                # Link-retry tails (r5 measurement note): the ring/mega
+                # cells' raw p99 events land at 3–4× the link RTT with a
+                # CLEAN paired probe immediately after — transport
+                # retries, not device or engine time (staged dodges them
+                # only by chance).  Publish the tail separated: p99 over
+                # samples under 10× the cell p50 (the engine's own tail)
+                # plus the count of link-retry events.
+                p50 = float(np.percentile(samples, 50))
+                clean = [s for s in samples if s < 10 * p50]
+                tails = len(samples) - len(clean)
+                if clean:
+                    out[f"latency_us_{name}_b{batch}_p99_clean"] = round(
+                        float(np.percentile(clean, 99)), 1)
+                if tails:
+                    out[f"latency_us_{name}_b{batch}_tail_events"] = tails
                 if rejected:
                     out[f"latency_us_{name}_b{batch}_stall_rejected"] = (
                         rejected)
