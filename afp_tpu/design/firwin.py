@@ -113,6 +113,16 @@ def design_windowed_sinc(
     if filter_type == "lowpass":
         h = h / np.sum(h)
     elif filter_type == "highpass":
+        # degenerate-input guard (r5 fuzz find): at cutoff ≥ Nyquist the
+        # windowed sinc difference is identically zero and the cos-sum
+        # normalization below returns silent NaNs — reject loudly (the
+        # engine's validate() clamps highpass cutoffs strictly inside
+        # Nyquist so its never-raise contract is unaffected)
+        if float(cutoff_n) >= 1.0:
+            raise ValueError(
+                f"highpass cutoff {float(cutoff_arr):g} Hz is at or above "
+                f"Nyquist ({samplerate / 2:g} Hz) — the design is "
+                "identically zero")
         h = h / np.sum(h * np.cos(2 * np.pi * 0.5 * t))
     elif filter_type == "bandpass":
         w, H = freqz(h, worN=8000, fs=samplerate)

@@ -244,7 +244,13 @@ class StreamConfig:
             )
         else:
             c = self.cutoff if not isinstance(self.cutoff, (tuple, list)) else self.cutoff[0]
-            cutoff = max(20.0, min(float(c), nyq))
+            # highpass clamps STRICTLY inside Nyquist: at upsample_factor 1
+            # the design rate equals the engine rate, and a highpass AT
+            # Nyquist is the identically-zero kernel (its normalization
+            # returned silent NaNs — r5 fuzz find; firwin now rejects it,
+            # and this clamp keeps the engine's never-raise contract)
+            hi = 0.999 * nyq if self.filter_type == "highpass" else nyq
+            cutoff = max(20.0, min(float(c), hi))
         if self.filter_type not in ("lowpass", "highpass", "bandpass", "bandstop"):
             raise ValueError(f"invalid filter_type {self.filter_type!r}")
         if self.design_method not in ("window", "remez"):

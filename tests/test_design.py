@@ -184,3 +184,28 @@ def test_freqz_jax_long_filter_direct_path():
     np.testing.assert_allclose(np.asarray(w_j), w_n, rtol=1e-6)
     scale = np.max(np.abs(H_n))
     np.testing.assert_allclose(np.asarray(H_j) / scale, H_n / scale, atol=1e-4)
+
+
+def test_highpass_at_nyquist_rejected():
+    """r5 fuzz find: a highpass cutoff at/above Nyquist designs to the
+    identically-zero kernel and its cos-sum normalization returned silent
+    NaNs — now rejected loudly at the design layer, while the engine's
+    validate() clamps strictly inside Nyquist (never-raise contract)."""
+    import pytest
+
+    from afp_tpu.design import create_fir_filter
+    from afp_tpu.engine import StreamConfig
+
+    with pytest.raises(ValueError, match="Nyquist"):
+        create_fir_filter(method="window", cutoff=11025.0, numtaps=65,
+                          window_type="hamming", filter_type="highpass",
+                          samplerate=22050)
+    # the engine clamp keeps a supra-Nyquist request designable and finite
+    cfg = StreamConfig(samplerate=22050, upsample_factor=1, numtaps=65,
+                       filter_type="highpass", cutoff=14000.0,
+                       eq_enabled=False, agc_enabled=False).validate()
+    assert cfg.cutoff < 22050 / 2
+    from afp_tpu.engine import PipelineParams
+
+    p = PipelineParams.design(cfg)
+    assert np.all(np.isfinite(p.main_taps))
