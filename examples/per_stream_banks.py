@@ -83,6 +83,43 @@ def main():
               f"{audio / dt:,.0f}× realtime; "
               f"rms lo-cut {tout[0].std():.4f} vs hi-cut {tout[-1].std():.4f}")
 
+        # --- stream→tile packing (r5): the SAME two designs, strictly
+        # INTERLEAVED (un-tileable as given) — pack=True sorts them into
+        # device order, outputs return in caller order. ---
+        pbank, pk = with_per_stream_filters(
+            tpipe, [dict(cutoff=4000.0 if i % 2 == 0 else 15000.0)
+                    for i in range(args.streams)], pack=True)
+        _, pout = tpipe.process_signal(pbank, tpipe.init_state(),
+                                       pk.pack(sig))
+        pout = pk.unpack(np.asarray(pout))
+        print(f"packed interleaved designs: even-row rms {pout[0].std():.4f}"
+              f" (lo-cut) vs odd-row {pout[1].std():.4f} (hi-cut)")
+
+    # --- per-stream AGC policy banks (r5): one batch, two AGC targets ---
+    import dataclasses
+
+    from afp_tpu.engine.batch import with_per_stream_agc
+
+    acfg = dataclasses.replace(
+        cfg, blocksize=2048, batch=max(2, args.streams),
+        agc_enabled=True, agc_mode="fast", agc_window_size=256,
+        conv_strategy="td_mxu")
+    apipe = Pipeline(acfg)
+    ap = apipe.device_params(
+        __import__("afp_tpu.engine", fromlist=["PipelineParams"]
+                   ).PipelineParams.design(apipe.cfg))
+    half = acfg.batch // 2
+    ap = with_per_stream_agc(
+        apipe, ap,
+        target_level=np.r_[np.full(half, 0.05),
+                           np.full(acfg.batch - half, 0.3)])
+    quiet = (np.random.default_rng(1).standard_normal(
+        (acfg.batch, acfg.blocksize)) * 0.01).astype(np.float32)
+    _, y = apipe.step(ap, apipe.init_state(), quiet)
+    y = np.asarray(y)
+    print(f"per-stream AGC targets 0.05 vs 0.30 on quiet input: "
+          f"out rms {y[:half].std():.4f} vs {y[half:].std():.4f}")
+
 
 if __name__ == "__main__":
     main()
