@@ -207,6 +207,9 @@ class RingServer:
         self._latencies: deque = deque(maxlen=65536)
         #: drain-side spectrum tap (see `spectrum_every` in the class doc)
         self.spectrum_every = int(spectrum_every)
+        if not 0 <= int(spectrum_row) < B:
+            raise ValueError(
+                f"spectrum_row {spectrum_row} out of range for batch {B}")
         self.spectrum_row = int(spectrum_row)
         self.spectrum_sink = None  # optional callable([batch, L] f32 block)
         self.waterfall_ring: Optional[np.ndarray] = None  # [50, n_bins]
