@@ -498,3 +498,10 @@ def test_controller_ring_stream_waterfall(rng, tmp_path):
     fig = ctrl.waterfall(save_path=str(tmp_path / "wf.png"))
     assert fig is not None and (tmp_path / "wf.png").exists()
     assert ctrl.spectrum_peak is not None
+
+
+def test_spectrum_row_out_of_range_rejected():
+    pipe = Pipeline(make_cfg(ingest="f32", dither_kind="off"))
+    with pytest.raises(ValueError, match="spectrum_row"):
+        RingServer(pipe, slots=8, chunk=2, spectrum_every=2,
+                   spectrum_row=pipe.batch)
